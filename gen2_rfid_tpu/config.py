@@ -1,0 +1,227 @@
+"""Reader configuration: EPC Gen2 protocol constants and derived sample counts.
+
+TPU-native re-design of the reference's two-tier static config
+(compile-time constants in ``gr-rfid/include/rfid/global_vars.h:69-143`` plus
+Python knobs in ``gr-rfid/apps/reader.py:52-61``).  Everything lives in one
+frozen (hashable) dataclass so it can be passed as a jit-static argument; all
+derived sample-domain quantities (the reference computes them in the block
+constructors, ``gate_impl.cc:48-53``, ``tag_decoder_impl.cc:60``,
+``reader_impl.cc:51-71``) are exposed as cached properties with the *same
+integer-truncation semantics* so the decode arithmetic matches the reference
+bit-for-bit in compat mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+
+# Valid 4-bit encodings of Q (global_vars.h:79-85).
+Q_VALUE: Tuple[Tuple[int, ...], ...] = tuple(
+    tuple((q >> (3 - b)) & 1 for b in range(4)) for q in range(16)
+)
+
+# FM0 preamble half-bit pattern, as 0/1 chips (global_vars.h:136); as a
+# correlation template the 0 chips act as -1 (tag_decoder_impl.cc:102).
+TAG_PREAMBLE_BITS_PATTERN: Tuple[int, ...] = (1, 1, 0, 1, 0, 0, 1, 0, 0, 0, 1, 1)
+
+# Command bit codes (global_vars.h:115-133).
+QUERY_CODE: Tuple[int, ...] = (1, 0, 0, 0)
+ACK_CODE: Tuple[int, ...] = (0, 1)
+QADJ_CODE: Tuple[int, ...] = (1, 0, 0, 1)
+NAK_CODE: Tuple[int, ...] = (1, 1, 0, 0, 0, 0, 0, 0)
+QREP_CODE: Tuple[int, ...] = (0, 0)
+# Q_UPDN rows: increment / unchanged / decrement (global_vars.h:133).
+Q_UPDN: Tuple[Tuple[int, ...], ...] = ((1, 1, 0), (0, 0, 0), (0, 1, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class ReaderConfig:
+    """All protocol / radio constants. Frozen + hashable => jit-static."""
+
+    # ---- slotting / termination (global_vars.h:72-76,100) ----
+    fixed_q: int = 0
+    max_num_queries: int = 1000
+    max_unique_tags: int = 100
+
+    # ---- timings in microseconds (global_vars.h:90-97) ----
+    cw_us: int = 250          # carrier wave chunk
+    p_down_us: int = 2000     # power-down
+    t1_us: int = 240          # interrogator->tag turnaround
+    t2_us: int = 480          # tag->interrogator turnaround
+    pw_us: int = 12           # half Tari
+    delim_us: int = 12        # preamble start delimiter
+    trcal_us: int = 200       # TRcal: BLF = DR_ratio/TRcal
+    rtcal_us: int = 72        # RTcal = 6 * PW
+
+    # ---- gate detection (global_vars.h:99,139-143) ----
+    num_pulses_command: int = 5
+    thresh_fraction: float = 0.75
+    win_size_us: int = 250    # amplitude moving-average window
+    dc_size_us: int = 120     # DC-offset estimation window
+
+    # ---- frame sizes in bits (global_vars.h:104-108) ----
+    pilot_tone_bits: int = 12
+    tag_preamble_bits: int = 6
+    rn16_bits: int = 17       # 16 + dummy
+    epc_bits: int = 129       # PC16 + EPC96 + CRC16 + dummy
+    query_length: int = 22
+
+    # ---- link (global_vars.h:110-121) ----
+    blf_hz: float = 40e3      # backscatter link frequency
+    miller_m: int = 1         # 1 = FM0; 2/4/8 = Miller subcarrier
+    dr: int = 0               # divide ratio bit (0 -> DR=8)
+    trext: int = 0
+    sel: Tuple[int, int] = (0, 0)
+    session: Tuple[int, int] = (0, 0)
+    target: int = 0
+
+    # ---- radio / rates (apps/reader.py:52-58) ----
+    adc_rate: float = 2e6     # RX complex sample rate (pre-decimation)
+    dac_rate: float = 1e6     # TX sample rate
+    decim: int = 5            # matched-filter decimation
+    ampl: float = 0.1         # TX amplitude
+    freq_hz: float = 910e6
+    rx_gain: float = 20.0
+    tx_gain: float = 0.0
+
+    # ---- framework knobs (new; no reference equivalent) ----
+    # Max command events decoded per block (fixed-capacity static shape).
+    max_events: int = 1024
+    # "compat" pins reference truncation/rounding exactly; "native" may use
+    # cleaner arithmetic where results provably agree on in-spec signals.
+    mode: str = "native"
+
+    # ------------------------------------------------------------------
+    # Derived sample-domain quantities at the post-decimation rate.
+    # ------------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> float:
+        """RX rate after matched-filter decimation (apps/reader.py:76)."""
+        return self.adc_rate / self.decim
+
+    @property
+    def tag_bit_us(self) -> float:
+        """Tag bit duration in us (global_vars.h:111)."""
+        return 1e6 / self.blf_hz
+
+    @property
+    def n_samples_tag_bit(self) -> float:
+        """Samples per tag bit; kept float like tag_decoder_impl.cc:60."""
+        return self.tag_bit_us * self.sample_rate / 1e6
+
+    @property
+    def n_samples_tag_bit_i(self) -> int:
+        """Integer-truncated samples/bit as used by the gate (gate_impl.cc:50)."""
+        return int(self.n_samples_tag_bit)
+
+    @property
+    def n_samples_t1(self) -> int:
+        return int(self.t1_us * (self.sample_rate / 1e6))
+
+    @property
+    def n_samples_pw(self) -> int:
+        # int(4.8) == 4 at the default rates - truncation is load-bearing
+        # (gate_impl.cc:49; pulse width test uses n_samples_pw // 2).
+        return int(self.pw_us * (self.sample_rate / 1e6))
+
+    @property
+    def win_length(self) -> int:
+        return int(self.win_size_us * (self.sample_rate / 1e6))
+
+    @property
+    def dc_length(self) -> int:
+        return int(self.dc_size_us * (self.sample_rate / 1e6))
+
+    @property
+    def rn16_window(self) -> int:
+        """Gate ungate length for an RN16 response (gate_impl.cc:121)."""
+        n = self.n_samples_tag_bit_i
+        return (self.rn16_bits + self.tag_preamble_bits) * n + 2 * n
+
+    @property
+    def epc_window(self) -> int:
+        """Gate ungate length for an EPC response (gate_impl.cc:115)."""
+        n = self.n_samples_tag_bit_i
+        return (self.epc_bits + self.tag_preamble_bits) * n + 2 * n
+
+    @property
+    def rn16_half_bits(self) -> int:
+        """Half-bits collected for RN16 (tag_decoder_impl.cc:246)."""
+        return 2 * (self.rn16_bits - 1)
+
+    @property
+    def epc_data_bits(self) -> int:
+        """Decoded EPC payload bits: PC+EPC+CRC (tag_decoder_impl.cc:317)."""
+        return self.epc_bits - 1
+
+    @property
+    def sync_search(self) -> int:
+        """Preamble-offset search range (tag_decoder_impl.cc:85)."""
+        return int(1.5 * self.n_samples_tag_bit)
+
+    @property
+    def preamble_half_bits(self) -> int:
+        return 2 * self.tag_preamble_bits
+
+    @property
+    def max_slot_number(self) -> int:
+        return 2 ** self.fixed_q
+
+    # ---- TX-side sample counts at DAC rate (reader_impl.cc:51-71) ----
+
+    @property
+    def tx_sample_us(self) -> float:
+        return 1e6 / self.dac_rate
+
+    @property
+    def n_data0_tx(self) -> int:
+        return int(2 * self.pw_us / self.tx_sample_us)
+
+    @property
+    def n_data1_tx(self) -> int:
+        return int(4 * self.pw_us / self.tx_sample_us)
+
+    @property
+    def n_pw_tx(self) -> int:
+        return int(self.pw_us / self.tx_sample_us)
+
+    @property
+    def n_cw_tx(self) -> int:
+        return int(self.cw_us / self.tx_sample_us)
+
+    @property
+    def n_delim_tx(self) -> int:
+        return int(self.delim_us / self.tx_sample_us)
+
+    @property
+    def n_trcal_tx(self) -> int:
+        return int(self.trcal_us / self.tx_sample_us)
+
+    @property
+    def rn16_us(self) -> int:
+        return int((self.rn16_bits + self.tag_preamble_bits) * self.tag_bit_us)
+
+    @property
+    def epc_us(self) -> int:
+        return int((self.epc_bits + self.tag_preamble_bits) * self.tag_bit_us)
+
+    @property
+    def n_cwquery_tx(self) -> int:
+        """CW after Query/QueryRep: covers T1+T2+RN16 (reader_impl.cc:69)."""
+        return int((self.t1_us + self.t2_us + self.rn16_us) / self.tx_sample_us)
+
+    @property
+    def n_cwack_tx(self) -> int:
+        """CW after ACK: covers 3*T1+T2+EPC (reader_impl.cc:70)."""
+        return int((3 * self.t1_us + self.t2_us + self.epc_us) / self.tx_sample_us)
+
+    @property
+    def n_p_down_tx(self) -> int:
+        return int(self.p_down_us / self.tx_sample_us)
+
+
+DEFAULT_CONFIG = ReaderConfig()

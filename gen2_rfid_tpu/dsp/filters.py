@@ -1,0 +1,77 @@
+"""Matched filter + decimation and causal moving-window sums.
+
+TPU-native replacement for the stock GNU Radio ``filter.fir_filter_ccc``
+(instantiated at ``apps/reader.py:75`` with 25 boxcar taps, decimation 5: the
+half-FM0-symbol matched filter).  Instead of a per-sample FIR loop this maps
+onto XLA's strided convolution (which tiles onto the MXU) with the GNU Radio
+history convention: ``ntaps-1`` zeros precede the first input, so
+``y[k] = sum_j taps[j] * x[k*decim - (ntaps-1) + j]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv1d(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Real-valued strided convolution of a batch of 1-D signals.
+
+    x: (B, N) float32, taps: (T,) float32 -> (B, (N - T)//stride + 1).
+    """
+    b, n = x.shape
+    t = taps.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :],                    # (B, C=1, N)
+        taps[None, None, ::-1],           # (O=1, I=1, T) - conv flips, we want corr
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out[:, 0, :]
+
+
+def matched_filter_decimate(
+    iq: jnp.ndarray, taps: np.ndarray | jnp.ndarray, decim: int
+) -> jnp.ndarray:
+    """Complex FIR + decimate with GNU Radio history alignment.
+
+    iq: (N,) complex64 at ADC rate -> ((N // decim,) complex64 at ADC/decim.
+    Real taps (matched filters for FM0/Miller are real); real and imaginary
+    parts ride through one batched strided conv.
+    """
+    taps = jnp.asarray(taps, dtype=jnp.float32)
+    t = taps.shape[0]
+    n = iq.shape[0]
+    x = jnp.stack([jnp.real(iq), jnp.imag(iq)]).astype(jnp.float32)  # (2, N)
+    x = jnp.pad(x, ((0, 0), (t - 1, 0)))  # GNU Radio zero history
+    # Truncate so output length == N // decim (gr decimator semantics).
+    n_out = n // decim
+    y = _conv1d(x, taps, decim)[:, :n_out]
+    return jax.lax.complex(y[0], y[1])
+
+
+def moving_sum(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Causal moving-window sum: out[i] = sum(x[i-win+1 .. i]), zero-padded.
+
+    Replaces the gate's incremental circular-buffer running sums
+    (``gate_impl.cc:131-133`` amplitude window, ``:141-143`` DC window) with a
+    parallel windowed reduction.  Implemented as a short conv so the
+    accumulation stays local (win terms) - no long-cumsum float drift.
+    """
+    x = x.astype(jnp.float32)
+    xp = jnp.pad(x[None, :], ((0, 0), (win - 1, 0)))
+    return _conv1d(xp, jnp.ones((win,), jnp.float32), 1)[0]
+
+
+def moving_sum_complex(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    xs = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+    xs = jnp.pad(xs, ((0, 0), (win - 1, 0)))
+    y = _conv1d(xs, jnp.ones((win,), jnp.float32), 1)
+    return jax.lax.complex(y[0], y[1])
+
+
+def boxcar_taps(n: int) -> np.ndarray:
+    """The reference's matched filter: [1]*n (apps/reader.py:65)."""
+    return np.ones(n, dtype=np.float32)

@@ -1,0 +1,96 @@
+"""Coherent FM0 detection: RN16 slicing, EPC period estimation + slicing.
+
+Vectorized re-design of ``tag_decoder_impl::tag_detection_RN16`` (:114-142)
+and ``tag_detection_EPC`` (:145-193).  The per-bit serial differential
+decoder becomes a parallel sign comparison (the FM0 differential rule
+``bit_j = (sign_j != sign_{j-1})`` with sign_{-1}=+1 needs no scan), and the
+20-candidate x 256-position symbol-period energy search becomes one gather +
+row-sum, batched over frames.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReaderConfig
+
+
+def _diff_decode(signs: jnp.ndarray) -> jnp.ndarray:
+    """FM0 differential rule (tag_decoder_impl.cc:121-140): 0 on repeat,
+    1 on flip, previous sign initialized to +1."""
+    prev = jnp.concatenate([jnp.ones((1,), signs.dtype), signs[:-1]])
+    return (signs != prev).astype(jnp.int32)
+
+
+def rn16_detect(
+    frame: jnp.ndarray, index: jnp.ndarray, h_est: jnp.ndarray, cfg: ReaderConfig
+) -> jnp.ndarray:
+    """Decode 16 RN16 bits from a synced frame (tag_decoder_impl.cc:237-268).
+
+    Half-bit samples at round(index + j*T/2) for j < 2*(RN16_BITS-1); with the
+    default T=10.0 the float stepping j += 5.0 + round() is exact integer
+    stepping, which this reproduces.
+    """
+    half = cfg.n_samples_tag_bit / 2.0
+    n_half = cfg.rn16_half_bits
+    offs = jnp.asarray(np.round(np.arange(n_half) * half).astype(np.int32))
+    samples = frame[index + offs]                            # (n_half,)
+    pairs = samples.reshape(-1, 2)
+    result = jnp.real((pairs[:, 0] - pairs[:, 1]) * jnp.conj(h_est))
+    signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
+    return _diff_decode(signs)
+
+
+def epc_period_grid(cfg: ReaderConfig, number_steps: int = 20, n_probe: int = 256):
+    """Static half-period candidate grid (tag_decoder_impl.cc:151-166):
+    T/2 in [T/2 * 0.99, T/2 * 1.01], 20 steps - float32 like the reference."""
+    half = np.float32(cfg.n_samples_tag_bit / 2.0)
+    lo = half - half / np.float32(100.0)
+    hi = half + half / np.float32(100.0)
+    step = (hi - lo) / np.float32(number_steps - 1)
+    cand = lo + np.arange(number_steps, dtype=np.float32) * step
+    return cand, n_probe
+
+
+def epc_detect(
+    frame: jnp.ndarray,
+    magn2: jnp.ndarray,
+    index: jnp.ndarray,
+    h_est: jnp.ndarray,
+    cfg: ReaderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode 128 EPC payload bits (tag_decoder_impl.cc:145-193).
+
+    magn2: |frame - dc|^2 side channel (the reference's
+    ``magn_squared_samples`` filled by the gate, gate_impl.cc:170-186).
+    Returns (bits (128,), T_half estimate).
+    """
+    cand, n_probe = epc_period_grid(cfg)
+    candj = jnp.asarray(cand)
+    w = magn2.shape[0]
+    # Energy grid: sum over 256 probe positions per candidate period.
+    i = jnp.arange(n_probe, dtype=jnp.float32)
+    pos = (i[None, :] * candj[:, None]).astype(jnp.float32)  # (20, 256), f32 mult
+    pidx = jnp.minimum(pos.astype(jnp.int32) + index, w - 1)
+    energy = jnp.sum(magn2[pidx], axis=1)
+    t_half = candj[jnp.argmax(energy)]
+
+    # 128 differential samples at truncated float positions
+    # (tag_decoder_impl.cc:171-173: j*(2T)+idx and j*2T+T+idx, float32).
+    j = jnp.arange(cfg.epc_data_bits, dtype=jnp.float32)
+    fidx = index.astype(jnp.float32)
+    i1 = (j * (2.0 * t_half) + fidx).astype(jnp.int32)
+    i2 = (j * (2.0 * t_half) + t_half + fidx).astype(jnp.int32)
+    i1 = jnp.minimum(i1, w - 1)
+    i2 = jnp.minimum(i2, w - 1)
+    result = jnp.real((frame[i1] - frame[i2]) * jnp.conj(h_est))
+    signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
+    return _diff_decode(signs), t_half
+
+
+rn16_detect_batch = jax.vmap(rn16_detect, in_axes=(0, 0, 0, None))
+epc_detect_batch = jax.vmap(epc_detect, in_axes=(0, 0, 0, 0, None))

@@ -1,0 +1,205 @@
+"""Reader-command gate: block-parallel edge detection + DC estimation.
+
+TPU-native re-design of the reference gate block (``gate_impl.cc:85-200``),
+which is a per-sample streaming FSM: a 100-sample amplitude moving average, a
+0.75*avg threshold, a NEG/POS edge state machine counting PIE pulses, a
+">5 pulses then T1-quiet" command-over trigger, and a 48-sample DC estimate
+subtracted from the forwarded window.
+
+Here every per-sample quantity is a vectorized array op and the FSM semantics
+are recovered algebraically - no `lax.scan` over samples:
+
+* threshold state   = sign of the last decisive sample (cummax propagation),
+* edges             = state transitions,
+* run lengths       = distance to previous edge (cummax of edge indices),
+* pulse counts      = #rises since the last reset rise (cumsum difference),
+* trigger           = rise with pulses > NUM_PULSES_COMMAND whose following
+                      edge-free run exceeds n_samples_T1 -> event at
+                      rise + n_samples_T1 + 1 (the sample where the
+                      reference's n_samples counter first exceeds T1),
+* DC estimate       = 48-sample causal moving mean gathered at the trigger.
+
+Deviation from the reference (documented, tested): the reference freezes the
+edge FSM while the gate is open and zeroes the pulse counter on trigger; we
+detect everywhere and emulate the pulse reset with a fixed-point refinement
+(2 vectorized passes).  For in-spec signals - backscatter modulation depth
+< (1 - THRESH_FRACTION) so tag replies never cross the threshold - the event
+sets are identical; `gate_detect_scan` is the exact sequential oracle used in
+tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ReaderConfig
+from .filters import moving_sum, moving_sum_complex
+
+
+@dataclasses.dataclass
+class GateEvents:
+    """Fixed-capacity command-event table (static shapes for jit)."""
+
+    index: jnp.ndarray    # (max_events,) int32 sample index of window start
+    dc: jnp.ndarray       # (max_events,) complex64 DC estimate at the event
+    valid: jnp.ndarray    # (max_events,) bool
+    n_events: jnp.ndarray  # () int32
+
+
+def _last_le(mask: jnp.ndarray, values: jnp.ndarray, fill) -> jnp.ndarray:
+    """out[i] = values[j] for the largest j <= i with mask[j], else fill."""
+    n = mask.shape[0]
+    idx = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(-1))
+    m = jax.lax.cummax(idx)
+    return jnp.where(m >= 0, values[jnp.maximum(m, 0)], fill)
+
+
+def gate_signal_state(amp: jnp.ndarray, thresh: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample POS(+1)/NEG(-1) edge state (gate_impl.cc:148-162).
+
+    A sample strictly above threshold drives the state to POS, strictly below
+    to NEG, equality leaves it unchanged; initial state is NEG
+    (gate_impl.cc:45).
+    """
+    dec = jnp.where(amp > thresh, jnp.int32(1),
+                    jnp.where(amp < thresh, jnp.int32(-1), jnp.int32(0)))
+    return _last_le(dec != 0, dec, jnp.int32(-1))
+
+
+def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
+    """Detect reader-command-over events in a post-decimation I/Q block.
+
+    y: (N,) complex64 at cfg.sample_rate.  Returns fixed-capacity events.
+    """
+    n = y.shape[0]
+    i32 = jnp.int32
+    arange = jnp.arange(n, dtype=i32)
+
+    amp = jnp.abs(y).astype(jnp.float32)
+    # Moving average including the current sample (gate_impl.cc:131-133).
+    avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
+    thresh = avg * jnp.float32(cfg.thresh_fraction)
+
+    state = gate_signal_state(amp, thresh)
+    prev_state = jnp.concatenate([jnp.full((1,), -1, i32), state[:-1]])
+    rise = (state == 1) & (prev_state == -1)
+    fall = (state == -1) & (prev_state == 1)
+    edge = rise | fall
+
+    # Distance since previous edge == the reference's n_samples counter value
+    # at each sample (gate_impl.cc:145-161: incremented, then reset at edges).
+    prev_edge_incl = _last_le(edge, arange, i32(-1))
+    prev_edge_excl = jnp.concatenate([jnp.full((1,), -1, i32), prev_edge_incl[:-1]])
+    run_at = arange - prev_edge_excl  # at a rise: the tested low-run length
+
+    # Next edge strictly after i (for the quiet-run trigger condition).
+    nidx = jnp.where(edge, arange, i32(n))
+    next_edge_incl = jnp.flip(jax.lax.cummin(jnp.flip(nidx)))
+    next_edge_excl = jnp.concatenate([next_edge_incl[1:], jnp.full((1,), n, i32)])
+
+    pw_half = cfg.n_samples_pw // 2
+    qualify = rise & (run_at > pw_half)
+    disq = rise & jnp.logical_not(qualify)
+    rise_count = jnp.cumsum(rise.astype(i32))  # rises at or before i
+
+    nt1 = cfg.n_samples_t1
+    npc = cfg.num_pulses_command
+
+    def triggers_from(reset_vals: jnp.ndarray) -> jnp.ndarray:
+        last_reset = jax.lax.cummax(reset_vals)
+        pulses = rise_count - last_reset
+        return (
+            rise
+            & (pulses > npc)
+            & (next_edge_excl > arange + nt1 + 1)
+            & (arange + nt1 + 1 < n)
+        )
+
+    # Pass 1: pulse resets from disqualifying (short) rises only.
+    reset0 = jnp.where(disq, rise_count, i32(0))
+    trig = triggers_from(reset0)
+    # Pass 2: add the reference's pulses=0-on-trigger (gate_impl.cc:177),
+    # effective strictly after the triggering rise.
+    t_shift = jnp.concatenate([jnp.zeros((1,), i32),
+                               jnp.where(trig, rise_count, i32(0))[:-1]])
+    trig = triggers_from(jnp.maximum(reset0, t_shift))
+
+    trig_sample = jnp.where(trig, arange + nt1 + 1, i32(n))
+
+    # DC estimate: mean of the dc_length samples ending at the event
+    # (gate_impl.cc:141-143; the window precedes any tag reply).
+    dcs = moving_sum_complex(y, cfg.dc_length) / jnp.complex64(cfg.dc_length)
+
+    # Compact to fixed capacity.
+    order = jnp.sort(trig_sample)
+    ev = order[: cfg.max_events]
+    valid = ev < n
+    ev_c = jnp.minimum(ev, n - 1)
+    return GateEvents(
+        index=ev_c.astype(i32),
+        dc=dcs[ev_c],
+        valid=valid,
+        n_events=jnp.sum(trig.astype(i32)),
+    )
+
+
+def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
+    """Exact sequential oracle: per-sample `lax.scan` FSM clone of
+    gate_impl.cc:127-195 (compat mode / CPU tests).  Freezes detection while
+    the gate is open like the reference.  Window lengths alternate
+    RN16/EPC/RN16/... exactly as the closed loop produces them: the decoder's
+    RN16 branch always emits 16 bits when the window fills (the sync index
+    never exceeds the window, tag_decoder_impl.cc:237-253), so every
+    Query/QueryRep is followed by an ACK and the gate seeks RN16 and EPC
+    windows in strict alternation."""
+    n = y.shape[0]
+    amp = jnp.abs(y).astype(jnp.float32)
+    avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
+    thresh = avg * jnp.float32(cfg.thresh_fraction)
+    dcs = moving_sum_complex(y, cfg.dc_length) / jnp.complex64(cfg.dc_length)
+
+    pw_half = cfg.n_samples_pw // 2
+    nt1 = cfg.n_samples_t1
+    npc = cfg.num_pulses_command
+
+    def step(carry, xs):
+        state, n_samp, pulses, open_rem, next_epc = carry
+        a, th, i = xs
+        closed = open_rem == 0
+        n_samp = jnp.where(closed, n_samp + 1, n_samp)
+        to_neg = closed & (a < th) & (state == 1)
+        to_pos = closed & (a > th) & (state == -1)
+        pulses = jnp.where(
+            to_pos, jnp.where(n_samp > pw_half, pulses + 1, 0), pulses
+        )
+        n_samp = jnp.where(to_neg | to_pos, 0, n_samp)
+        state = jnp.where(to_neg, -1, jnp.where(to_pos, 1, state))
+        trig = closed & (n_samp > nt1) & (state == 1) & (pulses > npc)
+        pulses = jnp.where(trig, 0, pulses)
+        n_samp = jnp.where(trig, 0, n_samp)  # reference re-zeroes on next seek
+        window = jnp.where(next_epc, cfg.epc_window, cfg.rn16_window)
+        open_rem = jnp.where(
+            trig, window - 1, jnp.maximum(open_rem - 1, 0)
+        )
+        next_epc = jnp.where(trig, jnp.logical_not(next_epc), next_epc)
+        return (state, n_samp, pulses, open_rem, next_epc), trig
+
+    init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.array(False))
+    _, trig = jax.lax.scan(
+        step, init, (amp, thresh, jnp.arange(n, dtype=jnp.int32))
+    )
+    trig_sample = jnp.where(trig, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    ev = jnp.sort(trig_sample)[: cfg.max_events]
+    valid = ev < n
+    ev_c = jnp.minimum(ev, n - 1)
+    return GateEvents(
+        index=ev_c.astype(jnp.int32),
+        dc=dcs[ev_c],
+        valid=valid,
+        n_events=jnp.sum(trig.astype(jnp.int32)),
+    )

@@ -1,0 +1,69 @@
+"""Gen2 command bit synthesis (Query / QueryRep / QueryAdjust / ACK / NAK).
+
+Covers the reference's command builders (``reader_impl.cc:131-162`` plus the
+command codes in ``global_vars.h:115-133``).  All builders are plain NumPy -
+commands are tiny and static per config, so they are computed once at trace /
+schedule build time and baked into jit-static waveform tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import (
+    ACK_CODE,
+    NAK_CODE,
+    QADJ_CODE,
+    QREP_CODE,
+    QUERY_CODE,
+    Q_UPDN,
+    Q_VALUE,
+    ReaderConfig,
+)
+from .crc import crc5_append
+
+_MILLER_CODE = {1: (0, 0), 2: (0, 1), 4: (1, 0), 8: (1, 1)}
+
+
+def query_bits(cfg: ReaderConfig) -> np.ndarray:
+    """22-bit Query: code+DR+M+TRext+Sel+Session+Target+Q then CRC-5.
+
+    Field order follows reader_impl.cc:131-146.
+    """
+    bits = list(QUERY_CODE)
+    bits.append(cfg.dr)
+    bits.extend(_MILLER_CODE[cfg.miller_m])
+    bits.append(cfg.trext)
+    bits.extend(cfg.sel)
+    bits.extend(cfg.session)
+    bits.append(cfg.target)
+    bits.extend(Q_VALUE[cfg.fixed_q])
+    out = crc5_append(np.array(bits, dtype=np.int64))
+    assert out.size == cfg.query_length
+    return out
+
+
+def query_rep_bits(cfg: ReaderConfig) -> np.ndarray:
+    """QueryRep = command 00 + 2-bit session (reader_impl.cc:110-114 sends
+    frame-sync + four data-0 symbols, i.e. bits 0,0,0,0)."""
+    return np.array(list(QREP_CODE) + list(cfg.session), dtype=np.int64)
+
+
+def ack_bits(rn16: np.ndarray) -> np.ndarray:
+    """ACK = 01 + RN16 (reader_impl.cc:149-154)."""
+    rn16 = np.asarray(rn16, dtype=np.int64)
+    assert rn16.size == 16
+    return np.concatenate([np.array(ACK_CODE, dtype=np.int64), rn16])
+
+
+def query_adjust_bits(cfg: ReaderConfig, updn: int = 0) -> np.ndarray:
+    """QueryAdjust = 1001 + session + Q_UPDN row (reader_impl.cc:156-162).
+
+    ``updn``: +1 increment, 0 unchanged, -1 decrement.
+    """
+    row = {1: Q_UPDN[0], 0: Q_UPDN[1], -1: Q_UPDN[2]}[updn]
+    return np.array(list(QADJ_CODE) + list(cfg.session) + list(row), dtype=np.int64)
+
+
+def nak_bits() -> np.ndarray:
+    return np.array(NAK_CODE, dtype=np.int64)

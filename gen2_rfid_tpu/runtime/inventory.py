@@ -1,0 +1,198 @@
+"""Batch inventory decode: full pipeline + explicit round-FSM replay.
+
+This is the TPU-native replacement for the reference's closed-loop
+coordination through the mutable global ``reader_state``
+(``global_vars.cc:32-54``; FSM transitions written by the decoder at
+``tag_decoder_impl.cc:256-394`` and read by the reader's ``general_work``
+switch at ``reader_impl.cc:216-377``).  The design inverts the control flow:
+
+1. every heavy stage (matched filter, gate detection, window extraction,
+   sync, RN16/EPC detection, CRC) runs *batched over all events at once*;
+2. a tiny `lax.scan` over the event table replays the Gen2 inventory-round
+   state machine (slot/round bookkeeping, Query vs ACK alternation,
+   termination limits) to assemble the same statistics the reference's
+   closed loop accumulates.
+
+The replay exploits a structural fact of the reference: its RN16 branch
+always produces 16 bits whenever the window fills (the sync index can never
+run past the window, see SURVEY.md 2.4), so every Query/QueryRep is followed
+by an ACK and command windows alternate RN16/EPC strictly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReaderConfig
+from ..dsp import fm0, sync
+from ..dsp.filters import boxcar_taps, matched_filter_decimate
+from ..dsp.gate import GateEvents, gate_detect, gate_detect_scan
+from ..protocol.crc import crc16_affine
+from .frames import extract_windows
+from .stats import N_TAG_BINS, InventoryStats
+
+
+class DecodedEvents(NamedTuple):
+    """Per-event decode results (fixed capacity, mask-validated)."""
+
+    index: jnp.ndarray      # (E,) int32
+    valid: jnp.ndarray      # (E,) bool
+    rn16_fits: jnp.ndarray  # (E,) bool
+    epc_fits: jnp.ndarray   # (E,) bool
+    rn16_bits: jnp.ndarray  # (E, 16) int32
+    epc_bits: jnp.ndarray   # (E, 128) int32
+    epc_pass: jnp.ndarray   # (E,) bool CRC verdict
+    tag_id: jnp.ndarray     # (E,) int32 EPC bits[104:112]
+    t_half: jnp.ndarray     # (E,) float32 estimated half period
+    h_est: jnp.ndarray      # (E,) complex64
+
+
+def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
+    """Batched CRC-16 check as a GF(2) affine map (one int matmul).
+
+    Replaces the per-frame serial LFSR (tag_decoder_impl.cc:401-445).
+    epc_bits: (E, 128) -> (E,) bool.
+    """
+    n_data = epc_bits.shape[1] - 16
+    m, c0 = crc16_affine(n_data)
+    mj = jnp.asarray(m.astype(np.int32))
+    c0j = jnp.asarray(c0.astype(np.int32))
+    data = epc_bits[:, :n_data].astype(jnp.int32)
+    crc = (data @ mj.T) % 2 ^ c0j[None, :]
+    return jnp.all(crc == epc_bits[:, n_data:], axis=1)
+
+
+def decode_events(
+    y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig
+) -> DecodedEvents:
+    """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device."""
+    frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
+    index, h_est = sync.tag_sync_batch(frames, cfg)
+    rn16_bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
+    epc_bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+    epc_pass = check_epc_crc_batch(epc_bits)
+    # Reference tag id: EPC frame bits[104:112] as an integer
+    # (tag_decoder_impl.cc:348-352).
+    weights = jnp.asarray(2 ** np.arange(7, -1, -1, dtype=np.int32))
+    tag_id = jnp.sum(epc_bits[:, 104:112].astype(jnp.int32) * weights, axis=1)
+    return DecodedEvents(
+        index=events.index,
+        valid=events.valid,
+        rn16_fits=rn16_fits,
+        epc_fits=epc_fits,
+        rn16_bits=rn16_bits,
+        epc_bits=epc_bits,
+        epc_pass=epc_pass,
+        tag_id=tag_id,
+        t_half=t_half,
+        h_est=h_est,
+    )
+
+
+def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """Event-level Gen2 round FSM replay -> InventoryStats.
+
+    Mirrors the decoder's bookkeeping branches
+    (tag_decoder_impl.cc:256-288 RN16 path, :291-394 EPC path) and the gate's
+    termination limits (gate_impl.cc:101-109).  O(max_events) scan with a
+    tiny carry - negligible next to the batched decode.
+    """
+    e = dec.index.shape[0]
+    max_slot = cfg.max_slot_number
+    i32 = jnp.int32
+
+    def step(carry, xs):
+        (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
+         n_rounds, term) = carry
+        idx, valid, rn_fit, epc_fit, ok, tid = xs
+
+        term = term | (n_q > cfg.max_num_queries) | (n_uni > cfg.max_unique_tags)
+        live = valid & jnp.logical_not(term) & (idx >= ptr)
+        fits = jnp.where(expect_epc, epc_fit, rn_fit)
+        proc = live & fits
+
+        is_q = proc & jnp.logical_not(expect_epc)   # Query/QueryRep + RN16 window
+        is_a = proc & expect_epc                    # ACK + EPC window
+
+        n_q = n_q + is_q.astype(i32)
+
+        # EPC branch: slot++, CRC verdict, then round bookkeeping.
+        slot_a = slot + 1
+        passed = is_a & ok
+        newly = passed & (reads[tid] == 0)
+        reads = reads.at[tid].add(passed.astype(i32))
+        n_uni = n_uni + newly.astype(i32)
+        wrap = is_a & (slot_a > max_slot)
+        uni_hist = jnp.where(
+            wrap, uni_hist.at[jnp.minimum(n_rounds, uni_hist.shape[0] - 1)].set(n_uni),
+            uni_hist,
+        )
+        n_rounds = n_rounds + wrap.astype(i32)
+        rnd = rnd + wrap.astype(i32)
+        slot = jnp.where(wrap, i32(1), jnp.where(is_a, slot_a, slot))
+
+        expect_epc = jnp.where(is_q, True, jnp.where(is_a, False, expect_epc))
+        ptr = jnp.where(
+            is_q, idx + cfg.rn16_window, jnp.where(is_a, idx + cfg.epc_window, ptr)
+        )
+        n_ok = n_ok + passed.astype(i32)
+        carry = (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
+                 n_rounds, term)
+        return carry, None
+
+    init = (
+        jnp.array(False),
+        i32(0),
+        i32(1),             # cur_slot_number starts at 1 (global_vars.cc:43)
+        i32(1),             # cur_inventory_round starts at 1 (:42)
+        i32(0),
+        i32(0),
+        jnp.zeros((N_TAG_BINS,), i32),
+        i32(0),
+        jnp.zeros((e,), i32),
+        i32(0),
+        jnp.array(False),
+    )
+    xs = (dec.index, dec.valid, dec.rn16_fits, dec.epc_fits, dec.epc_pass,
+          dec.tag_id)
+    carry, _ = jax.lax.scan(step, init, xs)
+    (_, _, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term) = carry
+    return InventoryStats(
+        n_queries=n_q,
+        cur_inventory_round=rnd,
+        cur_slot=slot,
+        n_epc_correct=n_ok,
+        tag_reads=reads,
+        unique_tags_round=uni_hist,
+        n_rounds_closed=n_rounds,
+        n_events=jnp.sum(dec.valid.astype(i32)),
+        terminated=term,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "exact_gate"))
+def decode_block(
+    y: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Decode one post-decimation I/Q block end-to-end (jitted)."""
+    detect = gate_detect_scan if exact_gate else gate_detect
+    events = detect(y, cfg)
+    dec = decode_events(y, events, cfg)
+    return replay_inventory(dec, cfg), dec
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "exact_gate"))
+def decode_capture(
+    iq: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Full pipeline from raw ADC-rate capture: FIR -> gate -> decode -> FSM."""
+    # Boxcar matched to half an FM0 symbol (or one Miller half-cycle) at ADC
+    # rate: 25 taps at the defaults (apps/reader.py:63-65).
+    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
+    y = matched_filter_decimate(iq, boxcar_taps(n_taps), cfg.decim)
+    return decode_block(y, cfg, exact_gate)

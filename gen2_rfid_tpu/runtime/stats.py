@@ -1,0 +1,77 @@
+"""Inventory statistics pytree + exact-format results report.
+
+Functional replacement for the reference's global ``READER_STATS`` struct
+(``global_vars.h:36-53``) and ``reader::print_results``
+(``reader_impl.cc:173-192``).  The stats are a pytree of arrays so they can be
+produced inside jit, psum-reduced across hosts, and compared in tests; the
+printer clones the reference's output format for golden comparison.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+N_TAG_BINS = 256  # tag id = EPC frame bits[104:112], an 8-bit field
+
+
+class InventoryStats(NamedTuple):
+    n_queries: jnp.ndarray          # () int32: Query/QueryRep commands processed
+    cur_inventory_round: jnp.ndarray  # () int32
+    cur_slot: jnp.ndarray           # () int32
+    n_epc_correct: jnp.ndarray      # () int32
+    tag_reads: jnp.ndarray          # (256,) int32 reads per tag id
+    unique_tags_round: jnp.ndarray  # (R,) int32 unique count at each round close
+    n_rounds_closed: jnp.ndarray    # () int32
+    n_events: jnp.ndarray           # () int32 gate events seen
+    terminated: jnp.ndarray         # () bool
+
+
+def unique_tags(stats: InventoryStats) -> int:
+    return int(np.sum(np.asarray(stats.tag_reads) > 0))
+
+
+def merge_stats(a: InventoryStats, b: InventoryStats) -> InventoryStats:
+    """Combine stats from consecutive capture segments (host-side reduce)."""
+    return InventoryStats(
+        n_queries=a.n_queries + b.n_queries,
+        cur_inventory_round=a.cur_inventory_round + b.cur_inventory_round - 1,
+        cur_slot=b.cur_slot,
+        n_epc_correct=a.n_epc_correct + b.n_epc_correct,
+        tag_reads=a.tag_reads + b.tag_reads,
+        unique_tags_round=jnp.concatenate(
+            [a.unique_tags_round, b.unique_tags_round]
+        ),
+        n_rounds_closed=a.n_rounds_closed + b.n_rounds_closed,
+        n_events=a.n_events + b.n_events,
+        terminated=jnp.logical_or(a.terminated, b.terminated),
+    )
+
+
+def format_results(stats: InventoryStats) -> str:
+    """Byte-format clone of reader::print_results (reader_impl.cc:173-192).
+
+    The reference prints ``n_queries_sent - 1`` because its live FSM has
+    always pre-queued one more command than the capture answers; the batch
+    decoder counts commands actually present in the capture, which equals
+    that printed value on an offline trace.
+    """
+    reads = np.asarray(stats.tag_reads)
+    lines = [
+        "\n --------------------------",
+        f"| Number of queries/queryreps sent : {int(stats.n_queries)}",
+        f"| Current Inventory round : {int(stats.cur_inventory_round)}",
+        " --------------------------",
+        f"| Correctly decoded EPC : {int(stats.n_epc_correct)}",
+        f"| Number of unique tags : {int(np.sum(reads > 0))}",
+    ]
+    for tid in np.nonzero(reads > 0)[0]:
+        lines.append(f"| Tag ID : {tid:x}  Num of reads : {int(reads[tid])}")
+    lines.append(" --------------------------")
+    return "\n".join(lines)
+
+
+def print_results(stats: InventoryStats) -> None:
+    print(format_results(stats))

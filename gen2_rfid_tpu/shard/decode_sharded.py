@@ -1,0 +1,174 @@
+"""Sharded capture decode: overlap-save time blocks + channel parallelism.
+
+New capability over the reference (which streams one capture through one
+thread, SURVEY.md section 2.5).  Design:
+
+* the raw ADC-rate capture is sharded contiguously over the ``time`` mesh
+  axis; each shard exchanges left/right halos with its neighbors via
+  ``lax.ppermute`` (ICI), sized so that any command event whose trigger lands
+  in the owned region can be detected with correct gate state (left halo:
+  command span + T1 + averaging window) and its decode window extracted
+  (right halo: EPC window);
+* the matched filter, gate detection and batched per-event decode all run
+  inside ``shard_map`` - per-shard, no cross-device traffic beyond the halo;
+* each shard emits a fixed-capacity event table with *global* indices
+  (ownership rule: an event belongs to the shard containing its trigger
+  sample, so boundary-spanning frames decode on exactly one shard);
+* the small tables are gathered (all-gather of events, not samples),
+  merge-sorted by index, and the O(events) inventory-round FSM replay runs
+  on the global table, one independent replay per frequency channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ReaderConfig
+from ..dsp.filters import boxcar_taps
+from ..dsp.gate import GateEvents, gate_detect
+from ..runtime.inventory import DecodedEvents, decode_events, replay_inventory
+from ..runtime.stats import InventoryStats
+from .mesh import CHAN_AXIS, TIME_AXIS
+
+
+def halo_sizes(cfg: ReaderConfig) -> Tuple[int, int]:
+    """(left, right) halo in post-decimation samples.
+
+    Left: longest command (Query: preamble + 22 max-length PIE bits) + T1
+    quiet + moving-average window + margin - enough context to reconstruct
+    the gate FSM state at the shard boundary.  Right: a trigger on the last
+    owned sample still needs its full EPC decode window.
+    """
+    cmd_us = (
+        cfg.delim_us + 2 * cfg.pw_us + 8 * cfg.pw_us + cfg.trcal_us
+        + cfg.query_length * 4 * cfg.pw_us
+    )
+    left = int(cmd_us * cfg.sample_rate / 1e6) + cfg.n_samples_t1 + cfg.win_length + 64
+    right = cfg.epc_window + 64
+    return left, right
+
+
+def _fir_valid(x: jnp.ndarray, taps: jnp.ndarray, decim: int) -> jnp.ndarray:
+    """y[k] = sum_j taps[j] * x[k*decim + j] (no implicit history padding).
+
+    The global zero-history convention of ``matched_filter_decimate`` is
+    reproduced across shards by the first shard's all-zero left halo.
+    """
+    xs = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        xs[:, None, :],
+        taps[None, None, ::-1].astype(jnp.float32),
+        window_strides=(decim,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+    return jax.lax.complex(out[0], out[1])
+
+
+@functools.lru_cache(maxsize=32)
+def _with_cap(cfg: ReaderConfig, cap: int) -> ReaderConfig:
+    return dataclasses.replace(cfg, max_events=cap)
+
+
+def _shard_body(
+    x_block: jnp.ndarray,
+    *,
+    cfg: ReaderConfig,
+    taps: jnp.ndarray,
+    events_cap: int,
+) -> DecodedEvents:
+    """Per-device body under shard_map.  x_block: (C_loc, N_loc) complex."""
+    axis = TIME_AXIS
+    n_shards = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    hl_y, hr_y = halo_sizes(cfg)
+    t = taps.shape[0]
+    hl_x = hl_y * cfg.decim + (t - 1)
+    hr_x = hr_y * cfg.decim
+    cap_cfg = _with_cap(cfg, events_cap)
+
+    def per_channel(x: jnp.ndarray) -> DecodedEvents:
+        n_loc = x.shape[0]
+        # Halo exchange over ICI.  Missing links deliver zeros, which at the
+        # capture edges matches the global zero-history convention.
+        left = jax.lax.ppermute(
+            x[-hl_x:], axis, [(i, i + 1) for i in range(n_shards - 1)]
+        )
+        right = jax.lax.ppermute(
+            x[:hr_x], axis, [(i, i - 1) for i in range(1, n_shards)]
+        )
+        x_ext = jnp.concatenate([left, x, right])
+        y_ext = _fir_valid(x_ext, taps, cfg.decim)
+        # y_ext[k] is global post-decim index me * n_y - hl_y + k.
+        n_y = n_loc // cfg.decim
+        events = gate_detect(y_ext, cap_cfg)
+        owned = events.valid & (events.index >= hl_y) & (events.index < hl_y + n_y)
+        events = GateEvents(events.index, events.dc, owned, events.n_events)
+        dec = decode_events(y_ext, events, cfg)
+        g0 = me.astype(jnp.int32) * n_y - hl_y
+        return dec._replace(
+            index=jnp.where(owned, dec.index + g0, jnp.int32(1 << 30)),
+            valid=owned,
+        )
+
+    return jax.vmap(per_channel)(x_block)
+
+
+def _event_out_specs() -> DecodedEvents:
+    r2 = P(CHAN_AXIS, TIME_AXIS)        # (C, n_time*cap)
+    r3 = P(CHAN_AXIS, TIME_AXIS, None)  # (C, n_time*cap, bits)
+    return DecodedEvents(
+        index=r2, valid=r2, rn16_fits=r2, epc_fits=r2,
+        rn16_bits=r3, epc_bits=r3, epc_pass=r2, tag_id=r2, t_half=r2, h_est=r2,
+    )
+
+
+def _sort_and_replay(dec_c: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """One channel's concatenated shard tables -> global replay."""
+    order = jnp.argsort(dec_c.index)
+    flat = jax.tree.map(lambda a: a[order], dec_c)
+    flat = jax.tree.map(lambda a: a[: cfg.max_events], flat)
+    return replay_inventory(flat, cfg)
+
+
+def decode_capture_sharded(
+    iq: jnp.ndarray,
+    cfg: ReaderConfig,
+    mesh: Mesh,
+    events_per_shard: int = 256,
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Decode a (C, N) multi-channel ADC-rate capture on a (time, chan) mesh.
+
+    Returns per-channel InventoryStats (leaves stacked on a leading channel
+    axis) and the merged event tables.  N must divide by n_time * decim.
+    """
+    n_time = mesh.shape[TIME_AXIS]
+    c, n = iq.shape
+    assert n % (n_time * cfg.decim) == 0, (n, n_time, cfg.decim)
+    assert c % mesh.shape[CHAN_AXIS] == 0, (c, mesh.shape[CHAN_AXIS])
+    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
+    taps = jnp.asarray(boxcar_taps(n_taps))
+
+    body = functools.partial(
+        _shard_body, cfg=cfg, taps=taps, events_cap=events_per_shard
+    )
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(CHAN_AXIS, TIME_AXIS),
+        out_specs=_event_out_specs(),
+    )
+
+    @jax.jit
+    def run(iq_in):
+        dec = sharded(iq_in)  # leaves (C, n_time*cap, ...)
+        stats = jax.vmap(lambda d: _sort_and_replay(d, cfg))(dec)
+        return stats, dec
+
+    return run(iq)

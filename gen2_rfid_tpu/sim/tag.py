@@ -1,0 +1,139 @@
+"""Behavioral Gen2 tag model: FM0 / Miller backscatter chip synthesis.
+
+The reference has no simulator (its golden trace is a real USRP capture,
+``README.md:43-53``, and the blob is missing in this mount) - this module is
+the from-scratch replacement.  It produces the half-bit ("chip") sequence a
+tag backscatters for RN16 and EPC replies, consistent with what the decoder
+demodulates (``tag_decoder_impl.cc:78-193``):
+
+* preamble chips {1,1,0,1,0,0,1,0,0,0,1,1} (global_vars.h:136),
+* FM0 baseband: inversion at every bit boundary, data-0 adds a mid-bit
+  inversion; chips are backscatter states in {0,1},
+* a dummy data-1 terminates each reply (RN16_BITS=17, EPC_BITS=129 include
+  the dummy, global_vars.h:106-107),
+* Miller-M: subcarrier with M half-cycles per half-bit and phase inversions
+  per the Gen2 spec (new capability, config ``miller_m`` > 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..config import TAG_PREAMBLE_BITS_PATTERN, ReaderConfig
+from ..protocol.crc import crc16_bits
+
+PREAMBLE_CHIPS = np.array(TAG_PREAMBLE_BITS_PATTERN, dtype=np.int64)
+
+
+def fm0_chips(bits: np.ndarray, add_dummy: bool = True) -> np.ndarray:
+    """Preamble + FM0 half-bit chips (0/1 backscatter states) for ``bits``.
+
+    Level continuity starts from the last preamble chip (1).  For each bit:
+    first half inverts the previous level; data-1 holds it through the bit,
+    data-0 inverts again mid-bit.  This is exactly the signal the reference
+    decoder inverts: its per-bit statistic is the sign of
+    (second-half(j) - first-half(j+1)) * conj(h_est), which equals the level
+    of second-half(j) because of the guaranteed boundary inversion.
+    """
+    bits = np.asarray(bits, dtype=np.int64)
+    if add_dummy:
+        bits = np.concatenate([bits, np.array([1], dtype=np.int64)])
+    chips = np.empty(2 * bits.size, dtype=np.int64)
+    prev = int(PREAMBLE_CHIPS[-1])
+    for i, b in enumerate(bits):
+        first = 1 - prev
+        second = first if b == 1 else 1 - first
+        chips[2 * i] = first
+        chips[2 * i + 1] = second
+        prev = second
+    return np.concatenate([PREAMBLE_CHIPS, chips])
+
+
+def miller_chips(bits: np.ndarray, m: int, add_dummy: bool = True) -> np.ndarray:
+    """Miller-M basis-band chips at the subcarrier half-cycle granularity.
+
+    Miller baseband: phase inversion mid-bit for data-1; inversion at the
+    boundary between two data-0s.  The M-subcarrier multiplies the baseband
+    by a square wave with M cycles per bit.  Output chips are in {0,1} at
+    2*M chips per bit; the preamble is the Gen2 Miller preamble
+    (4 data-0-like spin-up bits then 010111).
+    """
+    assert m in (2, 4, 8)
+    bits = np.asarray(bits, dtype=np.int64)
+    if add_dummy:
+        bits = np.concatenate([bits, np.array([1], dtype=np.int64)])
+    # Gen2 Miller preamble data pattern (TRext=0): DDDD 010111 where D are
+    # data-0 spin-up symbols.
+    pre_bits = np.array([0, 0, 0, 0, 0, 1, 0, 1, 1, 1], dtype=np.int64)
+    seq = np.concatenate([pre_bits, bits])
+    # Baseband phase per bit (+1/-1), with Miller inversion rules.
+    phase = np.empty(seq.size, dtype=np.int64)
+    cur = 1
+    prev_bit = 1
+    for i, b in enumerate(seq):
+        if i > 0 and b == 0 and prev_bit == 0:
+            cur = -cur            # boundary inversion between consecutive 0s
+        phase[i] = cur
+        if b == 1:
+            cur = -cur            # mid-bit inversion for data-1 ends the bit flipped
+        prev_bit = b
+    # Subcarrier: M cycles per bit = 2M half-cycles alternating +1/-1.
+    sub = np.tile(np.array([1, -1], dtype=np.int64), m)
+    chips_pm = (phase[:, None] * sub[None, :]).reshape(-1)
+    # data-1 mid-bit inversion: flip the second half of each data-1 bit.
+    half = m  # half-bit = m half-cycles
+    chips_pm = chips_pm.reshape(seq.size, 2 * m)
+    ones = seq == 1
+    chips_pm[ones, half:] *= -1
+    return ((chips_pm.reshape(-1) + 1) // 2).astype(np.int64)
+
+
+@dataclasses.dataclass
+class Tag:
+    """One simulated tag: identity + per-round RN16 behavior."""
+
+    epc96: np.ndarray                       # 96 EPC bits
+    pc16: Optional[np.ndarray] = None       # 16 PC bits (default standard 96-bit PC)
+    backscatter: complex = 0.08 + 0.03j     # complex backscatter amplitude
+    seed: int = 0
+
+    def __post_init__(self):
+        self.epc96 = np.asarray(self.epc96, dtype=np.int64)
+        assert self.epc96.size == 96
+        if self.pc16 is None:
+            # PC word for a 96-bit EPC: length field 0b00110 then zeros.
+            pc = np.zeros(16, dtype=np.int64)
+            pc[:5] = [0, 0, 1, 1, 0]
+            self.pc16 = pc
+        self._rng = np.random.default_rng(self.seed)
+
+    @classmethod
+    def with_id(cls, tag_id: int, **kw) -> "Tag":
+        """Tag whose reference-style ID (EPC frame bits[104:112] as an int,
+        tag_decoder_impl.cc:348-352) equals ``tag_id``: that byte is the last
+        byte of the 96-bit EPC field (frame = PC16 + EPC96 + CRC16)."""
+        epc = np.zeros(96, dtype=np.int64)
+        for k in range(8):
+            epc[88 + k] = (tag_id >> (7 - k)) & 1
+        return cls(epc96=epc, **kw)
+
+    def epc_frame_bits(self) -> np.ndarray:
+        """128-bit EPC reply payload: PC + EPC + CRC16 over PC+EPC."""
+        body = np.concatenate([self.pc16, self.epc96])
+        return np.concatenate([body, crc16_bits(body)])
+
+    def draw_rn16(self) -> np.ndarray:
+        return self._rng.integers(0, 2, size=16).astype(np.int64)
+
+    def draw_slot(self, q: int) -> int:
+        return int(self._rng.integers(0, 2**q)) if q > 0 else 0
+
+
+def reply_chips(cfg: ReaderConfig, bits: np.ndarray) -> np.ndarray:
+    """Chips for a tag reply under the config's encoding (FM0 or Miller-M)."""
+    if cfg.miller_m == 1:
+        return fm0_chips(bits)
+    return miller_chips(bits, cfg.miller_m)

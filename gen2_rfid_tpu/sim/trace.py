@@ -1,0 +1,234 @@
+"""Closed-loop inventory trace synthesis (golden-trace generator).
+
+Replaces the reference's missing ``gr-rfid/misc/data/file_source_test`` blob:
+synthesizes the RX capture a USRP would record while the reference reader runs
+an inventory (``apps/reader.py:101-112`` offline mode).  The trace contains,
+per slot: the reader's own TX leakage (PIE Query/QueryRep then CW), the tag's
+FM0 RN16 reply riding on the CW, the ACK command, and the EPC reply - exactly
+the structure the gate/decoder chain expects (``gate_impl.cc:127-195``,
+``tag_decoder_impl.cc:223-394``).
+
+Timing notes (derived in SURVEY.md section 2.4): the gate opens 97
+post-decimation samples (242.5 us) after the final rising edge of a command,
+so the simulator starts tag replies slightly later than nominal T1 (default
+252.5 us) to land the preamble a few samples into the decode window, inside
+the decoder's 15-offset sync search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ReaderConfig
+from ..tx.pie import PieEncoder
+from .tag import Tag, reply_chips
+
+
+@dataclasses.dataclass
+class TraceEvent:
+    """Ground truth for one command event in the synthesized capture."""
+
+    kind: str                 # "query" | "query_rep" | "ack"
+    cmd_start: int            # sample index (adc rate) of command start
+    cmd_end: int              # sample index just past the command waveform
+    reply_tag: Optional[int]  # index into tags, None if no/collided reply
+    reply_bits: Optional[np.ndarray]
+    collided: bool = False
+
+
+@dataclasses.dataclass
+class SynthesizedTrace:
+    iq: np.ndarray            # complex64 at cfg.adc_rate
+    events: List[TraceEvent]
+    n_slots: int
+    n_rounds: int
+    expected_epc_pass: int    # number of slots whose EPC should CRC-check
+    expected_tag_reads: Dict[int, int]  # reference-style tag id -> reads
+
+
+class _Writer:
+    """Append-only complex baseband assembler at ADC rate."""
+
+    def __init__(self, cfg: ReaderConfig, leak: complex):
+        self.cfg = cfg
+        self.sp_us = cfg.adc_rate / 1e6          # samples per microsecond
+        self.up = int(round(cfg.adc_rate / cfg.dac_rate))
+        self.leak = np.complex64(leak)
+        self.parts: List[np.ndarray] = []
+        self.n = 0
+
+    def append_envelope(self, env_1msps: np.ndarray) -> int:
+        """TX envelope (0/1 at DAC rate) -> leak-scaled carrier at ADC rate."""
+        seg = np.repeat(env_1msps.astype(np.complex64), self.up) * self.leak
+        self.parts.append(seg)
+        start = self.n
+        self.n += seg.size
+        return start
+
+    def append_cw_with_reply(
+        self,
+        cw_us: float,
+        reply: Optional[np.ndarray],
+        reply_offset_us: float,
+        backscatter: complex,
+        chip_us: float,
+    ) -> int:
+        """CW segment with an optional backscatter chip sequence added."""
+        n = int(round(cw_us * self.sp_us))
+        seg = np.full(n, self.leak, dtype=np.complex64)
+        if reply is not None:
+            d = chip_us * self.sp_us
+            off = int(round(reply_offset_us * self.sp_us))
+            bounds = np.round(off + d * np.arange(reply.size + 1)).astype(np.int64)
+            for k in range(reply.size):
+                lo, hi = bounds[k], min(bounds[k + 1], n)
+                if reply[k] and lo < n:
+                    seg[lo:hi] += np.complex64(backscatter)
+        self.parts.append(seg)
+        start = self.n
+        self.n += n
+        return start
+
+    def concat(self, rng: np.random.Generator, noise: float) -> np.ndarray:
+        iq = np.concatenate(self.parts) if self.parts else np.zeros(0, np.complex64)
+        if noise > 0:
+            iq = iq + (
+                rng.normal(0, noise / np.sqrt(2), iq.size)
+                + 1j * rng.normal(0, noise / np.sqrt(2), iq.size)
+            ).astype(np.complex64)
+        return iq.astype(np.complex64)
+
+
+def synthesize_inventory(
+    cfg: ReaderConfig,
+    tags: Sequence[Tag],
+    n_rounds: int,
+    *,
+    corrupt_slots: Sequence[int] = (),
+    leak: complex = 1.0,
+    noise: float = 0.004,
+    tag_t1_us: float = 252.5,
+    lead_cw_us: Optional[float] = None,
+    tail_cw_us: float = 1000.0,
+    seed: int = 1234,
+) -> SynthesizedTrace:
+    """Run the reader FSM in simulation and synthesize the RX capture.
+
+    ``corrupt_slots``: global slot indices whose EPC reply gets a flipped
+    payload bit (CRC will fail) - used to reproduce the golden trace's one
+    failed decode out of 71 (README.md:48-53).
+    """
+    rng = np.random.default_rng(seed)
+    enc = PieEncoder(cfg)
+    w = _Writer(cfg, leak)
+    chip_us = cfg.tag_bit_us / (2 * cfg.miller_m)
+    q = cfg.fixed_q
+    n_slots_round = 2**q
+
+    # Reader starts by emitting a long CW burst (reader_impl.cc:218-224 START
+    # state sends cw_ack) - warms up the gate's moving average.
+    if lead_cw_us is None:
+        lead_cw_us = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
+    w.append_cw_with_reply(lead_cw_us, None, 0.0, 0.0, chip_us)
+
+    events: List[TraceEvent] = []
+    expected_pass = 0
+    tag_reads: Dict[int, int] = {}
+    global_slot = 0
+
+    for _ in range(n_rounds):
+        # Each tag draws a slot for this round.
+        slots = [t.draw_slot(q) for t in tags]
+        for s in range(n_slots_round):
+            responders = [i for i, sl in enumerate(slots) if sl == s]
+            single = len(responders) == 1
+            tag_i = responders[0] if single else None
+
+            # ---- Query (first slot) or QueryRep ----
+            cmd = enc.query() if s == 0 else enc.query_rep()
+            kind = "query" if s == 0 else "query_rep"
+            c0 = w.append_envelope(cmd)
+            c1 = w.n
+
+            # RN16 reply during cw_query.
+            if single:
+                rn16 = tags[tag_i].draw_rn16()
+                reply = reply_chips(cfg, rn16)
+                bs = tags[tag_i].backscatter
+            elif responders:           # collision: superpose both replies
+                rn16 = rng.integers(0, 2, 16).astype(np.int64)
+                reply = None           # superposition handled below
+                bs = 0.0
+            else:
+                rn16 = rng.integers(0, 2, 16).astype(np.int64)
+                reply, bs = None, 0.0
+            cw_q_us = cfg.t1_us + cfg.t2_us + cfg.rn16_us
+            if responders and not single:
+                # Collision: write CW then add each tag's chips.
+                start = w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
+                seg = w.parts[-1]
+                d = chip_us * w.sp_us
+                for i in responders:
+                    r = reply_chips(cfg, tags[i].draw_rn16())
+                    off = int(round((tag_t1_us + rng.uniform(0, 5)) * w.sp_us))
+                    bounds = np.round(off + d * np.arange(r.size + 1)).astype(np.int64)
+                    for k in range(r.size):
+                        lo, hi = bounds[k], min(bounds[k + 1], seg.size)
+                        if r[k] and lo < seg.size:
+                            seg[lo:hi] += np.complex64(tags[i].backscatter)
+            else:
+                w.append_cw_with_reply(cw_q_us, reply, tag_t1_us, bs, chip_us)
+            events.append(
+                TraceEvent(kind, c0, c1, tag_i, rn16 if single else None,
+                           collided=len(responders) > 1)
+            )
+
+            # ---- ACK + EPC reply during cw_ack ----
+            a0 = w.append_envelope(enc.ack(rn16))
+            a1 = w.n
+            epc_reply = None
+            frame = None
+            if single:
+                frame = tags[tag_i].epc_frame_bits()
+                if global_slot in corrupt_slots:
+                    frame = frame.copy()
+                    frame[40] ^= 1     # payload bit flip -> CRC fail
+                else:
+                    expected_pass += 1
+                    tid = int("".join(map(str, frame[104:112])), 2)
+                    tag_reads[tid] = tag_reads.get(tid, 0) + 1
+                epc_reply = reply_chips(cfg, frame)
+            cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
+            w.append_cw_with_reply(
+                cw_a_us, epc_reply, tag_t1_us,
+                tags[tag_i].backscatter if single else 0.0, chip_us,
+            )
+            events.append(TraceEvent("ack", a0, a1, tag_i, frame))
+            global_slot += 1
+
+    w.append_cw_with_reply(tail_cw_us, None, 0.0, 0.0, chip_us)
+    iq = w.concat(rng, noise)
+    return SynthesizedTrace(
+        iq=iq,
+        events=events,
+        n_slots=global_slot,
+        n_rounds=n_rounds,
+        expected_epc_pass=expected_pass,
+        expected_tag_reads=tag_reads,
+    )
+
+
+def golden_trace(cfg: Optional[ReaderConfig] = None, seed: int = 1234) -> SynthesizedTrace:
+    """Regenerate a file_source_test-equivalent capture.
+
+    Expected decode: 71 queries detected, final round 72, 70 correct EPCs,
+    1 unique tag with ID 27 (README.md:43-53).
+    """
+    cfg = cfg or ReaderConfig()
+    tag = Tag.with_id(27, seed=7)
+    return synthesize_inventory(
+        cfg, [tag], n_rounds=71, corrupt_slots=[35], seed=seed
+    )

@@ -1,0 +1,105 @@
+"""PIE (pulse-interval encoding) baseband waveform synthesis at DAC rate.
+
+TPU-native equivalent of the reader block's precomputed TX tables
+(``reader_impl.cc:51-128``): data-0/data-1 symbols, delimiter, RTcal, TRcal,
+preamble, frame-sync, CW segments and full command waveforms.  Synthesis is
+table-driven NumPy (host side): command waveforms are short, static per
+config, and are either written to a trace (simulation) or staged to the device
+once as jit-constants for the closed-loop schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+from ..config import ReaderConfig
+from ..protocol import gen2
+
+
+@dataclasses.dataclass
+class PieEncoder:
+    """Precomputed PIE segment tables for one config (reader_impl.cc:83-128)."""
+
+    cfg: ReaderConfig
+
+    def __post_init__(self):
+        c = self.cfg
+        f32 = np.float32
+
+        def seg(n_total: int, n_high: int) -> np.ndarray:
+            w = np.zeros(n_total, dtype=f32)
+            w[:n_high] = 1.0
+            return w
+
+        # data-0: 2*PW, first half high; data-1: 4*PW, first 3/4 high
+        # (reader_impl.cc:92-93).
+        self.data0 = seg(c.n_data0_tx, c.n_data0_tx // 2)
+        self.data1 = seg(c.n_data1_tx, 3 * c.n_data1_tx // 4)
+        # delimiter: all low (reader_impl.cc:87 leaves delim zero-initialized).
+        self.delim = np.zeros(c.n_delim_tx, dtype=f32)
+        # RTcal = data0+data1 long, last PW low; TRcal likewise
+        # (reader_impl.cc:88-96).
+        n_rtcal = c.n_data0_tx + c.n_data1_tx
+        self.rtcal = seg(n_rtcal, n_rtcal - c.n_pw_tx)
+        self.trcal = seg(c.n_trcal_tx, c.n_trcal_tx - c.n_pw_tx)
+        self.cw = np.ones(c.n_cw_tx, dtype=f32)
+        self.cw_query = np.ones(c.n_cwquery_tx, dtype=f32)
+        self.cw_ack = np.ones(c.n_cwack_tx, dtype=f32)
+        self.p_down = np.zeros(c.n_p_down_tx, dtype=f32)
+        # Preamble (delim+data0+RTcal+TRcal) and frame-sync (no TRcal)
+        # (reader_impl.cc:98-107).
+        self.preamble = np.concatenate([self.delim, self.data0, self.rtcal, self.trcal])
+        self.frame_sync = np.concatenate([self.delim, self.data0, self.rtcal])
+
+    # ---- generic bit encoding ----
+
+    def encode_bits(self, bits: np.ndarray) -> np.ndarray:
+        """Concatenate data0/data1 symbols for a bit vector."""
+        parts = [self.data1 if b else self.data0 for b in np.asarray(bits).astype(int)]
+        if not parts:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(parts)
+
+    # ---- full command waveforms (payloads the reader FSM emits) ----
+
+    def query(self) -> np.ndarray:
+        """Preamble + 22 Query bits (reader_impl.cc:251-281, without the CW)."""
+        return np.concatenate([self.preamble, self.encode_bits(gen2.query_bits(self.cfg))])
+
+    def query_rep(self) -> np.ndarray:
+        """Frame-sync + 4 data-0 (reader_impl.cc:109-114)."""
+        return np.concatenate(
+            [self.frame_sync, self.encode_bits(gen2.query_rep_bits(self.cfg))]
+        )
+
+    def ack(self, rn16: np.ndarray) -> np.ndarray:
+        """Frame-sync + 18 ACK bits (reader_impl.cc:290-316)."""
+        return np.concatenate([self.frame_sync, self.encode_bits(gen2.ack_bits(rn16))])
+
+    def query_adjust(self, updn: int = 0) -> np.ndarray:
+        return np.concatenate(
+            [self.frame_sync, self.encode_bits(gen2.query_adjust_bits(self.cfg, updn))]
+        )
+
+    def nak(self) -> np.ndarray:
+        """Frame-sync + NAK code (reader_impl.cc:116-125)."""
+        return np.concatenate([self.frame_sync, self.encode_bits(gen2.nak_bits())])
+
+    def tables(self) -> Dict[str, np.ndarray]:
+        """All named segments, e.g. for staging to device memory."""
+        return {
+            "data0": self.data0,
+            "data1": self.data1,
+            "delim": self.delim,
+            "rtcal": self.rtcal,
+            "trcal": self.trcal,
+            "cw": self.cw,
+            "cw_query": self.cw_query,
+            "cw_ack": self.cw_ack,
+            "p_down": self.p_down,
+            "preamble": self.preamble,
+            "frame_sync": self.frame_sync,
+        }

@@ -1,0 +1,85 @@
+"""Sharded decode tests on the virtual 8-CPU-device mesh.
+
+Correctness criterion (SURVEY.md section 7): shard-count invariance - the
+decoded event set and inventory stats must not depend on how the capture is
+split across devices.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.runtime.inventory import decode_capture
+from gen2_rfid_tpu.shard.decode_sharded import decode_capture_sharded, halo_sizes
+from gen2_rfid_tpu.shard.mesh import make_mesh
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+CFG = ReaderConfig()
+
+
+def _pad_to(iq: np.ndarray, mult: int) -> np.ndarray:
+    pad = (-len(iq)) % mult
+    return np.pad(iq, (0, pad))
+
+
+@pytest.fixture(scope="module")
+def trace():
+    return synthesize_inventory(
+        CFG, [Tag.with_id(42, seed=4)], n_rounds=8, seed=21
+    )
+
+
+def test_time_sharded_matches_single_device(trace):
+    n_dev = len(jax.devices())
+    assert n_dev >= 4, "tests need the virtual multi-device CPU platform"
+    mesh = make_mesh(n_time=4, n_chan=1)
+    iq = _pad_to(trace.iq, 4 * CFG.decim)
+    stats_s, _ = decode_capture_sharded(jnp.asarray(iq[None, :]), CFG, mesh)
+    stats_1, _ = decode_capture(jnp.asarray(iq), CFG)
+    assert int(stats_s.n_queries[0]) == int(stats_1.n_queries)
+    assert int(stats_s.n_epc_correct[0]) == int(stats_1.n_epc_correct)
+    assert int(stats_s.cur_inventory_round[0]) == int(stats_1.cur_inventory_round)
+    np.testing.assert_array_equal(
+        np.asarray(stats_s.tag_reads[0]), np.asarray(stats_1.tag_reads)
+    )
+
+
+def test_shard_count_invariance(trace):
+    results = []
+    for n_time in (2, 8):
+        mesh = make_mesh(n_time=n_time, n_chan=1)
+        iq = _pad_to(trace.iq, n_time * CFG.decim)
+        stats, dec = decode_capture_sharded(jnp.asarray(iq[None, :]), CFG, mesh)
+        idx = np.asarray(dec.index[0])
+        valid = np.asarray(dec.valid[0])
+        results.append(
+            (
+                int(stats.n_queries[0]),
+                int(stats.n_epc_correct[0]),
+                tuple(sorted(idx[valid])),
+            )
+        )
+    assert results[0] == results[1]
+
+
+def test_channel_sharding(trace):
+    """Two independent channels on the chan axis: identical stats per channel."""
+    mesh = make_mesh(n_time=2, n_chan=2)
+    iq = _pad_to(trace.iq, 2 * CFG.decim)
+    two = jnp.stack([jnp.asarray(iq), jnp.asarray(iq)])
+    stats, _ = decode_capture_sharded(two, CFG, mesh)
+    assert int(stats.n_epc_correct[0]) == int(stats.n_epc_correct[1])
+    assert int(stats.n_queries[0]) == int(stats.n_queries[1])
+    np.testing.assert_array_equal(
+        np.asarray(stats.tag_reads[0]), np.asarray(stats.tag_reads[1])
+    )
+    assert int(stats.n_epc_correct[0]) == trace.expected_epc_pass
+
+
+def test_halo_sizes_cover_windows():
+    hl, hr = halo_sizes(CFG)
+    assert hr >= CFG.epc_window
+    assert hl >= CFG.n_samples_t1 + CFG.win_length
