@@ -1,0 +1,137 @@
+"""CLI: offline decode, trace simulation, benchmarking.
+
+Batch-mode equivalent of the reference application (``apps/reader.py``,
+whose DEBUG=True path replays ``misc/data/file_source_test`` through the
+flowgraph and prints the inventory report, ``apps/reader.py:101-131``).
+
+Usage:
+  python -m gen2_rfid_tpu.apps.reader decode CAPTURE.bin [--chunked] [--q Q]
+  python -m gen2_rfid_tpu.apps.reader simulate OUT.bin [--rounds N] [--tags ...]
+  python -m gen2_rfid_tpu.apps.reader golden OUT.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def _cfg_from_args(args) -> "ReaderConfig":
+    from ..config import ReaderConfig
+
+    over = {}
+    if getattr(args, "q", None) is not None:
+        over["fixed_q"] = args.q
+    if getattr(args, "blf", None) is not None:
+        over["blf_hz"] = args.blf * 1e3
+    if getattr(args, "miller", None) is not None:
+        over["miller_m"] = args.miller
+    if getattr(args, "max_events", None) is not None:
+        over["max_events"] = args.max_events
+    return ReaderConfig(**over)
+
+
+def cmd_decode(args) -> int:
+    import jax.numpy as jnp
+
+    from ..io.tracefile import read_trace, trace_num_samples
+    from ..runtime.inventory import decode_capture
+    from ..runtime.stats import print_results
+    from ..runtime.stream import StreamDecoder
+
+    cfg = _cfg_from_args(args)
+    n = trace_num_samples(args.capture)
+    t0 = time.perf_counter()
+    if args.chunked:
+        dec = StreamDecoder(cfg)
+
+        def chunks():
+            pos = 0
+            while pos < n:
+                c = min(dec.chunk_adc, n - pos)
+                yield read_trace(args.capture, pos, c)
+                pos += c
+
+        stats, total = dec.decode(chunks())
+    else:
+        iq = read_trace(args.capture)
+        stats, _ = decode_capture(jnp.asarray(iq), cfg, exact_gate=args.exact_gate)
+        total = n
+    dt = time.perf_counter() - t0
+    print_results(stats)
+    print(f"| Decoded {total} samples in {dt:.2f} s "
+          f"({total / dt / 1e6:.1f} Msamples/s)")
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from ..io.tracefile import write_trace
+    from ..sim.tag import Tag
+    from ..sim.trace import synthesize_inventory
+
+    cfg = _cfg_from_args(args)
+    tags = [Tag.with_id(t, seed=i) for i, t in enumerate(args.tags)]
+    tr = synthesize_inventory(
+        cfg, tags, n_rounds=args.rounds, seed=args.seed,
+        corrupt_slots=args.corrupt or (),
+    )
+    write_trace(args.out, tr.iq)
+    print(f"wrote {tr.iq.size} samples ({tr.iq.size * 8 / 1e6:.1f} MB) to "
+          f"{args.out}; slots={tr.n_slots} expected_epc_pass={tr.expected_epc_pass}")
+    return 0
+
+
+def cmd_golden(args) -> int:
+    from ..io.tracefile import write_trace
+    from ..sim.trace import golden_trace
+
+    tr = golden_trace()
+    write_trace(args.out, tr.iq)
+    print(f"wrote golden capture ({tr.iq.size} samples) to {args.out}; "
+          "expected decode: 71 queries / round 72 / 70 EPCs / tag 0x1b x70")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gen2-reader")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode an I/Q capture file")
+    d.add_argument("capture")
+    d.add_argument("--chunked", action="store_true",
+                   help="stream in chunks (long captures)")
+    d.add_argument("--exact-gate", action="store_true",
+                   help="use the sequential reference-exact gate FSM")
+    d.add_argument("--q", type=int, help="FIXED_Q (default 0)")
+    d.add_argument("--blf", type=float, help="backscatter link freq, kHz")
+    d.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
+    d.add_argument("--max-events", type=int)
+    d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("simulate", help="synthesize an inventory capture")
+    s.add_argument("out")
+    s.add_argument("--rounds", type=int, default=10)
+    s.add_argument("--tags", type=int, nargs="+", default=[27])
+    s.add_argument("--q", type=int)
+    s.add_argument("--blf", type=float)
+    s.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
+    s.add_argument("--seed", type=int, default=1234)
+    s.add_argument("--corrupt", type=int, nargs="*",
+                   help="global slot indices whose EPC is corrupted")
+    s.set_defaults(fn=cmd_simulate)
+
+    g = sub.add_parser("golden", help="regenerate the golden test capture")
+    g.add_argument("out")
+    g.set_defaults(fn=cmd_golden)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Tests: chunked long-capture decode + CLI app."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.apps.reader import main as cli_main
+from gen2_rfid_tpu.runtime.inventory import decode_capture
+from gen2_rfid_tpu.runtime.stream import StreamDecoder
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+CFG = ReaderConfig()
+
+
+@pytest.fixture(scope="module")
+def trace():
+    return synthesize_inventory(CFG, [Tag.with_id(99, seed=6)], n_rounds=10,
+                                seed=33)
+
+
+def test_stream_matches_batch(trace):
+    stats_b, _ = decode_capture(jnp.asarray(trace.iq), CFG)
+    dec = StreamDecoder(CFG, chunk_adc=200_000, events_per_chunk=64)
+    # Feed awkward chunk sizes to exercise re-blocking.
+    pieces = np.array_split(trace.iq, 13)
+    stats_s, total = dec.decode(iter(pieces))
+    assert total == trace.iq.size
+    assert int(stats_s.n_queries) == int(stats_b.n_queries)
+    assert int(stats_s.n_epc_correct) == int(stats_b.n_epc_correct)
+    assert int(stats_s.cur_inventory_round) == int(stats_b.cur_inventory_round)
+    np.testing.assert_array_equal(stats_s.tag_reads, np.asarray(stats_b.tag_reads))
+
+
+def test_stream_chunk_size_invariance(trace):
+    outs = []
+    for chunk in (150_000, 400_000):
+        dec = StreamDecoder(CFG, chunk_adc=chunk, events_per_chunk=64)
+        stats, _ = dec.decode(iter([trace.iq]))
+        outs.append((int(stats.n_queries), int(stats.n_epc_correct)))
+    assert outs[0] == outs[1]
+
+
+def test_cli_simulate_and_decode(tmp_path, capsys):
+    out = str(tmp_path / "cap.bin")
+    assert cli_main(["simulate", out, "--rounds", "3", "--tags", "27",
+                     "--seed", "5"]) == 0
+    assert cli_main(["decode", out]) == 0
+    text = capsys.readouterr().out
+    assert "| Correctly decoded EPC : 3" in text
+    assert "| Tag ID : 1b  Num of reads : 3" in text
+
+
+def test_cli_golden_roundtrip(tmp_path, capsys):
+    out = str(tmp_path / "golden.bin")
+    assert cli_main(["golden", out]) == 0
+    assert cli_main(["decode", out, "--chunked"]) == 0
+    text = capsys.readouterr().out
+    assert "| Number of queries/queryreps sent : 71" in text
+    assert "| Correctly decoded EPC : 70" in text
+    assert "| Tag ID : 1b  Num of reads : 70" in text
