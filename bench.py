@@ -19,7 +19,7 @@ def main():
     import jax.numpy as jnp
 
     from gen2_rfid_tpu.config import ReaderConfig
-    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.inventory import decode_capture_planar, to_planar
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
@@ -29,11 +29,11 @@ def main():
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80, seed=2)
     reps_tile = 8
     iq_np = np.concatenate([tr.iq] * reps_tile)
-    iq = jnp.asarray(iq_np)
-    n = iq.shape[0]
+    iq = to_planar(iq_np)
+    n = iq.shape[1]
 
     def run(x):
-        stats, _ = decode_capture(x, cfg)
+        stats, _ = decode_capture_planar(x, cfg)
         return stats.n_epc_correct
 
     # Warmup / compile.

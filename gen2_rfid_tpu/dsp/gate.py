@@ -30,8 +30,7 @@ tests.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +39,7 @@ from ..config import ReaderConfig
 from .filters import moving_sum, moving_sum_complex
 
 
-@dataclasses.dataclass
-class GateEvents:
+class GateEvents(NamedTuple):
     """Fixed-capacity command-event table (static shapes for jit)."""
 
     index: jnp.ndarray    # (max_events,) int32 sample index of window start

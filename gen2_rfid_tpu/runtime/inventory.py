@@ -38,7 +38,12 @@ from .stats import N_TAG_BINS, InventoryStats
 
 
 class DecodedEvents(NamedTuple):
-    """Per-event decode results (fixed capacity, mask-validated)."""
+    """Per-event decode results (fixed capacity, mask-validated).
+
+    All leaves are real dtypes: complex64 is kept strictly *inside* jit
+    (the TPU runtime here does not support complex at jit boundaries), so
+    the channel estimate is stored as (re, im) float32 planes.
+    """
 
     index: jnp.ndarray      # (E,) int32
     valid: jnp.ndarray      # (E,) bool
@@ -49,7 +54,7 @@ class DecodedEvents(NamedTuple):
     epc_pass: jnp.ndarray   # (E,) bool CRC verdict
     tag_id: jnp.ndarray     # (E,) int32 EPC bits[104:112]
     t_half: jnp.ndarray     # (E,) float32 estimated half period
-    h_est: jnp.ndarray      # (E,) complex64
+    h_est: jnp.ndarray      # (E, 2) float32 channel estimate (re, im)
 
 
 def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +95,7 @@ def decode_events(
         epc_pass=epc_pass,
         tag_id=tag_id,
         t_half=t_half,
-        h_est=h_est,
+        h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
     )
 
 
@@ -175,24 +180,49 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "exact_gate"))
 def decode_block(
     y: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
 ) -> Tuple[InventoryStats, DecodedEvents]:
-    """Decode one post-decimation I/Q block end-to-end (jitted)."""
+    """Decode one post-decimation complex I/Q block (trace inside jit)."""
     detect = gate_detect_scan if exact_gate else gate_detect
     events = detect(y, cfg)
     dec = decode_events(y, events, cfg)
     return replay_inventory(dec, cfg), dec
 
 
+def matched_taps(cfg: ReaderConfig):
+    """Boxcar matched to half an FM0 symbol (or one Miller half-cycle) at
+    ADC rate: 25 taps at the defaults (apps/reader.py:63-65)."""
+    return boxcar_taps(int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "exact_gate"))
-def decode_capture(
-    iq: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
+def decode_capture_planar(
+    iq2: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
 ) -> Tuple[InventoryStats, DecodedEvents]:
-    """Full pipeline from raw ADC-rate capture: FIR -> gate -> decode -> FSM."""
-    # Boxcar matched to half an FM0 symbol (or one Miller half-cycle) at ADC
-    # rate: 25 taps at the defaults (apps/reader.py:63-65).
-    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
-    y = matched_filter_decimate(iq, boxcar_taps(n_taps), cfg.decim)
+    """Full pipeline from a planar (2, N) float32 ADC-rate capture.
+
+    Device-facing entry point: complex64 never crosses the jit boundary
+    (unsupported by the TPU runtime here); (re, im) planes are combined with
+    lax.complex as the first traced op.
+    """
+    iq = jax.lax.complex(iq2[0], iq2[1])
+    y = matched_filter_decimate(iq, matched_taps(cfg), cfg.decim)
     return decode_block(y, cfg, exact_gate)
+
+
+def to_planar(iq) -> jnp.ndarray:
+    """Host-side complex capture -> (2, N) float32 (jit-boundary layout)."""
+    import numpy as np
+
+    iq = np.asarray(iq)
+    return jnp.asarray(
+        np.stack([iq.real.astype(np.float32), iq.imag.astype(np.float32)])
+    )
+
+
+def decode_capture(
+    iq, cfg: ReaderConfig, exact_gate: bool = False
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Full pipeline from a raw complex ADC-rate capture (host array)."""
+    return decode_capture_planar(to_planar(iq), cfg, exact_gate)

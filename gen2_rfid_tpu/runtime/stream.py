@@ -56,10 +56,11 @@ class StreamDecoder:
         self.ctx_adc = (self.hl_y + self.hr_y) * cfg.decim + n_taps - 1
         self._decode = jax.jit(self._chunk_fn)
 
-    def _chunk_fn(self, x_ext: jnp.ndarray) -> DecodedEvents:
-        """x_ext: (ctx_adc + chunk_adc,) complex64.  Owned local indices:
+    def _chunk_fn(self, x2: jnp.ndarray) -> DecodedEvents:
+        """x2: planar (2, ctx_adc + chunk_adc) float32.  Owned local indices:
         [hl_y, hl_y + chunk_y)."""
         cfg = self.cfg
+        x_ext = jax.lax.complex(x2[0], x2[1])
         taps = jnp.asarray(boxcar_taps(self.n_taps))
         y = _fir_valid(x_ext, taps, cfg.decim)
         cap_cfg = dataclasses.replace(cfg, max_events=self.events_per_chunk)
@@ -85,7 +86,8 @@ class StreamDecoder:
         def flush(block: np.ndarray):
             nonlocal ctx, chunk_no
             x_ext = np.concatenate([ctx, block])
-            dec = jax.tree.map(np.asarray, self._decode(jnp.asarray(x_ext)))
+            x2 = jnp.asarray(np.stack([x_ext.real, x_ext.imag]).astype(np.float32))
+            dec = jax.tree.map(np.asarray, self._decode(x2))
             # local owned index hl_y maps to global C0 - hr_y.
             g0 = chunk_no * self.chunk_y - self.hl_y - self.hr_y
             g_idx = dec.index + g0

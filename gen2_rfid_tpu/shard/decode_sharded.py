@@ -83,7 +83,12 @@ def _shard_body(
     taps: jnp.ndarray,
     events_cap: int,
 ) -> DecodedEvents:
-    """Per-device body under shard_map.  x_block: (C_loc, N_loc) complex."""
+    """Per-device body under shard_map.
+
+    x_block: (C_loc, 2, N_loc) float32 planar I/Q - complex64 stays inside
+    jit (the TPU runtime here rejects complex at jit boundaries, and planar
+    halos keep the ppermute payload real).
+    """
     axis = TIME_AXIS
     n_shards = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -93,17 +98,18 @@ def _shard_body(
     hr_x = hr_y * cfg.decim
     cap_cfg = _with_cap(cfg, events_cap)
 
-    def per_channel(x: jnp.ndarray) -> DecodedEvents:
-        n_loc = x.shape[0]
+    def per_channel(x2: jnp.ndarray) -> DecodedEvents:
+        n_loc = x2.shape[1]
         # Halo exchange over ICI.  Missing links deliver zeros, which at the
         # capture edges matches the global zero-history convention.
         left = jax.lax.ppermute(
-            x[-hl_x:], axis, [(i, i + 1) for i in range(n_shards - 1)]
+            x2[:, -hl_x:], axis, [(i, i + 1) for i in range(n_shards - 1)]
         )
         right = jax.lax.ppermute(
-            x[:hr_x], axis, [(i, i - 1) for i in range(1, n_shards)]
+            x2[:, :hr_x], axis, [(i, i - 1) for i in range(1, n_shards)]
         )
-        x_ext = jnp.concatenate([left, x, right])
+        x2_ext = jnp.concatenate([left, x2, right], axis=1)
+        x_ext = jax.lax.complex(x2_ext[0], x2_ext[1])
         y_ext = _fir_valid(x_ext, taps, cfg.decim)
         # y_ext[k] is global post-decim index me * n_y - hl_y + k.
         n_y = n_loc // cfg.decim
@@ -122,10 +128,10 @@ def _shard_body(
 
 def _event_out_specs() -> DecodedEvents:
     r2 = P(CHAN_AXIS, TIME_AXIS)        # (C, n_time*cap)
-    r3 = P(CHAN_AXIS, TIME_AXIS, None)  # (C, n_time*cap, bits)
+    r3 = P(CHAN_AXIS, TIME_AXIS, None)  # (C, n_time*cap, k)
     return DecodedEvents(
         index=r2, valid=r2, rn16_fits=r2, epc_fits=r2,
-        rn16_bits=r3, epc_bits=r3, epc_pass=r2, tag_id=r2, t_half=r2, h_est=r2,
+        rn16_bits=r3, epc_bits=r3, epc_pass=r2, tag_id=r2, t_half=r2, h_est=r3,
     )
 
 
@@ -138,22 +144,30 @@ def _sort_and_replay(dec_c: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
 
 
 def decode_capture_sharded(
-    iq: jnp.ndarray,
+    iq,
     cfg: ReaderConfig,
     mesh: Mesh,
     events_per_shard: int = 256,
 ) -> Tuple[InventoryStats, DecodedEvents]:
     """Decode a (C, N) multi-channel ADC-rate capture on a (time, chan) mesh.
 
-    Returns per-channel InventoryStats (leaves stacked on a leading channel
-    axis) and the merged event tables.  N must divide by n_time * decim.
+    ``iq`` is a host complex array; it crosses the jit boundary as planar
+    (C, 2, N) float32.  Returns per-channel InventoryStats (leaves stacked
+    on a leading channel axis) and the merged event tables.  N must divide
+    by n_time * decim.
     """
+    import numpy as np
+
     n_time = mesh.shape[TIME_AXIS]
+    iq = np.asarray(iq)
     c, n = iq.shape
     assert n % (n_time * cfg.decim) == 0, (n, n_time, cfg.decim)
     assert c % mesh.shape[CHAN_AXIS] == 0, (c, mesh.shape[CHAN_AXIS])
     n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
     taps = jnp.asarray(boxcar_taps(n_taps))
+    iq2 = jnp.asarray(
+        np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
+    )  # (C, 2, N)
 
     body = functools.partial(
         _shard_body, cfg=cfg, taps=taps, events_cap=events_per_shard
@@ -161,7 +175,7 @@ def decode_capture_sharded(
     sharded = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=P(CHAN_AXIS, TIME_AXIS),
+        in_specs=P(CHAN_AXIS, None, TIME_AXIS),
         out_specs=_event_out_specs(),
     )
 
@@ -171,4 +185,4 @@ def decode_capture_sharded(
         stats = jax.vmap(lambda d: _sort_and_replay(d, cfg))(dec)
         return stats, dec
 
-    return run(iq)
+    return run(iq2)
