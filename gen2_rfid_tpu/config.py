@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Tuple
 
 
@@ -137,16 +138,40 @@ class ReaderConfig:
         return int(self.dc_size_us * (self.sample_rate / 1e6))
 
     @property
+    def window_slack(self) -> int:
+        """Samples of front slack in a decode window (response-start jitter).
+
+        Compat: the reference's 2 truncated tag bits (gate_impl.cc:115,121).
+        Native: additionally at least 36 us of jitter coverage, so configs
+        with short tag bits (high BLF) still capture replies that start a
+        fixed turnaround after the gate opens.  Coincides with the reference
+        value (20) at the default 40 kHz / 400 ksps operating point.
+        """
+        base = 2 * self.n_samples_tag_bit_i
+        if self.mode == "compat":
+            return base
+        return max(base, int(math.ceil(36e-6 * self.sample_rate)))
+
+    @property
     def rn16_window(self) -> int:
-        """Gate ungate length for an RN16 response (gate_impl.cc:121)."""
-        n = self.n_samples_tag_bit_i
-        return (self.rn16_bits + self.tag_preamble_bits) * n + 2 * n
+        """Gate ungate length for an RN16 response (gate_impl.cc:121).
+
+        Native mode sizes the frame span with ceil of the float bit length
+        (the reference truncates, which clips frame tails whenever
+        samples-per-bit is not an integer - it only ever ran at 10.0).
+        """
+        n_bits = self.rn16_bits + self.tag_preamble_bits
+        if self.mode == "compat":
+            return n_bits * self.n_samples_tag_bit_i + self.window_slack
+        return int(math.ceil(n_bits * self.n_samples_tag_bit)) + self.window_slack
 
     @property
     def epc_window(self) -> int:
         """Gate ungate length for an EPC response (gate_impl.cc:115)."""
-        n = self.n_samples_tag_bit_i
-        return (self.epc_bits + self.tag_preamble_bits) * n + 2 * n
+        n_bits = self.epc_bits + self.tag_preamble_bits
+        if self.mode == "compat":
+            return n_bits * self.n_samples_tag_bit_i + self.window_slack
+        return int(math.ceil(n_bits * self.n_samples_tag_bit)) + self.window_slack
 
     @property
     def rn16_half_bits(self) -> int:
@@ -160,8 +185,14 @@ class ReaderConfig:
 
     @property
     def sync_search(self) -> int:
-        """Preamble-offset search range (tag_decoder_impl.cc:85)."""
-        return int(1.5 * self.n_samples_tag_bit)
+        """Preamble-offset search range (tag_decoder_impl.cc:85).
+
+        Native mode searches the full window slack so reply-start jitter is
+        covered at every BLF; compat pins the reference's 1.5 tag bits.
+        """
+        if self.mode == "compat":
+            return int(1.5 * self.n_samples_tag_bit)
+        return max(int(1.5 * self.n_samples_tag_bit), self.window_slack)
 
     @property
     def preamble_half_bits(self) -> int:

@@ -90,7 +90,10 @@ def test_derived_sample_counts():
     assert cfg.dc_length == 48
     assert cfg.rn16_window == 250
     assert cfg.epc_window == 1370
-    assert cfg.sync_search == 15
+    assert cfg.sync_search == 20          # native: full slack coverage
+    compat = ReaderConfig(mode="compat")
+    assert compat.rn16_window == 250 and compat.epc_window == 1370
+    assert compat.sync_search == 15       # reference-pinned
     assert cfg.n_cwquery_tx == 1295
     assert cfg.n_cwack_tx == 4575
     assert cfg.n_data0_tx == 24 and cfg.n_data1_tx == 48
