@@ -4,53 +4,90 @@ Baseline: the reference reader's implicit real-time budget is sustaining
 2 Msps on one CPU core (README.md:40,104-106; BASELINE.md).  vs_baseline is
 measured samples/s divided by 2e6.
 
+Timing methodology (this TPU runtime is fully asynchronous - even
+block_until_ready returns before execution, and only D2H transfers
+synchronize, with variable latency): the pipeline is iterated K times
+*inside one jit* via lax.fori_loop with a data dependency chaining
+iterations, and wall time is measured dispatch->transfer of a tiny int32
+result.  Per-iteration time is the difference quotient between K2 and K1
+runs, cancelling the constant dispatch/transfer overhead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
     from gen2_rfid_tpu.config import ReaderConfig
-    from gen2_rfid_tpu.runtime.inventory import decode_capture_planar, to_planar
+    from gen2_rfid_tpu.runtime.inventory import (
+        decode_capture_planar,
+        to_planar,
+    )
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
     cfg = ReaderConfig(max_events=1024)
-    # ~80 rounds ~= 1.2 M samples; tile to ~9.7M samples (~4.9 s of 2 Msps
-    # capture, 78 MB complex64) for a stable measurement.
-    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80, seed=2)
+    # ~80 rounds ~= 1.2 M samples; tile to ~9.7 M ADC samples (~4.9 s of
+    # 2 Msps capture) per iteration.
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80,
+                              seed=2)
     reps_tile = 8
-    iq_np = np.concatenate([tr.iq] * reps_tile)
-    iq = to_planar(iq_np)
-    n = iq.shape[1]
-
-    def run(x):
-        stats, _ = decode_capture_planar(x, cfg)
-        return stats.n_epc_correct
-
-    # Warmup / compile.
-    out = jax.block_until_ready(run(iq))
-    n_ok = int(np.asarray(out))
+    iq2 = to_planar(np.concatenate([tr.iq] * reps_tile))
+    n = iq2.shape[1]
     expected = tr.expected_epc_pass * reps_tile
-    if n_ok != expected:
-        print(f"WARNING: decode mismatch {n_ok} != {expected}", file=sys.stderr)
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(iq)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    core = decode_capture_planar.__wrapped__  # un-jitted pipeline
 
-    sps = n / dt
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def repeat(x2, k: int):
+        def body(i, carry):
+            acc, x = carry
+            stats, _ = core(x, cfg)
+            acc = acc + stats.n_epc_correct
+            # Data-dependent no-op perturbation chains iterations and stops
+            # XLA from hoisting the loop body.
+            x = x + acc.astype(jnp.float32) * jnp.float32(1e-30)
+            return acc, x
+        acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), x2))
+        return acc.reshape(1)
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        out = repeat(iq2, k)
+        val = int(np.asarray(out)[0])   # transfer = the only real sync point
+        dt = time.perf_counter() - t0
+        if val != expected * k:
+            print(f"WARNING: decode mismatch {val} != {expected * k} (k={k})",
+                  file=sys.stderr)
+        return dt
+
+    k1, k2 = 1, 9
+    timed(k1)          # warmup/compile for k1
+    t1 = min(timed(k1) for _ in range(2))
+    timed(k2)          # warmup/compile for k2
+    t2 = min(timed(k2) for _ in range(2))
+    per_iter = max((t2 - t1) / (k2 - k1), 1e-9)
+
+    sps = n / per_iter
     baseline = 2e6  # reference CPU reader real-time budget, samples/s
     print(json.dumps({
         "metric": "iq_decode_throughput",

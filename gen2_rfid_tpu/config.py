@@ -138,6 +138,25 @@ class ReaderConfig:
         return int(self.dc_size_us * (self.sample_rate / 1e6))
 
     @property
+    def effective_preamble_bits(self) -> int:
+        """Reply preamble length in bit periods for the active encoding:
+        6 for FM0 (global_vars.h:105); 10 for Miller with TRext=0 (4 spin-up
+        subcarrier bits + the 010111 pattern, Gen2 spec figure 6.11)."""
+        if self.miller_m == 1:
+            return self.tag_preamble_bits
+        return 10
+
+    @property
+    def chips_per_bit(self) -> int:
+        """Backscatter chips (half-bits / subcarrier half-cycles) per bit."""
+        return 2 * self.miller_m
+
+    @property
+    def n_samples_chip(self) -> float:
+        """Post-decimation samples per chip (float)."""
+        return self.n_samples_tag_bit / self.chips_per_bit
+
+    @property
     def window_slack(self) -> int:
         """Samples of front slack in a decode window (response-start jitter).
 
@@ -160,7 +179,7 @@ class ReaderConfig:
         (the reference truncates, which clips frame tails whenever
         samples-per-bit is not an integer - it only ever ran at 10.0).
         """
-        n_bits = self.rn16_bits + self.tag_preamble_bits
+        n_bits = self.rn16_bits + self.effective_preamble_bits
         if self.mode == "compat":
             return n_bits * self.n_samples_tag_bit_i + self.window_slack
         return int(math.ceil(n_bits * self.n_samples_tag_bit)) + self.window_slack
@@ -168,7 +187,7 @@ class ReaderConfig:
     @property
     def epc_window(self) -> int:
         """Gate ungate length for an EPC response (gate_impl.cc:115)."""
-        n_bits = self.epc_bits + self.tag_preamble_bits
+        n_bits = self.epc_bits + self.effective_preamble_bits
         if self.mode == "compat":
             return n_bits * self.n_samples_tag_bit_i + self.window_slack
         return int(math.ceil(n_bits * self.n_samples_tag_bit)) + self.window_slack
@@ -234,11 +253,11 @@ class ReaderConfig:
 
     @property
     def rn16_us(self) -> int:
-        return int((self.rn16_bits + self.tag_preamble_bits) * self.tag_bit_us)
+        return int((self.rn16_bits + self.effective_preamble_bits) * self.tag_bit_us)
 
     @property
     def epc_us(self) -> int:
-        return int((self.epc_bits + self.tag_preamble_bits) * self.tag_bit_us)
+        return int((self.epc_bits + self.effective_preamble_bits) * self.tag_bit_us)
 
     @property
     def n_cwquery_tx(self) -> int:

@@ -75,11 +75,22 @@ def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
 def decode_events(
     y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig
 ) -> DecodedEvents:
-    """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device."""
+    """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device.
+
+    Dispatches on the configured tag encoding: FM0 (reference path) or
+    Miller-M subcarrier (new capability, dsp/miller.py).
+    """
     frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
-    index, h_est = sync.tag_sync_batch(frames, cfg)
-    rn16_bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
-    epc_bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+    if cfg.miller_m == 1:
+        index, h_est = sync.tag_sync_batch(frames, cfg)
+        rn16_bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
+        epc_bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+    else:
+        from ..dsp import miller
+
+        index, h_est = miller.miller_sync_batch(frames, cfg)
+        rn16_bits = miller.miller_rn16_batch(frames, index, h_est, cfg)
+        epc_bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
     epc_pass = check_epc_crc_batch(epc_bits)
     # Reference tag id: EPC frame bits[104:112] as an integer
     # (tag_decoder_impl.cc:348-352).
