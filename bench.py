@@ -45,7 +45,7 @@ def main():
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
-    cfg = ReaderConfig(max_events=1024)
+    cfg = ReaderConfig(max_events=2048)
     # ~80 rounds ~= 1.2 M samples; tile to ~9.7 M ADC samples (~4.9 s of
     # 2 Msps capture) per iteration.
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80,

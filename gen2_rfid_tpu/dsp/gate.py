@@ -132,13 +132,17 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     # (gate_impl.cc:141-143; the window precedes any tag reply).
     dcs = moving_sum_complex(y, cfg.dc_length) / jnp.complex64(cfg.dc_length)
 
-    # Compact to fixed capacity.
-    order = jnp.sort(trig_sample)
-    ev = order[: cfg.max_events]
+    # Compact to fixed capacity: triggers are scattered to their prefix-count
+    # slot (O(N), already in index order - a full sort would be O(N log N)
+    # and dominates on long captures).
+    cap = cfg.max_events
+    pos = jnp.cumsum(trig.astype(i32)) - 1
+    slot = jnp.where(trig, jnp.minimum(pos, cap), i32(cap))  # cap -> dropped
+    ev = jnp.full((cap,), n, i32).at[slot].set(trig_sample, mode="drop")
     valid = ev < n
     ev_c = jnp.minimum(ev, n - 1)
     return GateEvents(
-        index=ev_c.astype(i32),
+        index=ev.astype(i32),   # invalid slots keep index n (sorts last)
         dc=dcs[ev_c],
         valid=valid,
         n_events=jnp.sum(trig.astype(i32)),

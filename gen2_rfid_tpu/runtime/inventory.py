@@ -110,13 +110,14 @@ def decode_events(
     )
 
 
-def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
-    """Event-level Gen2 round FSM replay -> InventoryStats.
+def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """Event-level Gen2 round FSM replay -> InventoryStats (sequential).
 
     Mirrors the decoder's bookkeeping branches
     (tag_decoder_impl.cc:256-288 RN16 path, :291-394 EPC path) and the gate's
     termination limits (gate_impl.cc:101-109).  O(max_events) scan with a
-    tiny carry - negligible next to the batched decode.
+    tiny carry - exact for arbitrary event tables; used directly for small
+    tables and as the fallback branch of the vectorized replay.
     """
     e = dec.index.shape[0]
     max_slot = cfg.max_slot_number
@@ -189,6 +190,99 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
         n_events=jnp.sum(dec.valid.astype(i32)),
         terminated=term,
     )
+
+
+def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """Round FSM replay: vectorized fast path + exact-scan fallback.
+
+    The sequential scan costs O(max_events) tiny TPU steps, which dominates
+    wall time on long captures.  For well-formed event tables - the common
+    case - the replay is computable in closed form:
+
+    * events sorted and strictly alternating Query/ACK roles (role = parity
+      of the valid-event rank, because the RN16 branch always succeeds);
+    * every processed event's window fits, with at most a trailing run of
+      unfit events (trace truncation), and consecutive events are separated
+      by at least the earlier event's window (no ptr-skips);
+    * termination limits not reached.
+
+    Those preconditions are checked vectorially; if any fails, lax.cond
+    falls back to the exact sequential scan.
+    """
+    e = dec.index.shape[0]
+    i32 = jnp.int32
+    max_slot = cfg.max_slot_number
+
+    valid = dec.valid
+    rank = jnp.cumsum(valid.astype(i32)) - 1          # rank among valid events
+    role_epc = valid & (rank % 2 == 1)                 # ACK/EPC events
+    role_q = valid & (rank % 2 == 0)
+    fit_v = jnp.where(
+        valid, jnp.where(role_epc, dec.epc_fits, dec.rn16_fits), True
+    )
+    # processed = valid events in the largest all-fit prefix; the fast path
+    # is only valid when no fit event follows an unfit one (i.e. unfit
+    # events form a trailing run - trace truncation).
+    unfit_seen = jnp.cumsum(jnp.logical_not(fit_v).astype(i32)) > 0
+    proc = valid & fit_v & jnp.logical_not(unfit_seen)
+    refit_after_unfit = jnp.any(valid & fit_v & unfit_seen)
+
+    window = jnp.where(role_epc, i32(cfg.epc_window), i32(cfg.rn16_window))
+    nxt = jnp.concatenate([dec.index[1:], jnp.full((1,), jnp.iinfo(jnp.int32).max // 2, i32)])
+    gap_ok = jnp.logical_not(proc) | (nxt >= dec.index + window)
+
+    n_q = jnp.sum((proc & role_q).astype(i32))
+    passed = proc & role_epc & dec.epc_pass
+    reads = jnp.zeros((N_TAG_BINS,), i32).at[
+        jnp.where(passed, dec.tag_id, N_TAG_BINS)
+    ].add(1, mode="drop")
+    n_uni = jnp.sum((reads > 0).astype(i32))
+    a = jnp.sum((proc & role_epc).astype(i32))        # EPC events processed
+
+    ok_fast = (
+        jnp.logical_not(refit_after_unfit)
+        & jnp.all(gap_ok)
+        & (n_q <= cfg.max_num_queries)
+        & (n_uni <= cfg.max_unique_tags)
+    )
+
+    def fast(_):
+        n_rounds = a // max_slot
+        slot = 1 + (a % max_slot)
+        rnd = 1 + n_rounds
+        n_ok = jnp.sum(passed.astype(i32))
+        # Per-round unique history: unique count after each M-th EPC event.
+        new_flag = passed & (
+            jnp.cumsum(
+                jax.nn.one_hot(
+                    jnp.where(passed, dec.tag_id, N_TAG_BINS),
+                    N_TAG_BINS + 1, dtype=i32,
+                ), axis=0,
+            )[jnp.arange(e), jnp.minimum(dec.tag_id, N_TAG_BINS)] == 1
+        )
+        uni_run = jnp.cumsum(new_flag.astype(i32))
+        epc_rank = jnp.cumsum((proc & role_epc).astype(i32))  # 1-based
+        wrap = (proc & role_epc) & (epc_rank % max_slot == 0)
+        round_idx = epc_rank // max_slot - 1
+        uni_hist = jnp.zeros((e,), i32).at[
+            jnp.where(wrap, round_idx, e)
+        ].add(uni_run, mode="drop")
+        return InventoryStats(
+            n_queries=n_q,
+            cur_inventory_round=rnd,
+            cur_slot=slot,
+            n_epc_correct=n_ok,
+            tag_reads=reads,
+            unique_tags_round=uni_hist,
+            n_rounds_closed=n_rounds,
+            n_events=jnp.sum(valid.astype(i32)),
+            terminated=jnp.array(False),
+        )
+
+    def slow(_):
+        return replay_inventory_scan(dec, cfg)
+
+    return jax.lax.cond(ok_fast, fast, slow, None)
 
 
 def decode_block(
