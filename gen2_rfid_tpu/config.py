@@ -140,11 +140,13 @@ class ReaderConfig:
     @property
     def effective_preamble_bits(self) -> int:
         """Reply preamble length in bit periods for the active encoding:
-        6 for FM0 (global_vars.h:105); 10 for Miller with TRext=0 (4 spin-up
-        subcarrier bits + the 010111 pattern, Gen2 spec figure 6.11)."""
+        FM0: 6 (global_vars.h:105), +12 pilot-tone zero bits when TRext=1
+        (PILOT_TONE, global_vars.h:104 - declared but unused by the
+        reference, which pins TREXT=0).  Miller: 4 spin-up bits + 010111 at
+        TRext=0, 16 spin-up bits at TRext=1 (Gen2 spec figure 6.11)."""
         if self.miller_m == 1:
-            return self.tag_preamble_bits
-        return 10
+            return self.tag_preamble_bits + (self.pilot_tone_bits if self.trext else 0)
+        return 10 if not self.trext else 22
 
     @property
     def chips_per_bit(self) -> int:
@@ -211,7 +213,13 @@ class ReaderConfig:
         """
         if self.mode == "compat":
             return int(1.5 * self.n_samples_tag_bit)
-        return max(int(1.5 * self.n_samples_tag_bit), self.window_slack)
+        base = max(int(1.5 * self.n_samples_tag_bit), self.window_slack)
+        if self.trext and self.miller_m == 1:
+            # FM0: the 6-bit sync pattern sits after the pilot tone, so the
+            # correlation search must skip past it.  (Miller needs no extra
+            # search: its sync template includes the spin-up extension.)
+            base += int(math.ceil(self.pilot_tone_bits * self.n_samples_tag_bit))
+        return base
 
     @property
     def preamble_half_bits(self) -> int:

@@ -27,9 +27,10 @@ from ..config import ReaderConfig
 from ..sim.tag import miller_chips
 
 
-def _preamble_pm(m: int) -> np.ndarray:
+def _preamble_pm(m: int, trext: int = 0) -> np.ndarray:
     """+-1 chip template of the Miller preamble (no data bits)."""
-    chips = miller_chips(np.zeros(0, dtype=np.int64), m, add_dummy=False)
+    chips = miller_chips(np.zeros(0, dtype=np.int64), m, add_dummy=False,
+                         trext=trext)
     return chips.astype(np.float32) * 2.0 - 1.0
 
 
@@ -41,7 +42,7 @@ def miller_sync(
     chip0_index points at the first *data* chip (offset of preamble end).
     """
     m = cfg.miller_m
-    pm = _preamble_pm(m)
+    pm = _preamble_pm(m, cfg.trext)
     n_chips = pm.shape[0]
     d = cfg.n_samples_chip
     n_off = cfg.sync_search

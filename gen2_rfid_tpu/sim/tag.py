@@ -28,8 +28,9 @@ from ..protocol.crc import crc16_bits
 PREAMBLE_CHIPS = np.array(TAG_PREAMBLE_BITS_PATTERN, dtype=np.int64)
 
 
-def fm0_chips(bits: np.ndarray, add_dummy: bool = True) -> np.ndarray:
-    """Preamble + FM0 half-bit chips (0/1 backscatter states) for ``bits``.
+def fm0_chips(bits: np.ndarray, add_dummy: bool = True,
+              trext: int = 0, pilot_bits: int = 12) -> np.ndarray:
+    """[Pilot +] preamble + FM0 half-bit chips (0/1 backscatter states).
 
     Level continuity starts from the last preamble chip (1).  For each bit:
     first half inverts the previous level; data-1 holds it through the bit,
@@ -37,6 +38,9 @@ def fm0_chips(bits: np.ndarray, add_dummy: bool = True) -> np.ndarray:
     decoder inverts: its per-bit statistic is the sign of
     (second-half(j) - first-half(j+1)) * conj(h_est), which equals the level
     of second-half(j) because of the guaranteed boundary inversion.
+
+    TRext=1 prepends the pilot tone: zero bits, i.e. (1,0) chip pairs whose
+    final low chip transitions into the preamble's leading high chip.
     """
     bits = np.asarray(bits, dtype=np.int64)
     if add_dummy:
@@ -49,10 +53,13 @@ def fm0_chips(bits: np.ndarray, add_dummy: bool = True) -> np.ndarray:
         chips[2 * i] = first
         chips[2 * i + 1] = second
         prev = second
-    return np.concatenate([PREAMBLE_CHIPS, chips])
+    pilot = (np.tile([1, 0], pilot_bits) if trext
+             else np.zeros(0, dtype=np.int64))
+    return np.concatenate([pilot, PREAMBLE_CHIPS, chips])
 
 
-def miller_chips(bits: np.ndarray, m: int, add_dummy: bool = True) -> np.ndarray:
+def miller_chips(bits: np.ndarray, m: int, add_dummy: bool = True,
+                 trext: int = 0) -> np.ndarray:
     """Miller-M basis-band chips at the subcarrier half-cycle granularity.
 
     Miller baseband: phase inversion mid-bit for data-1; inversion at the
@@ -65,9 +72,10 @@ def miller_chips(bits: np.ndarray, m: int, add_dummy: bool = True) -> np.ndarray
     bits = np.asarray(bits, dtype=np.int64)
     if add_dummy:
         bits = np.concatenate([bits, np.array([1], dtype=np.int64)])
-    # Gen2 Miller preamble data pattern (TRext=0): DDDD 010111 where D are
-    # data-0 spin-up symbols.
-    pre_bits = np.array([0, 0, 0, 0, 0, 1, 0, 1, 1, 1], dtype=np.int64)
+    # Gen2 Miller preamble data pattern: 4 (TRext=0) or 16 (TRext=1) data-0
+    # spin-up symbols then 010111.
+    n_spin = 16 if trext else 4
+    pre_bits = np.array([0] * n_spin + [0, 1, 0, 1, 1, 1], dtype=np.int64)
     seq = np.concatenate([pre_bits, bits])
     # Baseband phase per bit (+1/-1), with Miller inversion rules.
     phase = np.empty(seq.size, dtype=np.int64)
@@ -135,5 +143,5 @@ class Tag:
 def reply_chips(cfg: ReaderConfig, bits: np.ndarray) -> np.ndarray:
     """Chips for a tag reply under the config's encoding (FM0 or Miller-M)."""
     if cfg.miller_m == 1:
-        return fm0_chips(bits)
-    return miller_chips(bits, cfg.miller_m)
+        return fm0_chips(bits, trext=cfg.trext, pilot_bits=cfg.pilot_tone_bits)
+    return miller_chips(bits, cfg.miller_m, trext=cfg.trext)

@@ -41,3 +41,14 @@ def test_miller_rn16_matches_truth():
     queries = [e for e in tr.events if e.kind in ("query", "query_rep")]
     for k, ev in enumerate(queries):
         np.testing.assert_array_equal(rn16[2 * k], ev.reply_bits)
+
+
+@pytest.mark.parametrize("m,adc,decim", [(1, 2e6, 5), (2, 2e6, 2), (4, 4e6, 2)])
+def test_trext_pilot_decode(m, adc, decim):
+    """TRext=1: FM0 pilot tone / Miller 16-bit spin-up (reference declares
+    PILOT_TONE=12 but never uses it, global_vars.h:104,120)."""
+    cfg = ReaderConfig(miller_m=m, trext=1, adc_rate=adc, decim=decim,
+                       max_events=64)
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=3, seed=1)
+    stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(stats.n_epc_correct) == 3
