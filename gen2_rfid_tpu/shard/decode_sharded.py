@@ -163,12 +163,18 @@ def decode_capture_sharded(
     c, n = iq.shape
     assert n % (n_time * cfg.decim) == 0, (n, n_time, cfg.decim)
     assert c % mesh.shape[CHAN_AXIS] == 0, (c, mesh.shape[CHAN_AXIS])
-    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
-    taps = jnp.asarray(boxcar_taps(n_taps))
     iq2 = jnp.asarray(
         np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
     )  # (C, 2, N)
+    return _run_sharded_planar(iq2, cfg, mesh, events_per_shard)
 
+
+def _run_sharded_planar(
+    iq2, cfg: ReaderConfig, mesh: Mesh, events_per_shard: int
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Jitted sharded decode of a (C, 2, N) planar global array."""
+    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
+    taps = jnp.asarray(boxcar_taps(n_taps))
     body = functools.partial(
         _shard_body, cfg=cfg, taps=taps, events_cap=events_per_shard
     )

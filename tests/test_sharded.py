@@ -83,3 +83,36 @@ def test_halo_sizes_cover_windows():
     hl, hr = halo_sizes(CFG)
     assert hr >= CFG.epc_window
     assert hl >= CFG.n_samples_t1 + CFG.win_length
+
+
+def test_distributed_file_decode(tmp_path, trace):
+    """decode_file_distributed: per-device file slicing + global jax.Array
+    assembly, same shard_map program (single process, 8 virtual devices)."""
+    from gen2_rfid_tpu.io.tracefile import write_trace
+    from gen2_rfid_tpu.shard.distributed import (
+        decode_file_distributed,
+        init_distributed,
+    )
+
+    init_distributed()  # no-op single process
+    path = str(tmp_path / "cap.bin")
+    write_trace(path, trace.iq)
+    stats, dec = decode_file_distributed(path, CFG)
+    stats1, _ = decode_capture(jnp.asarray(trace.iq), CFG)
+    # The distributed path truncates the capture to a shard multiple; the
+    # trailing tail CW holds no events, so stats must match exactly.
+    assert int(stats.n_queries[0]) == int(stats1.n_queries)
+    assert int(stats.n_epc_correct[0]) == int(stats1.n_epc_correct)
+    np.testing.assert_array_equal(
+        np.asarray(stats.tag_reads[0]), np.asarray(stats1.tag_reads)
+    )
+
+
+def test_many_channel_mesh(trace):
+    """4 channels x 2 time shards: per-channel independent inventories."""
+    mesh = make_mesh(n_time=2, n_chan=4)
+    iq = _pad_to(trace.iq, 2 * CFG.decim)
+    four = jnp.stack([jnp.asarray(iq)] * 4)
+    stats, _ = decode_capture_sharded(four, CFG, mesh)
+    for c in range(4):
+        assert int(stats.n_epc_correct[c]) == trace.expected_epc_pass
