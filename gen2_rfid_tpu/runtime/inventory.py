@@ -72,15 +72,8 @@ def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(crc == epc_bits[:, n_data:], axis=1)
 
 
-def decode_events(
-    y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig
-) -> DecodedEvents:
-    """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device.
-
-    Dispatches on the configured tag encoding: FM0 (reference path) or
-    Miller-M subcarrier (new capability, dsp/miller.py).
-    """
-    frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
+def _decode_frames(frames, magn2, cfg):
+    """Sync + RN16 + EPC decode of a batch of (W,) windows."""
     if cfg.miller_m == 1:
         index, h_est = sync.tag_sync_batch(frames, cfg)
         rn16_bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
@@ -91,11 +84,130 @@ def decode_events(
         index, h_est = miller.miller_sync_batch(frames, cfg)
         rn16_bits = miller.miller_rn16_batch(frames, index, h_est, cfg)
         epc_bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
-    epc_pass = check_epc_crc_batch(epc_bits)
-    # Reference tag id: EPC frame bits[104:112] as an integer
-    # (tag_decoder_impl.cc:348-352).
+    return rn16_bits, epc_bits, t_half, h_est
+
+
+def _decode_rn16_frames(frames, cfg):
+    if cfg.miller_m == 1:
+        index, h_est = sync.tag_sync_batch(frames, cfg)
+        bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
+    else:
+        from ..dsp import miller
+
+        index, h_est = miller.miller_sync_batch(frames, cfg)
+        bits = miller.miller_rn16_batch(frames, index, h_est, cfg)
+    return bits, h_est
+
+
+def _decode_epc_frames(frames, magn2, cfg):
+    if cfg.miller_m == 1:
+        index, h_est = sync.tag_sync_batch(frames, cfg)
+        bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+    else:
+        from ..dsp import miller
+
+        index, h_est = miller.miller_sync_batch(frames, cfg)
+        bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
+    return bits, t_half, h_est
+
+
+def _tag_ids(epc_bits):
+    """Reference tag id: EPC frame bits[104:112] as an integer
+    (tag_decoder_impl.cc:348-352)."""
     weights = jnp.asarray(2 ** np.arange(7, -1, -1, dtype=np.int32))
-    tag_id = jnp.sum(epc_bits[:, 104:112].astype(jnp.int32) * weights, axis=1)
+    return jnp.sum(epc_bits[:, 104:112].astype(jnp.int32) * weights, axis=1)
+
+
+def decode_events(
+    y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig,
+    specialize: bool = False,
+) -> DecodedEvents:
+    """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device.
+
+    Dispatches on the configured tag encoding: FM0 (reference path) or
+    Miller-M subcarrier (new capability, dsp/miller.py).
+
+    ``specialize=False`` (paranoid): every event is decoded as both an RN16
+    and an EPC window - role-agnostic, required when the table's global role
+    parity is unknown (per-shard / per-chunk tables).
+
+    ``specialize=True``: events alternate Query/ACK roles by rank parity
+    (structural in the closed loop: the RN16 branch always succeeds, so
+    every Query is followed by an ACK).  Even-rank events decode only their
+    RN16 (250-sample window), odd-rank only their EPC - roughly halves the
+    decode gathers and FLOPs.  Requires a full, ordered table (the batch
+    decode path).
+    """
+    if not specialize:
+        frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
+        rn16_bits, epc_bits, t_half, h_est = _decode_frames(frames, magn2, cfg)
+        epc_pass = check_epc_crc_batch(epc_bits)
+        return DecodedEvents(
+            index=events.index,
+            valid=events.valid,
+            rn16_fits=rn16_fits,
+            epc_fits=epc_fits,
+            rn16_bits=rn16_bits,
+            epc_bits=epc_bits,
+            epc_pass=epc_pass,
+            tag_id=_tag_ids(epc_bits),
+            t_half=t_half,
+            h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
+        )
+
+    n = y.shape[0]
+    cap = events.index.shape[0]
+    i32 = jnp.int32
+    rank = jnp.cumsum(events.valid.astype(i32)) - 1
+    role_q = events.valid & (rank % 2 == 0)
+    role_a = events.valid & (rank % 2 == 1)
+
+    def compact(mask, sub_cap):
+        pos = jnp.cumsum(mask.astype(i32)) - 1
+        slot = jnp.where(mask, jnp.minimum(pos, sub_cap), i32(sub_cap))
+        rows = jnp.full((sub_cap,), cap, i32).at[slot].set(
+            jnp.arange(cap, dtype=i32), mode="drop")
+        return rows  # row index into the full table; cap = invalid fill
+
+    cap_q = (cap + 1) // 2
+    cap_a = cap // 2 + 1
+    q_rows = compact(role_q, cap_q)
+    a_rows = compact(role_a, cap_a)
+    idx_pad = jnp.concatenate([events.index, jnp.full((1,), n, i32)])
+    dc_pad = jnp.concatenate([events.dc, jnp.zeros((1,), events.dc.dtype)])
+
+    def gather_windows(rows, width):
+        start = idx_pad[rows]
+        pos = jnp.minimum(start[:, None] + jnp.arange(width, dtype=i32)[None, :],
+                          n - 1)
+        fr = y[pos] - dc_pad[rows][:, None]
+        m2 = (jnp.real(fr) ** 2 + jnp.imag(fr) ** 2).astype(jnp.float32)
+        return fr, m2
+
+    q_frames, _ = gather_windows(q_rows, cfg.rn16_window)
+    a_frames, a_magn2 = gather_windows(a_rows, cfg.epc_window)
+
+    q_bits, q_h = _decode_rn16_frames(q_frames, cfg)
+    a_bits, a_thalf, a_h = _decode_epc_frames(a_frames, a_magn2, cfg)
+    a_pass = check_epc_crc_batch(a_bits)
+    a_tid = _tag_ids(a_bits)
+
+    # Scatter per-role results back to full-table layout.
+    def scatter(rows, vals, init):
+        return init.at[jnp.minimum(rows, cap)].set(vals, mode="drop")
+
+    rn16_bits = scatter(q_rows, q_bits, jnp.zeros((cap + 1, 16), i32))[:cap]
+    epc_bits = scatter(a_rows, a_bits, jnp.zeros((cap + 1, 128), i32))[:cap]
+    epc_pass = scatter(a_rows, a_pass, jnp.zeros((cap + 1,), bool))[:cap]
+    tag_id = scatter(a_rows, a_tid, jnp.zeros((cap + 1,), i32))[:cap]
+    t_half = scatter(a_rows, a_thalf, jnp.zeros((cap + 1,), jnp.float32))[:cap]
+    h_full = jnp.zeros((cap + 1,), q_h.dtype)
+    h_full = h_full.at[jnp.minimum(q_rows, cap)].set(q_h, mode="drop")
+    h_full = h_full.at[jnp.minimum(a_rows, cap)].set(a_h, mode="drop")
+    h_full = h_full[:cap]
+
+    rn16_fits = events.valid & (events.index + cfg.rn16_window <= n)
+    epc_fits = events.valid & (events.index + cfg.epc_window <= n)
     return DecodedEvents(
         index=events.index,
         valid=events.valid,
@@ -106,7 +218,7 @@ def decode_events(
         epc_pass=epc_pass,
         tag_id=tag_id,
         t_half=t_half,
-        h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
+        h_est=jnp.stack([jnp.real(h_full), jnp.imag(h_full)], axis=-1),
     )
 
 
@@ -291,7 +403,9 @@ def decode_block(
     """Decode one post-decimation complex I/Q block (trace inside jit)."""
     detect = gate_detect_scan if exact_gate else gate_detect
     events = detect(y, cfg)
-    dec = decode_events(y, events, cfg)
+    # Full ordered table -> role-specialized decode; compat mode stays
+    # paranoid (decodes both roles per event like the reference decoder).
+    dec = decode_events(y, events, cfg, specialize=cfg.mode != "compat")
     return replay_inventory(dec, cfg), dec
 
 

@@ -1,0 +1,42 @@
+"""Pallas kernels vs XLA references (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.dsp.filters import (
+    boxcar_taps,
+    matched_filter_decimate,
+    moving_sum,
+    moving_sum_complex,
+)
+from gen2_rfid_tpu.kernels.gate_front import gate_front, gate_front_for_cfg
+
+
+@pytest.mark.parametrize("n,block_y", [(40961, 2048), (9999, 512), (2048 * 5, 2048)])
+def test_gate_front_matches_xla(n, block_y):
+    rng = np.random.default_rng(n)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    x2 = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+    y2, amp, avg, dc2 = gate_front(x2, 5, 25, 100, 48, block_y=block_y,
+                                   interpret=True)
+    y_ref = matched_filter_decimate(jnp.asarray(x), boxcar_taps(25), 5)
+    amp_ref = jnp.abs(y_ref)
+    np.testing.assert_allclose(np.asarray(y2[0]), np.real(y_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y2[1]), np.imag(y_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(amp), np.asarray(amp_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(avg), np.asarray(moving_sum(amp_ref, 100)), atol=1e-3
+    )
+    dc_ref = moving_sum_complex(y_ref, 48)
+    np.testing.assert_allclose(np.asarray(dc2[0]), np.real(dc_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dc2[1]), np.imag(dc_ref), atol=5e-4)
+
+
+def test_gate_front_for_cfg_shapes():
+    cfg = ReaderConfig()
+    x2 = jnp.zeros((2, 50000), jnp.float32)
+    y2, amp, avg, dc2 = gate_front_for_cfg(x2, cfg, interpret=True)
+    assert y2.shape == (2, 10000) and amp.shape == (10000,)
+    assert avg.shape == (10000,) and dc2.shape == (2, 10000)
