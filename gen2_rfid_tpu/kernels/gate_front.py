@@ -47,11 +47,12 @@ def _kernel(
     *, decim: int, n_taps: int, win: int, dcw: int, block_y: int, halo_y: int,
 ):
     ext = halo_y + block_y
-    a_rows = n_taps // decim + 1
+    # DMA slice lengths along the minor dim must be 128-aligned on TPU.
+    slab = ext + 128
     i = pl.program_id(0)
 
     cp = pltpu.make_async_copy(
-        ph_hbm.at[:, :, pl.ds(i * block_y, ext + a_rows)], buf, sem
+        ph_hbm.at[:, :, pl.ds(i * block_y, slab)], buf, sem
     )
     cp.start()
     cp.wait()
@@ -102,15 +103,14 @@ def gate_front(
     ny = n // decim
     halo_y = max(win, dcw, 128)
     ext = halo_y + block_y
-    a_rows = n_taps // decim + 1
     ny_pad = ((max(ny, 1) + block_y - 1) // block_y) * block_y
     grid = (ny_pad // block_y,)
 
     # Zero history for taps + window lookback, then right-pad so the phase
     # view covers every slab: phases[b][p] = x_pad[p*decim + b], p up to
-    # ny_pad + ext + a_rows.
+    # ny_pad + ext + 128 (the 128-aligned DMA slab overhang).
     left = halo_y * decim + (n_taps - 1)
-    p_len = ny_pad + ext + a_rows
+    p_len = ny_pad + ext + 128
     right = p_len * decim - (left + n)
     x_pad = jnp.pad(x2.astype(jnp.float32), ((0, 0), (left, max(right, 0))))
     phases = (
@@ -143,7 +143,7 @@ def gate_front(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((decim, 2, ext + a_rows), jnp.float32),
+            pltpu.VMEM((decim, 2, ext + 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
