@@ -72,6 +72,19 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     """Detect reader-command-over events in a post-decimation I/Q block.
 
     y: (N,) complex64 at cfg.sample_rate.  Returns fixed-capacity events.
+
+    Native mode breaks amp==thresh ties as "below" so the POS/NEG state is
+    simply the per-sample comparison, turning edge/run detection into
+    shifts and two small windowed reductions (bounded lookback):
+
+    * a rise qualifies as a pulse iff run > pw/2, i.e. the pw/2+1 samples
+      before it are all below (contiguity of the low segment);
+    * the trigger's T1-quiet requirement is "the nt1+1 samples after the
+      rise are all above".
+
+    Compat mode keeps the tie-preserving last-decisive-state propagation
+    (cummax + gathers), matching the reference FSM on exact-equality
+    samples too.
     """
     n = y.shape[0]
     i32 = jnp.int32
@@ -82,30 +95,57 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
     thresh = avg * jnp.float32(cfg.thresh_fraction)
 
-    state = gate_signal_state(amp, thresh)
-    prev_state = jnp.concatenate([jnp.full((1,), -1, i32), state[:-1]])
-    rise = (state == 1) & (prev_state == -1)
-    fall = (state == -1) & (prev_state == 1)
-    edge = rise | fall
-
-    # Distance since previous edge == the reference's n_samples counter value
-    # at each sample (gate_impl.cc:145-161: incremented, then reset at edges).
-    prev_edge_incl = _last_le(edge, arange, i32(-1))
-    prev_edge_excl = jnp.concatenate([jnp.full((1,), -1, i32), prev_edge_incl[:-1]])
-    run_at = arange - prev_edge_excl  # at a rise: the tested low-run length
-
-    # Next edge strictly after i (for the quiet-run trigger condition).
-    nidx = jnp.where(edge, arange, i32(n))
-    next_edge_incl = jnp.flip(jax.lax.cummin(jnp.flip(nidx)))
-    next_edge_excl = jnp.concatenate([next_edge_incl[1:], jnp.full((1,), n, i32)])
-
     pw_half = cfg.n_samples_pw // 2
-    qualify = rise & (run_at > pw_half)
-    disq = rise & jnp.logical_not(qualify)
-    rise_count = jnp.cumsum(rise.astype(i32))  # rises at or before i
-
     nt1 = cfg.n_samples_t1
     npc = cfg.num_pulses_command
+
+    if cfg.mode == "compat":
+        state = gate_signal_state(amp, thresh)
+        prev_state = jnp.concatenate([jnp.full((1,), -1, i32), state[:-1]])
+        rise = (state == 1) & (prev_state == -1)
+        fall = (state == -1) & (prev_state == 1)
+        edge = rise | fall
+
+        # Distance since previous edge == the reference's n_samples counter
+        # (gate_impl.cc:145-161: incremented, then reset at edges).
+        prev_edge_incl = _last_le(edge, arange, i32(-1))
+        prev_edge_excl = jnp.concatenate(
+            [jnp.full((1,), -1, i32), prev_edge_incl[:-1]]
+        )
+        run_at = arange - prev_edge_excl
+        qualify = rise & (run_at > pw_half)
+
+        # Next edge strictly after i (T1-quiet trigger condition).
+        nidx = jnp.where(edge, arange, i32(n))
+        next_edge_incl = jnp.flip(jax.lax.cummin(jnp.flip(nidx)))
+        next_edge_excl = jnp.concatenate(
+            [next_edge_incl[1:], jnp.full((1,), n, i32)]
+        )
+        quiet_after = next_edge_excl > arange + nt1 + 1
+    else:
+        above = amp > thresh
+        prev_above = jnp.concatenate([jnp.zeros((1,), bool), above[:-1]])
+        rise = above & jnp.logical_not(prev_above)
+        # Low-run > pw/2: the pw/2+1 samples before the rise are all below
+        # (first-rise-in-stream counts as a long run, like the reference's
+        # n_samples counting from startup).
+        below_run = moving_sum(
+            jnp.logical_not(prev_above).astype(jnp.float32), pw_half + 1
+        )
+        # Startup corner: before any edge the reference's run counter spans
+        # the whole stream, so a rise at i qualifies iff i >= pw/2 and all
+        # preceding samples are below.
+        need = jnp.minimum(jnp.float32(pw_half + 1), arange.astype(jnp.float32))
+        qualify = rise & (below_run >= need) & (arange >= pw_half)
+        # T1-quiet: the nt1+1 samples after the rise are all above.
+        above_run = moving_sum(above.astype(jnp.float32), nt1 + 1)
+        shifted = jnp.concatenate(
+            [above_run[nt1 + 1:], jnp.zeros((nt1 + 1,), jnp.float32)]
+        )
+        quiet_after = shifted >= jnp.float32(nt1 + 1)
+
+    disq = rise & jnp.logical_not(qualify)
+    rise_count = jnp.cumsum(rise.astype(i32))  # rises at or before i
 
     def triggers_from(reset_vals: jnp.ndarray) -> jnp.ndarray:
         last_reset = jax.lax.cummax(reset_vals)
@@ -113,7 +153,7 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
         return (
             rise
             & (pulses > npc)
-            & (next_edge_excl > arange + nt1 + 1)
+            & quiet_after
             & (arange + nt1 + 1 < n)
         )
 
