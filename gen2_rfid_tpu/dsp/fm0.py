@@ -26,14 +26,21 @@ def _diff_decode(signs: jnp.ndarray) -> jnp.ndarray:
     return (signs != prev).astype(jnp.int32)
 
 
-def rn16_detect(
+def rn16_detect_soft(
     frame: jnp.ndarray, index: jnp.ndarray, h_est: jnp.ndarray, cfg: ReaderConfig
-) -> jnp.ndarray:
-    """Decode 16 RN16 bits from a synced frame (tag_decoder_impl.cc:237-268).
+):
+    """Decode 16 RN16 bits + a decision-margin statistic.
 
-    Half-bit samples at round(index + j*T/2) for j < 2*(RN16_BITS-1); with the
-    default T=10.0 the float stepping j += 5.0 + round() is exact integer
-    stepping, which this reproduces.
+    Half-bit samples at round(index + j*T/2) for j < 2*(RN16_BITS-1)
+    (tag_decoder_impl.cc:237-268); with the default T=10.0 the float
+    stepping j += 5.0 + round() is exact integer stepping, reproduced here.
+
+    The margin is mean(|result_j|) / |h|^2: ~1 for a clean single tag (the
+    backscatter chips are {0, h}, so each differential statistic is
+    +-|h|^2), and markedly lower under a collision, where the superposed
+    tags' disagreeing bits partially cancel - used by the slot classifier
+    (new capability; the reference only learns about collisions via the EPC
+    CRC failing).
     """
     half = cfg.n_samples_tag_bit / 2.0
     n_half = cfg.rn16_half_bits
@@ -42,7 +49,16 @@ def rn16_detect(
     pairs = samples.reshape(-1, 2)
     result = jnp.real((pairs[:, 0] - pairs[:, 1]) * jnp.conj(h_est))
     signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
-    return _diff_decode(signs)
+    h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
+    margin = jnp.mean(jnp.abs(result)) / jnp.maximum(h2, 1e-12)
+    return _diff_decode(signs), margin
+
+
+def rn16_detect(
+    frame: jnp.ndarray, index: jnp.ndarray, h_est: jnp.ndarray, cfg: ReaderConfig
+) -> jnp.ndarray:
+    """Decode 16 RN16 bits from a synced frame (tag_decoder_impl.cc:237-268)."""
+    return rn16_detect_soft(frame, index, h_est, cfg)[0]
 
 
 def epc_period_grid(cfg: ReaderConfig, number_steps: int = 20, n_probe: int = 256):
@@ -93,4 +109,5 @@ def epc_detect(
 
 
 rn16_detect_batch = jax.vmap(rn16_detect, in_axes=(0, 0, 0, None))
+rn16_detect_soft_batch = jax.vmap(rn16_detect_soft, in_axes=(0, 0, 0, None))
 epc_detect_batch = jax.vmap(epc_detect, in_axes=(0, 0, 0, 0, None))

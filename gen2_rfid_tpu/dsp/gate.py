@@ -46,6 +46,7 @@ class GateEvents(NamedTuple):
     dc: jnp.ndarray       # (max_events,) complex64 DC estimate at the event
     valid: jnp.ndarray    # (max_events,) bool
     n_events: jnp.ndarray  # () int32
+    noise_var: jnp.ndarray  # (max_events,) f32 CW noise power at the event
 
 
 def _last_le(mask: jnp.ndarray, values: jnp.ndarray, fill) -> jnp.ndarray:
@@ -181,11 +182,21 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     ev = jnp.full((cap,), n, i32).at[slot].set(trig_sample, mode="drop")
     valid = ev < n
     ev_c = jnp.minimum(ev, n - 1)
+    # Noise power estimate from the quiet CW preceding each event:
+    # var = mean|y|^2 - |mean y|^2 over the DC window (slot classification).
+    msq = moving_sum(jnp.abs(y).astype(jnp.float32) ** 2, cfg.dc_length) / (
+        jnp.float32(cfg.dc_length)
+    )
+    nv = jnp.maximum(
+        msq[ev_c] - (jnp.real(dcs[ev_c]) ** 2 + jnp.imag(dcs[ev_c]) ** 2),
+        1e-12,
+    )
     return GateEvents(
         index=ev.astype(i32),   # invalid slots keep index n (sorts last)
         dc=dcs[ev_c],
         valid=valid,
         n_events=jnp.sum(trig.astype(i32)),
+        noise_var=nv,
     )
 
 
@@ -239,9 +250,15 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     ev = jnp.sort(trig_sample)[: cfg.max_events]
     valid = ev < n
     ev_c = jnp.minimum(ev, n - 1)
+    msq = moving_sum(amp ** 2, cfg.dc_length) / jnp.float32(cfg.dc_length)
+    nv = jnp.maximum(
+        msq[ev_c] - (jnp.real(dcs[ev_c]) ** 2 + jnp.imag(dcs[ev_c]) ** 2),
+        1e-12,
+    )
     return GateEvents(
         index=ev_c.astype(jnp.int32),
         dc=dcs[ev_c],
         valid=valid,
         n_events=jnp.sum(trig.astype(jnp.int32)),
+        noise_var=nv,
     )

@@ -115,20 +115,32 @@ def miller_detect(
         return qs[jnp.argmax(e)]
 
     q = jax.vmap(segment)(jnp.arange(n_seg)).reshape(-1)[: 2 * n_bits]
-    s = jnp.sign(jnp.real(q * jnp.conj(h_est)))
+    stat = jnp.real(q * jnp.conj(h_est))
+    s = jnp.sign(stat)
     bits = (s[0::2] != s[1::2]).astype(jnp.int32)
-    return bits, d
+    # Decision margin ~1 for a clean single tag: {0,h} chips alternating
+    # with the subcarrier give |stat| = (m/2)*|h|^2 per half-bit; lower
+    # under collisions - see fm0.rn16_detect_soft.
+    h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
+    margin = jnp.mean(jnp.abs(stat)) / jnp.maximum(0.5 * m * h2, 1e-12)
+    return bits, d, margin
 
 
 def miller_rn16(frame, index, h, cfg):
-    bits, _ = miller_detect(frame, index, h, cfg, 16)
-    return bits
+    return miller_detect(frame, index, h, cfg, 16)[0]
+
+
+def miller_rn16_soft(frame, index, h, cfg):
+    bits, _, margin = miller_detect(frame, index, h, cfg, 16)
+    return bits, margin
 
 
 def miller_epc(frame, index, h, cfg):
-    return miller_detect(frame, index, h, cfg, cfg.epc_data_bits)
+    bits, chip, _ = miller_detect(frame, index, h, cfg, cfg.epc_data_bits)
+    return bits, chip
 
 
 miller_sync_batch = jax.vmap(miller_sync, in_axes=(0, None))
 miller_rn16_batch = jax.vmap(miller_rn16, in_axes=(0, 0, 0, None))
+miller_rn16_soft_batch = jax.vmap(miller_rn16_soft, in_axes=(0, 0, 0, None))
 miller_epc_batch = jax.vmap(miller_epc, in_axes=(0, 0, 0, None))

@@ -55,6 +55,31 @@ class DecodedEvents(NamedTuple):
     tag_id: jnp.ndarray     # (E,) int32 EPC bits[104:112]
     t_half: jnp.ndarray     # (E,) float32 estimated half period
     h_est: jnp.ndarray      # (E, 2) float32 channel estimate (re, im)
+    slot_state: jnp.ndarray  # (E,) int32: 0 empty / 1 single / 2 collision
+    rn16_energy: jnp.ndarray  # (E,) f32 mean |window|^2 over the RN16 window
+    rn16_margin: jnp.ndarray  # (E,) f32 FM0/Miller decision margin
+
+
+SLOT_EMPTY, SLOT_SINGLE, SLOT_COLLISION = 0, 1, 2
+
+
+def classify_slots(energy, margin, noise_var,
+                   energy_factor: float = 4.0, margin_thresh: float = 0.55):
+    """Slot-state classifier on RN16 reply windows (new capability: the
+    reference only ever learns a slot failed via the EPC CRC,
+    tag_decoder_impl.cc:366-387).
+
+    empty:     reply-window energy below ``energy_factor`` x the CW noise
+               power the gate measured just before the reply;
+    single:    energy present and the per-bit decision margin is high;
+    collision: energy present but superposed replies crush the margin.
+    """
+    occupied = energy >= energy_factor * noise_var
+    return jnp.where(
+        occupied,
+        jnp.where(margin >= margin_thresh, SLOT_SINGLE, SLOT_COLLISION),
+        SLOT_EMPTY,
+    ).astype(jnp.int32)
 
 
 def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
@@ -76,27 +101,27 @@ def _decode_frames(frames, magn2, cfg):
     """Sync + RN16 + EPC decode of a batch of (W,) windows."""
     if cfg.miller_m == 1:
         index, h_est = sync.tag_sync_batch(frames, cfg)
-        rn16_bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
+        rn16_bits, margin = fm0.rn16_detect_soft_batch(frames, index, h_est, cfg)
         epc_bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
     else:
         from ..dsp import miller
 
         index, h_est = miller.miller_sync_batch(frames, cfg)
-        rn16_bits = miller.miller_rn16_batch(frames, index, h_est, cfg)
+        rn16_bits, margin = miller.miller_rn16_soft_batch(frames, index, h_est, cfg)
         epc_bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
-    return rn16_bits, epc_bits, t_half, h_est
+    return rn16_bits, epc_bits, t_half, h_est, margin
 
 
 def _decode_rn16_frames(frames, cfg):
     if cfg.miller_m == 1:
         index, h_est = sync.tag_sync_batch(frames, cfg)
-        bits = fm0.rn16_detect_batch(frames, index, h_est, cfg)
+        bits, margin = fm0.rn16_detect_soft_batch(frames, index, h_est, cfg)
     else:
         from ..dsp import miller
 
         index, h_est = miller.miller_sync_batch(frames, cfg)
-        bits = miller.miller_rn16_batch(frames, index, h_est, cfg)
-    return bits, h_est
+        bits, margin = miller.miller_rn16_soft_batch(frames, index, h_est, cfg)
+    return bits, h_est, margin
 
 
 def _decode_epc_frames(frames, magn2, cfg):
@@ -140,8 +165,10 @@ def decode_events(
     """
     if not specialize:
         frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
-        rn16_bits, epc_bits, t_half, h_est = _decode_frames(frames, magn2, cfg)
+        rn16_bits, epc_bits, t_half, h_est, margin = _decode_frames(
+            frames, magn2, cfg)
         epc_pass = check_epc_crc_batch(epc_bits)
+        energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
         return DecodedEvents(
             index=events.index,
             valid=events.valid,
@@ -153,6 +180,9 @@ def decode_events(
             tag_id=_tag_ids(epc_bits),
             t_half=t_half,
             h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
+            slot_state=classify_slots(energy, margin, events.noise_var),
+            rn16_energy=energy,
+            rn16_margin=margin,
         )
 
     n = y.shape[0]
@@ -184,13 +214,16 @@ def decode_events(
         m2 = (jnp.real(fr) ** 2 + jnp.imag(fr) ** 2).astype(jnp.float32)
         return fr, m2
 
-    q_frames, _ = gather_windows(q_rows, cfg.rn16_window)
+    q_frames, q_magn2 = gather_windows(q_rows, cfg.rn16_window)
     a_frames, a_magn2 = gather_windows(a_rows, cfg.epc_window)
 
-    q_bits, q_h = _decode_rn16_frames(q_frames, cfg)
+    q_bits, q_h, q_margin = _decode_rn16_frames(q_frames, cfg)
     a_bits, a_thalf, a_h = _decode_epc_frames(a_frames, a_magn2, cfg)
     a_pass = check_epc_crc_batch(a_bits)
     a_tid = _tag_ids(a_bits)
+    q_energy = jnp.mean(q_magn2, axis=1)
+    nv_pad = jnp.concatenate([events.noise_var, jnp.ones((1,), jnp.float32)])
+    q_state = classify_slots(q_energy, q_margin, nv_pad[jnp.minimum(q_rows, cap)])
 
     # Scatter per-role results back to full-table layout.
     def scatter(rows, vals, init):
@@ -206,6 +239,13 @@ def decode_events(
     h_full = h_full.at[jnp.minimum(a_rows, cap)].set(a_h, mode="drop")
     h_full = h_full[:cap]
 
+    slot_state = scatter(
+        q_rows, q_state, jnp.full((cap + 1,), -1, i32))[:cap]
+    rn16_energy = scatter(
+        q_rows, q_energy, jnp.zeros((cap + 1,), jnp.float32))[:cap]
+    rn16_margin = scatter(
+        q_rows, q_margin, jnp.zeros((cap + 1,), jnp.float32))[:cap]
+
     rn16_fits = events.valid & (events.index + cfg.rn16_window <= n)
     epc_fits = events.valid & (events.index + cfg.epc_window <= n)
     return DecodedEvents(
@@ -219,6 +259,9 @@ def decode_events(
         tag_id=tag_id,
         t_half=t_half,
         h_est=jnp.stack([jnp.real(h_full), jnp.imag(h_full)], axis=-1),
+        slot_state=slot_state,
+        rn16_energy=rn16_energy,
+        rn16_margin=rn16_margin,
     )
 
 
@@ -237,8 +280,8 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
 
     def step(carry, xs):
         (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
-         n_rounds, term) = carry
-        idx, valid, rn_fit, epc_fit, ok, tid = xs
+         n_rounds, term, slot_counts) = carry
+        idx, valid, rn_fit, epc_fit, ok, tid, sstate = xs
 
         term = term | (n_q > cfg.max_num_queries) | (n_uni > cfg.max_unique_tags)
         live = valid & jnp.logical_not(term) & (idx >= ptr)
@@ -249,6 +292,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         is_a = proc & expect_epc                    # ACK + EPC window
 
         n_q = n_q + is_q.astype(i32)
+        slot_counts = slot_counts.at[jnp.clip(sstate, 0, 2)].add(is_q.astype(i32))
 
         # EPC branch: slot++, CRC verdict, then round bookkeeping.
         slot_a = slot + 1
@@ -271,7 +315,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         )
         n_ok = n_ok + passed.astype(i32)
         carry = (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
-                 n_rounds, term)
+                 n_rounds, term, slot_counts)
         return carry, None
 
     init = (
@@ -286,11 +330,13 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         jnp.zeros((e,), i32),
         i32(0),
         jnp.array(False),
+        jnp.zeros((3,), i32),
     )
     xs = (dec.index, dec.valid, dec.rn16_fits, dec.epc_fits, dec.epc_pass,
-          dec.tag_id)
+          dec.tag_id, dec.slot_state)
     carry, _ = jax.lax.scan(step, init, xs)
-    (_, _, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term) = carry
+    (_, _, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term,
+     slot_counts) = carry
     return InventoryStats(
         n_queries=n_q,
         cur_inventory_round=rnd,
@@ -301,6 +347,9 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         n_rounds_closed=n_rounds,
         n_events=jnp.sum(dec.valid.astype(i32)),
         terminated=term,
+        n_slot_empty=slot_counts[0],
+        n_slot_single=slot_counts[1],
+        n_slot_collision=slot_counts[2],
     )
 
 
@@ -379,6 +428,7 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
         uni_hist = jnp.zeros((e,), i32).at[
             jnp.where(wrap, round_idx, e)
         ].add(uni_run, mode="drop")
+        qs = proc & role_q
         return InventoryStats(
             n_queries=n_q,
             cur_inventory_round=rnd,
@@ -389,6 +439,9 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
             n_rounds_closed=n_rounds,
             n_events=jnp.sum(valid.astype(i32)),
             terminated=jnp.array(False),
+            n_slot_empty=jnp.sum((qs & (dec.slot_state == 0)).astype(i32)),
+            n_slot_single=jnp.sum((qs & (dec.slot_state == 1)).astype(i32)),
+            n_slot_collision=jnp.sum((qs & (dec.slot_state == 2)).astype(i32)),
         )
 
     def slow(_):

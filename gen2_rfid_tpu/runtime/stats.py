@@ -27,6 +27,11 @@ class InventoryStats(NamedTuple):
     n_rounds_closed: jnp.ndarray    # () int32
     n_events: jnp.ndarray           # () int32 gate events seen
     terminated: jnp.ndarray         # () bool
+    # Slot-state accounting over Query/QueryRep reply windows (new
+    # capability; see runtime.inventory.classify_slots).
+    n_slot_empty: jnp.ndarray = np.int32(0)      # () int32
+    n_slot_single: jnp.ndarray = np.int32(0)     # () int32
+    n_slot_collision: jnp.ndarray = np.int32(0)  # () int32
 
 
 def unique_tags(stats: InventoryStats) -> int:
@@ -47,6 +52,9 @@ def merge_stats(a: InventoryStats, b: InventoryStats) -> InventoryStats:
         n_rounds_closed=a.n_rounds_closed + b.n_rounds_closed,
         n_events=a.n_events + b.n_events,
         terminated=jnp.logical_or(a.terminated, b.terminated),
+        n_slot_empty=a.n_slot_empty + b.n_slot_empty,
+        n_slot_single=a.n_slot_single + b.n_slot_single,
+        n_slot_collision=a.n_slot_collision + b.n_slot_collision,
     )
 
 

@@ -70,7 +70,8 @@ class StreamDecoder:
             & (events.index >= self.hl_y)
             & (events.index < self.hl_y + self.chunk_y)
         )
-        events = GateEvents(events.index, events.dc, owned, events.n_events)
+        events = GateEvents(events.index, events.dc, owned, events.n_events,
+                            events.noise_var)
         dec = decode_events(y, events, cfg)
         return dec._replace(valid=owned)
 

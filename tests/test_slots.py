@@ -1,0 +1,53 @@
+"""Slot-state classification: empty / single / collision (new capability).
+
+The reference learns about bad slots only when the EPC CRC fails
+(tag_decoder_impl.cc:366-387); the classifier uses the reply-window energy
+vs the gate's CW noise estimate (empty) and the FM0 decision margin
+(collision).  Phase-aligned colliders are physically ambiguous, so the test
+uses seeds with distinct backscatter phases.
+"""
+
+import collections
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.runtime.inventory import decode_capture
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+
+def _truth(tr):
+    c = collections.Counter()
+    for e in tr.events:
+        if e.kind in ("query", "query_rep"):
+            c["collision" if e.collided else
+              ("single" if e.reply_tag is not None else "empty")] += 1
+    return c
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_slot_classification_q2(seed):
+    cfg = ReaderConfig(fixed_q=2, max_events=128)
+    tags = [
+        Tag.with_id(i + 1, seed=i + seed,
+                    backscatter=0.08 * np.exp(1j * (i + seed)))
+        for i in range(3)
+    ]
+    tr = synthesize_inventory(cfg, tags, n_rounds=8, seed=seed)
+    stats, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    truth = _truth(tr)
+    assert int(stats.n_slot_empty) == truth["empty"]
+    assert int(stats.n_slot_single) == truth["single"]
+    assert int(stats.n_slot_collision) == truth["collision"]
+
+
+def test_single_tag_all_single():
+    cfg = ReaderConfig(max_events=64)
+    tr = synthesize_inventory(cfg, [Tag.with_id(9, seed=1)], n_rounds=5, seed=2)
+    stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(stats.n_slot_single) == 5
+    assert int(stats.n_slot_empty) == 0
+    assert int(stats.n_slot_collision) == 0
