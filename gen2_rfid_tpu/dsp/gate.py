@@ -47,6 +47,7 @@ class GateEvents(NamedTuple):
     valid: jnp.ndarray    # (max_events,) bool
     n_events: jnp.ndarray  # () int32
     noise_var: jnp.ndarray  # (max_events,) f32 CW noise power at the event
+    n_pulses: jnp.ndarray  # (max_events,) i32 PIE pulses of the command
 
 
 def _last_le(mask: jnp.ndarray, values: jnp.ndarray, fill) -> jnp.ndarray:
@@ -165,7 +166,11 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     # effective strictly after the triggering rise.
     t_shift = jnp.concatenate([jnp.zeros((1,), i32),
                                jnp.where(trig, rise_count, i32(0))[:-1]])
-    trig = triggers_from(jnp.maximum(reset0, t_shift))
+    reset2 = jnp.maximum(reset0, t_shift)
+    trig = triggers_from(reset2)
+    # Per-sample pulse count (used below to tag each event with its
+    # command's PIE pulse count - the basis of command classification).
+    pulses_at = rise_count - jax.lax.cummax(reset2)
 
     trig_sample = jnp.where(trig, arange + nt1 + 1, i32(n))
 
@@ -191,12 +196,16 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
         msq[ev_c] - (jnp.real(dcs[ev_c]) ** 2 + jnp.imag(dcs[ev_c]) ** 2),
         1e-12,
     )
+    # The trigger sample sits nt1+1 after the command's final rise, where
+    # pulses_at still holds that command's pulse count.
+    rise_of_ev = jnp.maximum(ev_c - (nt1 + 1), 0)
     return GateEvents(
         index=ev.astype(i32),   # invalid slots keep index n (sorts last)
         dc=dcs[ev_c],
         valid=valid,
         n_events=jnp.sum(trig.astype(i32)),
         noise_var=nv,
+        n_pulses=pulses_at[rise_of_ev].astype(i32),
     )
 
 
@@ -232,6 +241,7 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
         n_samp = jnp.where(to_neg | to_pos, 0, n_samp)
         state = jnp.where(to_neg, -1, jnp.where(to_pos, 1, state))
         trig = closed & (n_samp > nt1) & (state == 1) & (pulses > npc)
+        pulses_out = pulses
         pulses = jnp.where(trig, 0, pulses)
         n_samp = jnp.where(trig, 0, n_samp)  # reference re-zeroes on next seek
         window = jnp.where(next_epc, cfg.epc_window, cfg.rn16_window)
@@ -239,11 +249,11 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
             trig, window - 1, jnp.maximum(open_rem - 1, 0)
         )
         next_epc = jnp.where(trig, jnp.logical_not(next_epc), next_epc)
-        return (state, n_samp, pulses, open_rem, next_epc), trig
+        return (state, n_samp, pulses, open_rem, next_epc), (trig, pulses_out)
 
     init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
             jnp.array(False))
-    _, trig = jax.lax.scan(
+    _, (trig, pulses_out) = jax.lax.scan(
         step, init, (amp, thresh, jnp.arange(n, dtype=jnp.int32))
     )
     trig_sample = jnp.where(trig, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
@@ -261,4 +271,5 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
         valid=valid,
         n_events=jnp.sum(trig.astype(jnp.int32)),
         noise_var=nv,
+        n_pulses=pulses_out[ev_c].astype(jnp.int32),
     )

@@ -58,26 +58,75 @@ class DecodedEvents(NamedTuple):
     slot_state: jnp.ndarray  # (E,) int32: 0 empty / 1 single / 2 collision
     rn16_energy: jnp.ndarray  # (E,) f32 mean |window|^2 over the RN16 window
     rn16_margin: jnp.ndarray  # (E,) f32 FM0/Miller decision margin
+    cmd_type: jnp.ndarray    # (E,) int32 classified command (CMD_*)
 
 
 SLOT_EMPTY, SLOT_SINGLE, SLOT_COLLISION = 0, 1, 2
+CMD_QUERY, CMD_QREP, CMD_ACK, CMD_QADJ, CMD_NAK, CMD_UNKNOWN = 0, 1, 2, 3, 4, 5
 
 
-def classify_slots(energy, margin, noise_var,
-                   energy_factor: float = 4.0, margin_thresh: float = 0.55):
+def expected_pulse_counts(cfg: ReaderConfig) -> np.ndarray:
+    """PIE pulse count per command type (order: CMD_QUERY..CMD_NAK).
+
+    Every PIE symbol ends low, so each bit contributes exactly one rising
+    edge, plus 4 preamble rises for Query (delim/data0/RTcal/TRcal ends)
+    and 3 frame-sync rises for the rest (reader_impl.cc:98-128).
+    """
+    return np.array(
+        [4 + cfg.query_length,            # Query: preamble + 22 bits
+         3 + 4,                            # QueryRep: frame-sync + 4 bits
+         3 + 2 + 16,                       # ACK: frame-sync + 18 bits
+         3 + 9,                            # QueryAdjust: frame-sync + 9 bits
+         3 + 8],                           # NAK: frame-sync + 8 bits
+        dtype=np.int32,
+    )
+
+
+def classify_commands(n_pulses: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
+    """Classify gate events by their command's pulse count.
+
+    New capability: the reference never looks at its own TX in the capture
+    (it knows what it sent); the batch decoder recovers the command schedule
+    from the pulse trains themselves, enabling command-aware accounting and
+    adaptive-Q trace decode.  Counts within +-1 of a unique expected value
+    match (the stream's very first command can pick up one startup edge);
+    ambiguous counts are CMD_UNKNOWN.
+    """
+    table = jnp.asarray(expected_pulse_counts(cfg))
+    diff = jnp.abs(n_pulses[:, None] - table[None, :])
+    best = jnp.argmin(diff, axis=1).astype(jnp.int32)
+    dmin = jnp.min(diff, axis=1)
+    second = jnp.sort(diff, axis=1)[:, 1]
+    ok = (dmin <= 1) & (second > dmin)
+    return jnp.where(ok, best, jnp.int32(CMD_UNKNOWN))
+
+
+def classify_slots(energy, margin, noise_var, h2,
+                   energy_factor: float = 4.0, margin_thresh: float = 0.68,
+                   excess_factor: float = 0.45):
     """Slot-state classifier on RN16 reply windows (new capability: the
     reference only ever learns a slot failed via the EPC CRC,
     tag_decoder_impl.cc:366-387).
 
     empty:     reply-window energy below ``energy_factor`` x the CW noise
                power the gate measured just before the reply;
-    single:    energy present and the per-bit decision margin is high;
-    collision: energy present but superposed replies crush the margin.
+    collision: energy present but either (a) the per-bit decision margin is
+               crushed (coherently superposed replies with disagreeing
+               bits), or (b) the energy/|h_est|^2 ratio exceeds a single
+               tag's ~0.37-0.42 (misaligned replies decohere the preamble
+               so |h_est|^2 collapses while energy stays high; two roughly
+               coherent tags roughly double the energy);
+    single:    otherwise.  Phase-aligned equal-amplitude colliders are
+               physically near-indistinguishable from one tag and may pass
+               as single.
     """
     occupied = energy >= energy_factor * noise_var
+    collision = (margin < margin_thresh) | (
+        energy > excess_factor * jnp.maximum(h2, 1e-12)
+    )
     return jnp.where(
         occupied,
-        jnp.where(margin >= margin_thresh, SLOT_SINGLE, SLOT_COLLISION),
+        jnp.where(collision, SLOT_COLLISION, SLOT_SINGLE),
         SLOT_EMPTY,
     ).astype(jnp.int32)
 
@@ -169,6 +218,7 @@ def decode_events(
             frames, magn2, cfg)
         epc_pass = check_epc_crc_batch(epc_bits)
         energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
+        h2_all = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
         return DecodedEvents(
             index=events.index,
             valid=events.valid,
@@ -180,9 +230,10 @@ def decode_events(
             tag_id=_tag_ids(epc_bits),
             t_half=t_half,
             h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
-            slot_state=classify_slots(energy, margin, events.noise_var),
+            slot_state=classify_slots(energy, margin, events.noise_var, h2_all),
             rn16_energy=energy,
             rn16_margin=margin,
+            cmd_type=classify_commands(events.n_pulses, cfg),
         )
 
     n = y.shape[0]
@@ -223,7 +274,9 @@ def decode_events(
     a_tid = _tag_ids(a_bits)
     q_energy = jnp.mean(q_magn2, axis=1)
     nv_pad = jnp.concatenate([events.noise_var, jnp.ones((1,), jnp.float32)])
-    q_state = classify_slots(q_energy, q_margin, nv_pad[jnp.minimum(q_rows, cap)])
+    q_h2 = jnp.real(q_h) ** 2 + jnp.imag(q_h) ** 2
+    q_state = classify_slots(q_energy, q_margin, nv_pad[jnp.minimum(q_rows, cap)],
+                             q_h2)
 
     # Scatter per-role results back to full-table layout.
     def scatter(rows, vals, init):
@@ -262,6 +315,7 @@ def decode_events(
         slot_state=slot_state,
         rn16_energy=rn16_energy,
         rn16_margin=rn16_margin,
+        cmd_type=classify_commands(events.n_pulses, cfg),
     )
 
 
@@ -280,8 +334,8 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
 
     def step(carry, xs):
         (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
-         n_rounds, term, slot_counts) = carry
-        idx, valid, rn_fit, epc_fit, ok, tid, sstate = xs
+         n_rounds, term, slot_counts, cmd_counts) = carry
+        idx, valid, rn_fit, epc_fit, ok, tid, sstate, ctype = xs
 
         term = term | (n_q > cfg.max_num_queries) | (n_uni > cfg.max_unique_tags)
         live = valid & jnp.logical_not(term) & (idx >= ptr)
@@ -293,6 +347,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
 
         n_q = n_q + is_q.astype(i32)
         slot_counts = slot_counts.at[jnp.clip(sstate, 0, 2)].add(is_q.astype(i32))
+        cmd_counts = cmd_counts.at[jnp.clip(ctype, 0, 5)].add(proc.astype(i32))
 
         # EPC branch: slot++, CRC verdict, then round bookkeeping.
         slot_a = slot + 1
@@ -315,7 +370,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         )
         n_ok = n_ok + passed.astype(i32)
         carry = (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
-                 n_rounds, term, slot_counts)
+                 n_rounds, term, slot_counts, cmd_counts)
         return carry, None
 
     init = (
@@ -331,12 +386,13 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         i32(0),
         jnp.array(False),
         jnp.zeros((3,), i32),
+        jnp.zeros((6,), i32),
     )
     xs = (dec.index, dec.valid, dec.rn16_fits, dec.epc_fits, dec.epc_pass,
-          dec.tag_id, dec.slot_state)
+          dec.tag_id, dec.slot_state, dec.cmd_type)
     carry, _ = jax.lax.scan(step, init, xs)
     (_, _, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term,
-     slot_counts) = carry
+     slot_counts, cmd_counts) = carry
     return InventoryStats(
         n_queries=n_q,
         cur_inventory_round=rnd,
@@ -350,6 +406,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         n_slot_empty=slot_counts[0],
         n_slot_single=slot_counts[1],
         n_slot_collision=slot_counts[2],
+        cmd_counts=cmd_counts,
     )
 
 
@@ -429,6 +486,9 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
             jnp.where(wrap, round_idx, e)
         ].add(uni_run, mode="drop")
         qs = proc & role_q
+        cmd_counts = jnp.zeros((6,), i32).at[
+            jnp.where(proc, jnp.clip(dec.cmd_type, 0, 5), 6)
+        ].add(1, mode="drop")
         return InventoryStats(
             n_queries=n_q,
             cur_inventory_round=rnd,
@@ -442,6 +502,7 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
             n_slot_empty=jnp.sum((qs & (dec.slot_state == 0)).astype(i32)),
             n_slot_single=jnp.sum((qs & (dec.slot_state == 1)).astype(i32)),
             n_slot_collision=jnp.sum((qs & (dec.slot_state == 2)).astype(i32)),
+            cmd_counts=cmd_counts,
         )
 
     def slow(_):

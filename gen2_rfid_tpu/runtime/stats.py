@@ -32,6 +32,8 @@ class InventoryStats(NamedTuple):
     n_slot_empty: jnp.ndarray = np.int32(0)      # () int32
     n_slot_single: jnp.ndarray = np.int32(0)     # () int32
     n_slot_collision: jnp.ndarray = np.int32(0)  # () int32
+    # Processed events by classified command type (CMD_QUERY..CMD_UNKNOWN).
+    cmd_counts: jnp.ndarray = np.zeros(6, np.int32)  # (6,) int32
 
 
 def unique_tags(stats: InventoryStats) -> int:
@@ -55,6 +57,7 @@ def merge_stats(a: InventoryStats, b: InventoryStats) -> InventoryStats:
         n_slot_empty=a.n_slot_empty + b.n_slot_empty,
         n_slot_single=a.n_slot_single + b.n_slot_single,
         n_slot_collision=a.n_slot_collision + b.n_slot_collision,
+        cmd_counts=a.cmd_counts + b.cmd_counts,
     )
 
 

@@ -70,8 +70,7 @@ class StreamDecoder:
             & (events.index >= self.hl_y)
             & (events.index < self.hl_y + self.chunk_y)
         )
-        events = GateEvents(events.index, events.dc, owned, events.n_events,
-                            events.noise_var)
+        events = events._replace(valid=owned)
         dec = decode_events(y, events, cfg)
         return dec._replace(valid=owned)
 

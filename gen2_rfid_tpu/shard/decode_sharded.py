@@ -115,8 +115,7 @@ def _shard_body(
         n_y = n_loc // cfg.decim
         events = gate_detect(y_ext, cap_cfg)
         owned = events.valid & (events.index >= hl_y) & (events.index < hl_y + n_y)
-        events = GateEvents(events.index, events.dc, owned, events.n_events,
-                    events.noise_var)
+        events = events._replace(valid=owned)
         dec = decode_events(y_ext, events, cfg)
         g0 = me.astype(jnp.int32) * n_y - hl_y
         return dec._replace(
@@ -133,7 +132,7 @@ def _event_out_specs() -> DecodedEvents:
     return DecodedEvents(
         index=r2, valid=r2, rn16_fits=r2, epc_fits=r2,
         rn16_bits=r3, epc_bits=r3, epc_pass=r2, tag_id=r2, t_half=r2, h_est=r3,
-        slot_state=r2, rn16_energy=r2, rn16_margin=r2,
+        slot_state=r2, rn16_energy=r2, rn16_margin=r2, cmd_type=r2,
     )
 
 

@@ -221,6 +221,129 @@ def synthesize_inventory(
     )
 
 
+def synthesize_adaptive_inventory(
+    cfg: ReaderConfig,
+    tags: Sequence[Tag],
+    n_slots: int,
+    *,
+    q_init: int = 2,
+    q_c: float = 0.35,
+    leak: complex = 1.0,
+    noise: float = 0.004,
+    tag_t1_us: float = 262.5,
+    seed: int = 77,
+) -> SynthesizedTrace:
+    """Closed-loop inventory with the Gen2 Annex D Q-algorithm.
+
+    The reference ships QueryAdjust synthesis and the Q_UPDN table but pins
+    FIXED_Q and never adjusts (reader_impl.cc:156-162, global_vars.h:130-133);
+    this simulator drives the classic adaptation: Qfp += C on a collision,
+    -= C on an empty slot; when round(Qfp) changes the reader issues
+    QueryAdjust (starting a new round, tags redraw slots), otherwise it
+    walks the remaining slots with QueryRep and starts the next round with
+    Query.
+    """
+    rng = np.random.default_rng(seed)
+    enc = PieEncoder(cfg)
+    w = _Writer(cfg, leak)
+    chip_us = cfg.tag_bit_us / (2 * cfg.miller_m)
+    events: List[TraceEvent] = []
+    expected_pass = 0
+    tag_reads: Dict[int, int] = {}
+
+    lead_cw_us = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
+    w.append_cw_with_reply(lead_cw_us, None, 0.0, 0.0, chip_us)
+
+    qfp = float(q_init)
+    q = q_init
+    slots_left = 0
+    next_cmd = "query"
+
+    for _ in range(n_slots):
+        # ---- command opening this slot ----
+        if next_cmd == "query":
+            cmd, kind = enc.query(), "query"
+            slots_left = 2**q
+            slot_draws = [t.draw_slot(q) for t in tags]
+            slot_no = 0
+        elif next_cmd == "query_adjust":
+            updn = +1 if round(qfp) > q else (-1 if round(qfp) < q else 0)
+            q = int(np.clip(round(qfp), 0, 15))
+            cmd, kind = enc.query_adjust(updn), "query_adjust"
+            slots_left = 2**q
+            slot_draws = [t.draw_slot(q) for t in tags]
+            slot_no = 0
+        else:
+            cmd, kind = enc.query_rep(), "query_rep"
+            slot_no += 1
+
+        responders = [i for i, sl in enumerate(slot_draws) if sl == slot_no]
+        single = len(responders) == 1
+        tag_i = responders[0] if single else None
+
+        c0 = w.append_envelope(cmd)
+        c1 = w.n
+        rn16 = (tags[tag_i].draw_rn16() if single
+                else rng.integers(0, 2, 16).astype(np.int64))
+        reply = reply_chips(cfg, rn16) if single else None
+        bs = tags[tag_i].backscatter if single else 0.0
+        cw_q_us = cfg.t1_us + cfg.t2_us + cfg.rn16_us
+        if responders and not single:
+            start = w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
+            seg = w.parts[-1]
+            d = chip_us * w.sp_us
+            for i in responders:
+                r = reply_chips(cfg, tags[i].draw_rn16())
+                off = int(round((tag_t1_us + rng.uniform(0, 5)) * w.sp_us))
+                bounds = np.round(off + d * np.arange(r.size + 1)).astype(np.int64)
+                for k in range(r.size):
+                    lo, hi = bounds[k], min(bounds[k + 1], seg.size)
+                    if r[k] and lo < seg.size:
+                        seg[lo:hi] += np.complex64(tags[i].backscatter)
+        else:
+            w.append_cw_with_reply(cw_q_us, reply, tag_t1_us, bs, chip_us)
+        events.append(TraceEvent(kind, c0, c1, tag_i, rn16 if single else None,
+                                 collided=len(responders) > 1))
+
+        a0 = w.append_envelope(enc.ack(rn16))
+        frame = None
+        epc_reply = None
+        if single:
+            frame = tags[tag_i].epc_frame_bits()
+            expected_pass += 1
+            tid = int("".join(map(str, frame[104:112])), 2)
+            tag_reads[tid] = tag_reads.get(tid, 0) + 1
+            epc_reply = reply_chips(cfg, frame)
+        cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
+        w.append_cw_with_reply(
+            cw_a_us, epc_reply, tag_t1_us,
+            tags[tag_i].backscatter if single else 0.0, chip_us,
+        )
+        events.append(TraceEvent("ack", a0, w.n, tag_i, frame))
+
+        # ---- Q adaptation (Annex D) ----
+        if len(responders) > 1:
+            qfp = min(qfp + q_c, 15.0)
+        elif not responders:
+            qfp = max(qfp - q_c, 0.0)
+        slots_left -= 1
+        if round(qfp) != q:
+            next_cmd = "query_adjust"
+        elif slots_left <= 0:
+            next_cmd = "query"
+        else:
+            next_cmd = "query_rep"
+
+    w.append_cw_with_reply(1000.0, None, 0.0, 0.0, chip_us)
+    iq = w.concat(rng, noise)
+    return SynthesizedTrace(
+        iq=iq, events=events, n_slots=n_slots,
+        n_rounds=sum(1 for e in events if e.kind in ("query", "query_adjust")),
+        expected_epc_pass=expected_pass,
+        expected_tag_reads=tag_reads,
+    )
+
+
 def golden_trace(cfg: Optional[ReaderConfig] = None, seed: int = 1234) -> SynthesizedTrace:
     """Regenerate a file_source_test-equivalent capture.
 
