@@ -61,22 +61,41 @@ def cmd_decode(args) -> int:
         total = n
     dt = time.perf_counter() - t0
     print_results(stats)
+    if args.verbose:
+        import numpy as np
+
+        cc = np.asarray(stats.cmd_counts)
+        print(f"| Slots: {int(stats.n_slot_single)} single / "
+              f"{int(stats.n_slot_empty)} empty / "
+              f"{int(stats.n_slot_collision)} collision")
+        print(f"| Commands: {cc[0]} Query, {cc[1]} QueryRep, {cc[2]} ACK, "
+              f"{cc[3]} QueryAdjust, {cc[4]} NAK, {cc[5]} unknown")
     print(f"| Decoded {total} samples in {dt:.2f} s "
           f"({total / dt / 1e6:.1f} Msamples/s)")
     return 0
 
 
 def cmd_simulate(args) -> int:
+    import numpy as np
+
     from ..io.tracefile import write_trace
     from ..sim.tag import Tag
-    from ..sim.trace import synthesize_inventory
+    from ..sim.trace import synthesize_adaptive_inventory, synthesize_inventory
 
     cfg = _cfg_from_args(args)
-    tags = [Tag.with_id(t, seed=i) for i, t in enumerate(args.tags)]
-    tr = synthesize_inventory(
-        cfg, tags, n_rounds=args.rounds, seed=args.seed,
-        corrupt_slots=args.corrupt or (),
-    )
+    tags = [
+        Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+        for i, t in enumerate(args.tags)
+    ]
+    if args.adaptive:
+        tr = synthesize_adaptive_inventory(
+            cfg, tags, n_slots=args.rounds, q_init=args.q or 2, seed=args.seed
+        )
+    else:
+        tr = synthesize_inventory(
+            cfg, tags, n_rounds=args.rounds, seed=args.seed,
+            corrupt_slots=args.corrupt or (),
+        )
     write_trace(args.out, tr.iq)
     print(f"wrote {tr.iq.size} samples ({tr.iq.size * 8 / 1e6:.1f} MB) to "
           f"{args.out}; slots={tr.n_slots} expected_epc_pass={tr.expected_epc_pass}")
@@ -108,6 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--blf", type=float, help="backscatter link freq, kHz")
     d.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
     d.add_argument("--max-events", type=int)
+    d.add_argument("-v", "--verbose", action="store_true",
+                   help="print slot-state and command-type breakdowns")
     d.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("simulate", help="synthesize an inventory capture")
@@ -120,6 +141,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=1234)
     s.add_argument("--corrupt", type=int, nargs="*",
                    help="global slot indices whose EPC is corrupted")
+    s.add_argument("--adaptive", action="store_true",
+                   help="adaptive-Q (Annex D) closed loop; --rounds = slots")
     s.set_defaults(fn=cmd_simulate)
 
     g = sub.add_parser("golden", help="regenerate the golden test capture")

@@ -88,3 +88,14 @@ def test_termination_limit_queries():
     stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
     assert bool(stats.terminated)
     assert int(stats.n_queries) <= 12
+
+
+def test_golden_compat_mode():
+    """compat mode (reference-pinned arithmetic + paranoid both-role decode)
+    must reproduce the golden tuple too."""
+    cfg = ReaderConfig(mode="compat")
+    tr = golden_trace(cfg)
+    stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(stats.n_queries) == 71
+    assert int(stats.n_epc_correct) == 70
+    assert int(stats.tag_reads[27]) == 70
