@@ -50,6 +50,29 @@ class GateEvents(NamedTuple):
     n_pulses: jnp.ndarray  # (max_events,) i32 PIE pulses of the command
 
 
+def _event_window_stats(y: jnp.ndarray, ev_c: jnp.ndarray, w: int):
+    """(dc mean, noise variance) over the w samples ending at each event.
+
+    Computed per event from gathered windows rather than via running sums:
+    the naive var = mean|y|^2 - |mean y|^2 over a long-cumsum pipeline
+    cancels catastrophically in f32 (the CW power is ~6 orders above the
+    noise power), while the centered per-event form is exact.  Matches the
+    reference's circular-buffer DC mean (gate_impl.cc:141-143) which is the
+    plain mean of the last w closed samples.
+    """
+    i32 = jnp.int32
+    widx = jnp.maximum(
+        ev_c[:, None] - jnp.arange(w - 1, -1, -1, dtype=i32)[None, :], 0
+    )
+    win = y[widx]                                     # (cap, w) complex
+    dc = jnp.mean(win, axis=1)
+    cen = win - dc[:, None]
+    nv = jnp.maximum(
+        jnp.mean(jnp.real(cen) ** 2 + jnp.imag(cen) ** 2, axis=1), 1e-12
+    )
+    return dc, nv
+
+
 def _last_le(mask: jnp.ndarray, values: jnp.ndarray, fill) -> jnp.ndarray:
     """out[i] = values[j] for the largest j <= i with mask[j], else fill."""
     n = mask.shape[0]
@@ -147,36 +170,62 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
         quiet_after = shifted >= jnp.float32(nt1 + 1)
 
     disq = rise & jnp.logical_not(qualify)
-    rise_count = jnp.cumsum(rise.astype(i32))  # rises at or before i
 
-    def triggers_from(reset_vals: jnp.ndarray) -> jnp.ndarray:
-        last_reset = jax.lax.cummax(reset_vals)
-        pulses = rise_count - last_reset
-        return (
-            rise
-            & (pulses > npc)
-            & quiet_after
-            & (arange + nt1 + 1 < n)
+    if cfg.mode == "compat":
+        # Reference-faithful accumulation: pulses reset only at short rises
+        # and at triggers (gate_impl.cc:157-177), emulated with a two-pass
+        # fixed point over full-array scans.
+        rise_count = jnp.cumsum(rise.astype(i32))
+
+        def triggers_from(reset_vals: jnp.ndarray) -> jnp.ndarray:
+            last_reset = jax.lax.cummax(reset_vals)
+            pulses = rise_count - last_reset
+            return (rise & (pulses > npc) & quiet_after
+                    & (arange + nt1 + 1 < n))
+
+        reset0 = jnp.where(disq, rise_count, i32(0))
+        trig = triggers_from(reset0)
+        t_shift = jnp.concatenate([jnp.zeros((1,), i32),
+                                   jnp.where(trig, rise_count, i32(0))[:-1]])
+        reset2 = jnp.maximum(reset0, t_shift)
+        trig = triggers_from(reset2)
+        pulses_at = rise_count - jax.lax.cummax(reset2)
+    else:
+        # Native: pulses reset at every CW boundary (a T1-long all-above run
+        # always precedes a command, and every trigger is followed by one),
+        # which bounds the pulse-count lookback to one command span.  The
+        # whole counter machinery then runs block-locally: overlapping
+        # (nb, halo+B) tiles, per-row cumsum/cummax - no O(N) scans.  This
+        # also makes n_pulses the exact per-command count (better for
+        # command classification than the reference's cross-command
+        # accumulator).
+        cmd_us = (
+            cfg.delim_us + 2 * cfg.pw_us + 8 * cfg.pw_us + cfg.trcal_us
+            + cfg.query_length * 4 * cfg.pw_us + cfg.t1_us
         )
+        halo = -(-int(cmd_us * cfg.sample_rate / 1e6 + 128) // 128) * 128
+        blk = max(4096, 2 * halo)
 
-    # Pass 1: pulse resets from disqualifying (short) rises only.
-    reset0 = jnp.where(disq, rise_count, i32(0))
-    trig = triggers_from(reset0)
-    # Pass 2: add the reference's pulses=0-on-trigger (gate_impl.cc:177),
-    # effective strictly after the triggering rise.
-    t_shift = jnp.concatenate([jnp.zeros((1,), i32),
-                               jnp.where(trig, rise_count, i32(0))[:-1]])
-    reset2 = jnp.maximum(reset0, t_shift)
-    trig = triggers_from(reset2)
-    # Per-sample pulse count (used below to tag each event with its
-    # command's PIE pulse count - the basis of command classification).
-    pulses_at = rise_count - jax.lax.cummax(reset2)
+        # marker[i]: sample i ends an nt1+1-long all-above run (CW inside).
+        marker = above_run >= jnp.float32(nt1 + 1)
+
+        from .filters import _overlap_blocks
+
+        def ext(a):
+            return _overlap_blocks(a.astype(jnp.float32), blk, halo)
+
+        rise_e = ext(rise)
+        rc = jnp.cumsum(rise_e, axis=1)
+        reset_mask = jnp.maximum(ext(disq), ext(marker))
+        last_reset = jax.lax.cummax(
+            jnp.where(reset_mask > 0, rc, 0.0), axis=1
+        )
+        pulses_e = rc - last_reset
+        pulses_at = pulses_e[:, halo:].reshape(-1)[:n].astype(i32)
+        trig = (rise & (pulses_at > npc) & quiet_after
+                & (arange + nt1 + 1 < n))
 
     trig_sample = jnp.where(trig, arange + nt1 + 1, i32(n))
-
-    # DC estimate: mean of the dc_length samples ending at the event
-    # (gate_impl.cc:141-143; the window precedes any tag reply).
-    dcs = moving_sum_complex(y, cfg.dc_length) / jnp.complex64(cfg.dc_length)
 
     # Compact to fixed capacity: triggers are scattered to their prefix-count
     # slot (O(N), already in index order - a full sort would be O(N log N)
@@ -187,21 +236,15 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     ev = jnp.full((cap,), n, i32).at[slot].set(trig_sample, mode="drop")
     valid = ev < n
     ev_c = jnp.minimum(ev, n - 1)
-    # Noise power estimate from the quiet CW preceding each event:
-    # var = mean|y|^2 - |mean y|^2 over the DC window (slot classification).
-    msq = moving_sum(jnp.abs(y).astype(jnp.float32) ** 2, cfg.dc_length) / (
-        jnp.float32(cfg.dc_length)
-    )
-    nv = jnp.maximum(
-        msq[ev_c] - (jnp.real(dcs[ev_c]) ** 2 + jnp.imag(dcs[ev_c]) ** 2),
-        1e-12,
-    )
+    # DC mean + CW noise power over the dc window ending at each event
+    # (gate_impl.cc:141-143; the window precedes any tag reply).
+    dc, nv = _event_window_stats(y, ev_c, cfg.dc_length)
     # The trigger sample sits nt1+1 after the command's final rise, where
     # pulses_at still holds that command's pulse count.
     rise_of_ev = jnp.maximum(ev_c - (nt1 + 1), 0)
     return GateEvents(
         index=ev.astype(i32),   # invalid slots keep index n (sorts last)
-        dc=dcs[ev_c],
+        dc=dc,
         valid=valid,
         n_events=jnp.sum(trig.astype(i32)),
         noise_var=nv,
@@ -222,7 +265,6 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     amp = jnp.abs(y).astype(jnp.float32)
     avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
     thresh = avg * jnp.float32(cfg.thresh_fraction)
-    dcs = moving_sum_complex(y, cfg.dc_length) / jnp.complex64(cfg.dc_length)
 
     pw_half = cfg.n_samples_pw // 2
     nt1 = cfg.n_samples_t1
@@ -260,14 +302,10 @@ def gate_detect_scan(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     ev = jnp.sort(trig_sample)[: cfg.max_events]
     valid = ev < n
     ev_c = jnp.minimum(ev, n - 1)
-    msq = moving_sum(amp ** 2, cfg.dc_length) / jnp.float32(cfg.dc_length)
-    nv = jnp.maximum(
-        msq[ev_c] - (jnp.real(dcs[ev_c]) ** 2 + jnp.imag(dcs[ev_c]) ** 2),
-        1e-12,
-    )
+    dc, nv = _event_window_stats(y, ev_c, cfg.dc_length)
     return GateEvents(
         index=ev_c.astype(jnp.int32),
-        dc=dcs[ev_c],
+        dc=dc,
         valid=valid,
         n_events=jnp.sum(trig.astype(jnp.int32)),
         noise_var=nv,
