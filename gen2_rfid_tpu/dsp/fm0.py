@@ -10,6 +10,7 @@ row-sum, batched over frames.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -72,6 +73,25 @@ def epc_period_grid(cfg: ReaderConfig, number_steps: int = 20, n_probe: int = 25
     return cand, n_probe
 
 
+@functools.lru_cache(maxsize=32)
+def _energy_selection_matrix(cfg: ReaderConfig, number_steps: int = 20,
+                             n_probe: int = 256):
+    """(K, number_steps) 0/1 matrix S with S[p, t] = #{i : floor(i*T_t) == p}.
+
+    Turns the reference's 20 x 256 gather-and-sum energy grid
+    (tag_decoder_impl.cc:157-164) into one small matmul over the aligned
+    |frame|^2 window: energy = aligned @ S - XLA gathers are slow on TPU,
+    matmuls are free.
+    """
+    cand, _ = epc_period_grid(cfg, number_steps, n_probe)
+    k = int(np.floor(np.float32(n_probe - 1) * cand.max())) + 1
+    s = np.zeros((k, number_steps), dtype=np.float32)
+    for t in range(number_steps):
+        pos = (np.arange(n_probe, dtype=np.float32) * cand[t]).astype(np.int32)
+        np.add.at(s, (pos, t), 1.0)
+    return s, k
+
+
 def epc_detect(
     frame: jnp.ndarray,
     magn2: jnp.ndarray,
@@ -88,11 +108,12 @@ def epc_detect(
     cand, n_probe = epc_period_grid(cfg)
     candj = jnp.asarray(cand)
     w = magn2.shape[0]
-    # Energy grid: sum over 256 probe positions per candidate period.
-    i = jnp.arange(n_probe, dtype=jnp.float32)
-    pos = (i[None, :] * candj[:, None]).astype(jnp.float32)  # (20, 256), f32 mult
-    pidx = jnp.minimum(pos.astype(jnp.int32) + index, w - 1)
-    energy = jnp.sum(magn2[pidx], axis=1)
+    # Energy grid as a matmul: align the |frame|^2 window to the sync index,
+    # then one (K,) x (K, 20) contraction replaces 20x256 gathers.
+    sel, k = _energy_selection_matrix(cfg)
+    pidx = jnp.minimum(jnp.arange(k, dtype=jnp.int32) + index, w - 1)
+    aligned = magn2[pidx]                                    # (K,)
+    energy = aligned @ jnp.asarray(sel)                      # (20,)
     t_half = candj[jnp.argmax(energy)]
 
     # 128 differential samples at truncated float positions

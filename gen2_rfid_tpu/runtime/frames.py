@@ -12,10 +12,35 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import ReaderConfig
 from ..dsp.gate import GateEvents
+
+# Window starts are rounded down to multiples of this granule so frame
+# extraction gathers whole rows of a reshaped view (one gather index per
+# GRANULE samples instead of per sample - XLA scalar gathers are slow on
+# TPU).  The residual 0..GRANULE-1 start offset is absorbed by the
+# decoder's preamble sync search, whose slack covers reply-start jitter.
+GRANULE = 8
+
+
+def gather_aligned_windows(y: jnp.ndarray, starts: jnp.ndarray, width: int):
+    """(len(starts), width + GRANULE) windows at starts rounded down to the
+    granule; out-of-range rows clamp to the last row (masked by fits flags
+    downstream)."""
+    g = GRANULE
+    n = y.shape[0]
+    n_rows = -(-n // g)
+    yp = jnp.pad(y, (0, n_rows * g - n)).reshape(n_rows, g)
+    w_rows = width // g + 2
+    r0 = jnp.maximum(starts, 0) // g
+    rows = jnp.minimum(
+        r0[:, None] + jnp.arange(w_rows, dtype=jnp.int32)[None, :], n_rows - 1
+    )
+    out = yp[rows]                                   # (E, w_rows, g)
+    return out.reshape(starts.shape[0], w_rows * g)[:, : width + g]
 
 
 def extract_windows(
@@ -23,8 +48,7 @@ def extract_windows(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gather DC-corrected decode windows for all events.
 
-    Returns (frames (E, epc_window) complex64,
-             magn2 (E, epc_window) float32,
+    Returns (frames (E, epc_window + GRANULE) complex64, matching magn2,
              rn16_fits (E,) bool, epc_fits (E,) bool).
 
     Windows are gathered at the maximum (EPC) length; an RN16 decode only
@@ -34,9 +58,7 @@ def extract_windows(
     """
     n = y.shape[0]
     w = cfg.epc_window
-    pos = events.index[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
-    pos_c = jnp.minimum(pos, n - 1)
-    frames = y[pos_c] - events.dc[:, None]
+    frames = gather_aligned_windows(y, events.index, w) - events.dc[:, None]
     magn2 = jnp.real(frames) ** 2 + jnp.imag(frames) ** 2
     rn16_fits = events.valid & (events.index + cfg.rn16_window <= n)
     epc_fits = events.valid & (events.index + w <= n)

@@ -103,7 +103,7 @@ def classify_commands(n_pulses: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
 
 def classify_slots(energy, margin, noise_var, h2,
                    energy_factor: float = 4.0, margin_thresh: float = 0.68,
-                   excess_factor: float = 0.45):
+                   excess_factor: float = 0.42):
     """Slot-state classifier on RN16 reply windows (new capability: the
     reference only ever learns a slot failed via the EPC CRC,
     tag_decoder_impl.cc:366-387).
@@ -257,11 +257,11 @@ def decode_events(
     idx_pad = jnp.concatenate([events.index, jnp.full((1,), n, i32)])
     dc_pad = jnp.concatenate([events.dc, jnp.zeros((1,), events.dc.dtype)])
 
+    from .frames import gather_aligned_windows
+
     def gather_windows(rows, width):
-        start = idx_pad[rows]
-        pos = jnp.minimum(start[:, None] + jnp.arange(width, dtype=i32)[None, :],
-                          n - 1)
-        fr = y[pos] - dc_pad[rows][:, None]
+        start = jnp.minimum(idx_pad[rows], n - 1)
+        fr = gather_aligned_windows(y, start, width) - dc_pad[rows][:, None]
         m2 = (jnp.real(fr) ** 2 + jnp.imag(fr) ** 2).astype(jnp.float32)
         return fr, m2
 
