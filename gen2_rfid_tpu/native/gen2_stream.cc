@@ -80,7 +80,7 @@ class Engine {
   Engine(const Params& p) : p_(p) {
     win_.assign(p.win_length, 0.f);
     dcbuf_.assign(p.dc_length, cf(0.f, 0.f));
-    fir_hist_.assign(p.n_taps - 1, cf(0.f, 0.f));
+    fir_hist_.assign(p.n_taps, cf(0.f, 0.f));
     window_.reserve(p.epc_window);
     std::memset(&st_, 0, sizeof(st_));
     st_.cur_round = 1;
@@ -105,15 +105,22 @@ class Engine {
   // ---- inline boxcar FIR + decimator (reference matched filter) ----
   // Alignment matches the zero-history convention: y[k] is the tap window
   // ending at ADC sample k*decim, so the first real sample produces y[0].
+  // O(1)/sample: running boxcar sum over a ring buffer, with a periodic
+  // exact rebuild to stop f32 drift from the add/subtract recurrence.
   void fir_push(cf x) {
-    fir_hist_.push_back(x);
+    fir_sum_ += x - fir_hist_[fir_pos_];
+    fir_hist_[fir_pos_] = x;
+    fir_pos_ = fir_pos_ + 1 == p_.n_taps ? 0 : fir_pos_ + 1;
     if (++fir_phase_ == p_.decim) {
       fir_phase_ = 0;
-      cf acc(0.f, 0.f);
-      for (int j = 0; j < p_.n_taps; ++j) acc += fir_hist_[j];
-      gate_push(acc);
+      if (++fir_since_rebuild_ >= 4096) {
+        fir_since_rebuild_ = 0;
+        cf acc(0.f, 0.f);
+        for (int j = 0; j < p_.n_taps; ++j) acc += fir_hist_[j];
+        fir_sum_ = acc;
+      }
+      gate_push(fir_sum_);
     }
-    fir_hist_.erase(fir_hist_.begin());  // small n_taps: O(25) shift is fine
   }
 
   // ---- gate FSM: one post-decimation sample at a time ----
@@ -249,6 +256,9 @@ class Engine {
   Stats st_;
   // FIR state
   std::vector<cf> fir_hist_;
+  cf fir_sum_ = cf(0.f, 0.f);
+  int fir_pos_ = 0;
+  int fir_since_rebuild_ = 0;
   int fir_phase_ = p_.decim - 1;  // first real sample completes phase 0
   // gate state
   std::vector<float> win_;
