@@ -1,0 +1,113 @@
+"""Interactive tag channel: the air interface for closed-loop operation.
+
+Unlike `trace.py` (which pre-records the whole exchange), this channel is
+driven one transmission at a time and the tags *react to the commands they
+receive*: slot counters decrement on QueryRep, and - crucially - a tag only
+backscatters its EPC if the ACK echoes the exact RN16 it sent
+(Gen2 protocol, the property the reference's live mode exercises through a
+real tag, ``README.md:87-100``).  This makes the closed loop a real test of
+the reader's RN16 decode: a single wrong bit silences the tag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ReaderConfig
+from .tag import Tag, reply_chips
+
+
+@dataclasses.dataclass
+class _TagState:
+    tag: Tag
+    slot: int = -1               # current slot counter (-1 = not participating)
+    rn16: Optional[np.ndarray] = None
+
+
+class SimTagChannel:
+    """Air-interface simulator for one reader and a population of tags."""
+
+    def __init__(
+        self,
+        cfg: ReaderConfig,
+        tags: Sequence[Tag],
+        *,
+        leak: complex = 1.0,
+        noise: float = 0.004,
+        tag_t1_us: float = 262.5,
+        seed: int = 99,
+    ):
+        self.cfg = cfg
+        self.tags = [_TagState(t) for t in tags]
+        self.leak = np.complex64(leak)
+        self.noise = noise
+        self.tag_t1_us = tag_t1_us
+        self.rng = np.random.default_rng(seed)
+        self.up = int(round(cfg.adc_rate / cfg.dac_rate))
+        self.sp_us = cfg.adc_rate / 1e6
+        self.chip_us = cfg.tag_bit_us / (2 * cfg.miller_m)
+
+    # ---- tag protocol reactions ----
+
+    def _on_query(self, q: int):
+        for ts in self.tags:
+            ts.slot = ts.tag.draw_slot(q)
+            ts.rn16 = None
+
+    def _responders(self) -> List[_TagState]:
+        return [ts for ts in self.tags if ts.slot == 0]
+
+    # ---- the exchange ----
+
+    def exchange(self, kind: str, bits: np.ndarray, tx_env: np.ndarray,
+                 cw_us: float) -> np.ndarray:
+        """Transmit ``tx_env`` (0/1 envelope at DAC rate) followed by
+        ``cw_us`` of carrier; return the RX capture (command leak + any tag
+        backscatter + noise) at ADC rate."""
+        cfg = self.cfg
+        if kind in ("query", "query_adjust"):
+            self._on_query(cfg.fixed_q)
+        elif kind == "query_rep":
+            for ts in self.tags:
+                if ts.slot > 0:
+                    ts.slot -= 1
+                ts.rn16 = None
+
+        cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
+        n_cw = int(round(cw_us * self.sp_us))
+        cw = np.full(n_cw, self.leak, dtype=np.complex64)
+
+        replies = []
+        if kind in ("query", "query_rep", "query_adjust"):
+            for ts in self._responders():
+                ts.rn16 = ts.tag.draw_rn16()
+                replies.append((ts, reply_chips(cfg, ts.rn16)))
+        elif kind == "ack":
+            acked = np.asarray(bits[2:18], dtype=np.int64)
+            for ts in self._responders():
+                if ts.rn16 is not None and np.array_equal(acked, ts.rn16):
+                    replies.append((ts, reply_chips(cfg, ts.tag.epc_frame_bits())))
+                # Slot is over either way: acked tags are inventoried,
+                # un-acked (collided / mis-decoded) tags back off to the
+                # next Query round.
+                ts.slot = -1
+
+        d = self.chip_us * self.sp_us
+        for ts, chips in replies:
+            off = int(round(self.tag_t1_us * self.sp_us))
+            bounds = np.round(off + d * np.arange(chips.size + 1)).astype(np.int64)
+            for k in range(chips.size):
+                lo, hi = bounds[k], min(bounds[k + 1], n_cw)
+                if chips[k] and lo < n_cw:
+                    cw[lo:hi] += np.complex64(ts.tag.backscatter)
+
+        rx = np.concatenate([cmd, cw])
+        if self.noise > 0:
+            rx = rx + (
+                self.rng.normal(0, self.noise / np.sqrt(2), rx.size)
+                + 1j * self.rng.normal(0, self.noise / np.sqrt(2), rx.size)
+            ).astype(np.complex64)
+        return rx.astype(np.complex64)
