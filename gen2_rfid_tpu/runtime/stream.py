@@ -74,38 +74,76 @@ class StreamDecoder:
         dec = decode_events(y, events, cfg)
         return dec._replace(valid=owned)
 
-    def decode(self, chunks: Iterable[np.ndarray]) -> Tuple[InventoryStats, int]:
-        """Decode an iterable of ADC-rate complex64 chunks -> (stats, total)."""
+    # ------------------------------------------------------------------
+    # Incremental API with checkpoint/resume.  The resumable unit is
+    # (context tail, chunk counter, per-chunk event tables) - a few KB of
+    # context plus tiny tables, vs. re-decoding the whole capture (the
+    # reference has no checkpointing at all, SURVEY.md section 5).
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        self._tables = []
+        self._ctx = np.zeros(self.ctx_adc, np.complex64)  # zero history
+        self._buf = np.zeros(0, np.complex64)
+        self._total_adc = 0
+        self._chunk_no = 0
+
+    def _flush(self, block: np.ndarray) -> None:
+        x_ext = np.concatenate([self._ctx, block])
+        x2 = jnp.asarray(np.stack([x_ext.real, x_ext.imag]).astype(np.float32))
+        dec = jax.tree.map(np.asarray, self._decode(x2))
+        # local owned index hl_y maps to global C0 - hr_y.
+        g0 = self._chunk_no * self.chunk_y - self.hl_y - self.hr_y
+        g_idx = dec.index + g0
+        self._tables.append(
+            dec._replace(index=np.where(dec.valid, g_idx, 1 << 30))
+        )
+        self._ctx = x_ext[-self.ctx_adc:]
+        self._chunk_no += 1
+
+    def feed(self, chunk: np.ndarray) -> None:
+        """Feed ADC-rate complex64 samples (any length)."""
+        if not hasattr(self, "_tables"):
+            self.reset()
+        chunk = np.asarray(chunk, np.complex64)
+        self._total_adc += len(chunk)
+        self._buf = np.concatenate([self._buf, chunk])
+        while len(self._buf) >= self.chunk_adc:
+            self._flush(self._buf[: self.chunk_adc])
+            self._buf = self._buf[self.chunk_adc:]
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist decode state; a new StreamDecoder can resume from it."""
+        table_arrays = {}
+        for i, t in enumerate(self._tables):
+            for name, arr in t._asdict().items():
+                table_arrays[f"t{i}_{name}"] = arr
+        np.savez_compressed(
+            path, ctx=self._ctx, buf=self._buf,
+            total_adc=self._total_adc, chunk_no=self._chunk_no,
+            n_tables=len(self._tables), **table_arrays,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        z = np.load(path)
+        self._ctx = z["ctx"]
+        self._buf = z["buf"]
+        self._total_adc = int(z["total_adc"])
+        self._chunk_no = int(z["chunk_no"])
+        fields = DecodedEvents._fields
+        self._tables = [
+            DecodedEvents(**{f: z[f"t{i}_{f}"] for f in fields})
+            for i in range(int(z["n_tables"]))
+        ]
+
+    def finish(self) -> Tuple[InventoryStats, int]:
+        """Close the stream (pad + zero chunk) and replay the global FSM."""
         cfg = self.cfg
-        tables = []
-        ctx = np.zeros(self.ctx_adc, np.complex64)  # zero history at start
-        buf = np.zeros(0, np.complex64)
-        total_adc = 0
-        chunk_no = 0
-
-        def flush(block: np.ndarray):
-            nonlocal ctx, chunk_no
-            x_ext = np.concatenate([ctx, block])
-            x2 = jnp.asarray(np.stack([x_ext.real, x_ext.imag]).astype(np.float32))
-            dec = jax.tree.map(np.asarray, self._decode(x2))
-            # local owned index hl_y maps to global C0 - hr_y.
-            g0 = chunk_no * self.chunk_y - self.hl_y - self.hr_y
-            g_idx = dec.index + g0
-            tables.append(dec._replace(index=np.where(dec.valid, g_idx, 1 << 30)))
-            ctx = x_ext[-self.ctx_adc:]
-            chunk_no += 1
-
-        for chunk in chunks:
-            chunk = np.asarray(chunk, np.complex64)
-            total_adc += len(chunk)
-            buf = np.concatenate([buf, chunk])
-            while len(buf) >= self.chunk_adc:
-                flush(buf[: self.chunk_adc])
-                buf = buf[self.chunk_adc:]
-        # Final partial chunk (zero-padded to full size) + one zero chunk to
-        # close the ownership tail.
-        flush(np.pad(buf, (0, self.chunk_adc - len(buf))))
-        flush(np.zeros(self.chunk_adc, np.complex64))
+        self._flush(np.pad(self._buf, (0, self.chunk_adc - len(self._buf))))
+        self._buf = np.zeros(0, np.complex64)
+        self._flush(np.zeros(self.chunk_adc, np.complex64))
+        total_adc = self._total_adc
+        tables = self._tables
 
         dec = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *tables)
         order = np.argsort(dec.index, kind="stable")
@@ -123,3 +161,10 @@ class StreamDecoder:
         dec = jax.tree.map(lambda a: jnp.asarray(a[:keep]), dec)
         stats = replay_inventory(dec, cfg)
         return jax.tree.map(np.asarray, stats), total_adc
+
+    def decode(self, chunks: Iterable[np.ndarray]) -> Tuple[InventoryStats, int]:
+        """Decode an iterable of ADC-rate complex64 chunks -> (stats, total)."""
+        self.reset()
+        for chunk in chunks:
+            self.feed(chunk)
+        return self.finish()

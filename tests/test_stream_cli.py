@@ -60,3 +60,26 @@ def test_cli_golden_roundtrip(tmp_path, capsys):
     assert "| Number of queries/queryreps sent : 71" in text
     assert "| Correctly decoded EPC : 70" in text
     assert "| Tag ID : 1b  Num of reads : 70" in text
+
+
+def test_stream_checkpoint_resume(tmp_path, trace):
+    """Decode half, checkpoint, resume in a fresh decoder: identical stats
+    (reference has no checkpoint/resume at all, SURVEY.md section 5)."""
+    full = StreamDecoder(CFG, chunk_adc=200_000, events_per_chunk=64)
+    stats_full, _ = full.decode(iter([trace.iq]))
+
+    a = StreamDecoder(CFG, chunk_adc=200_000, events_per_chunk=64)
+    a.reset()
+    half = len(trace.iq) // 2
+    a.feed(trace.iq[:half])
+    ckpt = str(tmp_path / "stream.npz")
+    a.save_checkpoint(ckpt)
+
+    b = StreamDecoder(CFG, chunk_adc=200_000, events_per_chunk=64)
+    b.load_checkpoint(ckpt)
+    b.feed(trace.iq[half:])
+    stats_b, total = b.finish()
+    assert total == trace.iq.size
+    assert int(stats_b.n_queries) == int(stats_full.n_queries)
+    assert int(stats_b.n_epc_correct) == int(stats_full.n_epc_correct)
+    np.testing.assert_array_equal(stats_b.tag_reads, stats_full.tag_reads)
