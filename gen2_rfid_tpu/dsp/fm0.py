@@ -45,8 +45,13 @@ def rn16_detect_soft(
     """
     half = cfg.n_samples_tag_bit / 2.0
     n_half = cfg.rn16_half_bits
-    offs = jnp.asarray(np.round(np.arange(n_half) * half).astype(np.int32))
-    samples = frame[index + offs]                            # (n_half,)
+    offs = np.round(np.arange(n_half) * half).astype(np.int32)
+    # One contiguous dynamic slice at the sync index, then a static gather -
+    # cheap on TPU (per-frame scalar gathers are not).
+    span = int(offs[-1]) + 1
+    start = jnp.minimum(index, frame.shape[0] - span)
+    sl = jax.lax.dynamic_slice(frame, (start,), (span,))
+    samples = sl[jnp.asarray(offs)]                          # (n_half,)
     pairs = samples.reshape(-1, 2)
     result = jnp.real((pairs[:, 0] - pairs[:, 1]) * jnp.conj(h_est))
     signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
@@ -71,6 +76,19 @@ def epc_period_grid(cfg: ReaderConfig, number_steps: int = 20, n_probe: int = 25
     step = (hi - lo) / np.float32(number_steps - 1)
     cand = lo + np.arange(number_steps, dtype=np.float32) * step
     return cand, n_probe
+
+
+@functools.lru_cache(maxsize=32)
+def _bit_position_tables(cfg: ReaderConfig, number_steps: int = 20):
+    """Static (20, 128) first/second half-bit sample offsets per candidate
+    period, relative to the sync index (f32 truncation order as the
+    reference, tag_decoder_impl.cc:171-173)."""
+    cand, _ = epc_period_grid(cfg, number_steps)
+    j = np.arange(cfg.epc_data_bits, dtype=np.float32)
+    i1 = (j[None, :] * (2.0 * cand[:, None])).astype(np.int32)
+    i2 = (j[None, :] * (2.0 * cand[:, None]) + cand[:, None]).astype(np.int32)
+    span = int(max(i1.max(), i2.max())) + 1
+    return i1, i2, span
 
 
 @functools.lru_cache(maxsize=32)
@@ -108,23 +126,29 @@ def epc_detect(
     cand, n_probe = epc_period_grid(cfg)
     candj = jnp.asarray(cand)
     w = magn2.shape[0]
-    # Energy grid as a matmul: align the |frame|^2 window to the sync index,
-    # then one (K,) x (K, 20) contraction replaces 20x256 gathers.
+    # Energy grid as a matmul: one contiguous dynamic slice of |frame|^2 at
+    # the sync index, then a (K,) x (K, 20) contraction - replaces 20x256
+    # scalar gathers (tag_decoder_impl.cc:157-164 semantics preserved,
+    # including the end-of-window clamp via the slice's start clamp: the
+    # window is sized so all probes fit).
     sel, k = _energy_selection_matrix(cfg)
-    pidx = jnp.minimum(jnp.arange(k, dtype=jnp.int32) + index, w - 1)
-    aligned = magn2[pidx]                                    # (K,)
-    energy = aligned @ jnp.asarray(sel)                      # (20,)
-    t_half = candj[jnp.argmax(energy)]
+    a_start = jnp.minimum(index, w - k)
+    aligned = jax.lax.dynamic_slice(magn2, (a_start,), (k,))  # (K,)
+    energy = aligned @ jnp.asarray(sel)                       # (20,)
+    t_sel = jnp.argmax(energy)
+    t_half = candj[t_sel]
 
     # 128 differential samples at truncated float positions
     # (tag_decoder_impl.cc:171-173: j*(2T)+idx and j*2T+T+idx, float32).
-    j = jnp.arange(cfg.epc_data_bits, dtype=jnp.float32)
-    fidx = index.astype(jnp.float32)
-    i1 = (j * (2.0 * t_half) + fidx).astype(jnp.int32)
-    i2 = (j * (2.0 * t_half) + t_half + fidx).astype(jnp.int32)
-    i1 = jnp.minimum(i1, w - 1)
-    i2 = jnp.minimum(i2, w - 1)
-    result = jnp.real((frame[i1] - frame[i2]) * jnp.conj(h_est))
+    # idx is integral, so int(j*2T + idx) = int(j*2T) + idx: the per-
+    # candidate position tables are static, and the samples come from one
+    # dynamic slice + a small static gather selected by the winning T.
+    i1_tab, i2_tab, span = _bit_position_tables(cfg)
+    sl_start = jnp.minimum(index, w - span)
+    sl = jax.lax.dynamic_slice(frame, (sl_start,), (span,))
+    i1 = jnp.asarray(i1_tab)[t_sel]
+    i2 = jnp.asarray(i2_tab)[t_sel]
+    result = jnp.real((sl[i1] - sl[i2]) * jnp.conj(h_est))
     signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
     return _diff_decode(signs), t_half
 

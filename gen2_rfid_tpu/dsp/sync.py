@@ -33,17 +33,22 @@ def tag_sync(frame: jnp.ndarray, cfg: ReaderConfig) -> Tuple[jnp.ndarray, jnp.nd
     half = cfg.n_samples_tag_bit / 2.0                      # float, ref semantics
     n_off = cfg.sync_search                                 # int(1.5 * T)
     n_hb = cfg.preamble_half_bits
-    # Sample positions: off + int(j * half)  (tag_decoder_impl.cc:92 truncates).
+    # Sample positions: off + int(j * half)  (tag_decoder_impl.cc:92
+    # truncates).  Each half-bit contributes a contiguous offset run, so the
+    # correlation is built from n_hb STATIC slices (no gather at all):
+    # segs[j, off] = frame[hb_pos[j] + off].
     hb_pos = np.floor(np.arange(n_hb) * half).astype(np.int32)
-    pos = jnp.arange(n_off, dtype=jnp.int32)[:, None] + jnp.asarray(hb_pos)[None, :]
-    gathered = frame[pos]                                   # (n_off, n_hb) complex
+    segs = jnp.stack(
+        [jax.lax.slice(frame, (int(p),), (int(p) + n_off,)) for p in hb_pos]
+    )                                                        # (n_hb, n_off)
     tmpl = jnp.asarray(_PREAMBLE_PM[:n_hb])
-    corr = gathered @ tmpl.astype(gathered.real.dtype)      # (n_off,) complex
+    corr = tmpl.astype(segs.real.dtype) @ segs               # (n_off,) complex
     power = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
     max_index = jnp.argmax(power).astype(jnp.int32)
 
-    h_pos = max_index + jnp.asarray(np.floor(_H_CHIPS * half).astype(np.int32))
-    h_est = jnp.mean(frame[h_pos])
+    # Channel estimate: the high preamble chips k are exactly rows k of segs
+    # (hb_pos[k] = floor(k*half)) at column max_index.
+    h_est = jnp.mean(segs[jnp.asarray(_H_CHIPS), max_index])
 
     data_index = max_index + jnp.int32(
         int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
