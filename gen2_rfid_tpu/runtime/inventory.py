@@ -13,10 +13,15 @@ switch at ``reader_impl.cc:216-377``).  The design inverts the control flow:
    termination limits) to assemble the same statistics the reference's
    closed loop accumulates.
 
-The replay exploits a structural fact of the reference: its RN16 branch
-always produces 16 bits whenever the window fills (the sync index can never
-run past the window, see SURVEY.md 2.4), so every Query/QueryRep is followed
-by an ACK and command windows alternate RN16/EPC strictly.
+Decode-window roles (RN16 vs EPC) are assigned per event from the command's
+classified PIE pulse count (``command_roles``) - the same information source
+as the reference, where the decoder branches on which command the reader
+sent (``decoder_status``, tag_decoder_impl.cc:223,291).  Roles are therefore
+local facts: a missed or spurious gate event perturbs only its own slot, and
+per-shard / per-chunk tables specialize without global context.  (A
+structural fact of the closed loop still holds and is exploited by the
+simulators and windows: the reference's RN16 branch always produces 16 bits
+whenever the window fills, so every Query/QueryRep is followed by an ACK.)
 """
 
 from __future__ import annotations
@@ -99,6 +104,25 @@ def classify_commands(n_pulses: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
     second = jnp.sort(diff, axis=1)[:, 1]
     ok = (dmin <= 1) & (second > dmin)
     return jnp.where(ok, best, jnp.int32(CMD_UNKNOWN))
+
+
+def command_roles(cmd_type: jnp.ndarray, valid: jnp.ndarray):
+    """Per-event decode-window roles from the classified command type.
+
+    Matches the reference's role source: the decoder branches on
+    ``decoder_status`` - i.e. *which command the reader sent* - not on any
+    positional parity (tag_decoder_impl.cc:223,291).  Query/QueryRep/
+    QueryAdjust open an RN16 reply window; ACK opens an EPC window; NAK and
+    unclassifiable events get no reply window (skipped by the replay).
+
+    This is what makes the batch decode robust to event-table anomalies: a
+    missed or spurious gate event changes only its own slot, instead of
+    flipping the role of every subsequent event (the failure mode of
+    rank-parity assignment).
+    """
+    qlike = (cmd_type == CMD_QUERY) | (cmd_type == CMD_QREP) | (
+        cmd_type == CMD_QADJ)
+    return valid & qlike, valid & (cmd_type == CMD_ACK)
 
 
 def classify_slots(energy, margin, noise_var, h2,
@@ -192,9 +216,40 @@ def _tag_ids(epc_bits):
     return jnp.sum(epc_bits[:, 104:112].astype(jnp.int32) * weights, axis=1)
 
 
+ROLE_SLACK = 16  # extra per-role capacity absorbing event-table anomalies
+
+
+def _decode_events_paranoid(
+    y: jnp.ndarray, events: GateEvents, cmd: jnp.ndarray, cfg: ReaderConfig
+) -> DecodedEvents:
+    """Role-agnostic decode: every event as both an RN16 and an EPC window."""
+    frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
+    rn16_bits, epc_bits, t_half, h_est, margin = _decode_frames(
+        frames, magn2, cfg)
+    epc_pass = check_epc_crc_batch(epc_bits)
+    energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
+    h2_all = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
+    return DecodedEvents(
+        index=events.index,
+        valid=events.valid,
+        rn16_fits=rn16_fits,
+        epc_fits=epc_fits,
+        rn16_bits=rn16_bits,
+        epc_bits=epc_bits,
+        epc_pass=epc_pass,
+        tag_id=_tag_ids(epc_bits),
+        t_half=t_half,
+        h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
+        slot_state=classify_slots(energy, margin, events.noise_var, h2_all),
+        rn16_energy=energy,
+        rn16_margin=margin,
+        cmd_type=cmd,
+    )
+
+
 def decode_events(
     y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig,
-    specialize: bool = False,
+    specialize: bool = False, overflow_fallback: bool = True,
 ) -> DecodedEvents:
     """Batched per-event decode (sync + RN16 + EPC + CRC), fully on-device.
 
@@ -202,46 +257,58 @@ def decode_events(
     Miller-M subcarrier (new capability, dsp/miller.py).
 
     ``specialize=False`` (paranoid): every event is decoded as both an RN16
-    and an EPC window - role-agnostic, required when the table's global role
-    parity is unknown (per-shard / per-chunk tables).
+    and an EPC window - role-agnostic, used by compat mode (the reference
+    decoder also runs both branches' arithmetic per window).
 
-    ``specialize=True``: events alternate Query/ACK roles by rank parity
-    (structural in the closed loop: the RN16 branch always succeeds, so
-    every Query is followed by an ACK).  Even-rank events decode only their
-    RN16 (250-sample window), odd-rank only their EPC - roughly halves the
-    decode gathers and FLOPs.  Requires a full, ordered table (the batch
-    decode path).
+    ``specialize=True``: each event decodes only the reply window its
+    *classified command* opens - Query/QueryRep/QueryAdjust events decode
+    the RN16 window, ACK events the EPC window (the reference's role source:
+    ``decoder_status`` = the command sent, tag_decoder_impl.cc:223,291).
+    Roughly halves the decode gathers and FLOPs, is robust to missed or
+    spurious gate events (roles are per-event, not positional), and needs no
+    global context - per-shard / per-chunk tables specialize too.
+
+    Per-role capacity is half the table plus ``ROLE_SLACK``; a pathological
+    table exceeding it (e.g. a capture where most commands of one role were
+    missed) routes to the paranoid decode via ``lax.cond`` when
+    ``overflow_fallback`` is set.  Pass ``overflow_fallback=False`` inside
+    vmapped bodies, where a batched cond would execute both branches.
     """
+    cmd = classify_commands(events.n_pulses, cfg)
     if not specialize:
-        frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
-        rn16_bits, epc_bits, t_half, h_est, margin = _decode_frames(
-            frames, magn2, cfg)
-        epc_pass = check_epc_crc_batch(epc_bits)
-        energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
-        h2_all = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
-        return DecodedEvents(
-            index=events.index,
-            valid=events.valid,
-            rn16_fits=rn16_fits,
-            epc_fits=epc_fits,
-            rn16_bits=rn16_bits,
-            epc_bits=epc_bits,
-            epc_pass=epc_pass,
-            tag_id=_tag_ids(epc_bits),
-            t_half=t_half,
-            h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
-            slot_state=classify_slots(energy, margin, events.noise_var, h2_all),
-            rn16_energy=energy,
-            rn16_margin=margin,
-            cmd_type=classify_commands(events.n_pulses, cfg),
-        )
+        return _decode_events_paranoid(y, events, cmd, cfg)
 
+    cap = events.index.shape[0]
+    cap_q = min(cap, cap // 2 + 1 + ROLE_SLACK)
+    cap_a = cap_q
+    role_q, role_a = command_roles(cmd, events.valid)
+
+    def specialized(_):
+        return _decode_events_specialized(
+            y, events, cmd, role_q, role_a, cap_q, cap_a, cfg)
+
+    if not overflow_fallback or cap_q == cap:
+        return specialized(None)
+    i32 = jnp.int32
+    overflow = (jnp.sum(role_q.astype(i32)) > cap_q) | (
+        jnp.sum(role_a.astype(i32)) > cap_a)
+    return jax.lax.cond(
+        overflow,
+        lambda _: _decode_events_paranoid(y, events, cmd, cfg),
+        specialized,
+        None,
+    )
+
+
+def _decode_events_specialized(
+    y: jnp.ndarray, events: GateEvents, cmd: jnp.ndarray,
+    role_q: jnp.ndarray, role_a: jnp.ndarray,
+    cap_q: int, cap_a: int, cfg: ReaderConfig,
+) -> DecodedEvents:
+    """Role-specialized decode over compacted per-role event lists."""
     n = y.shape[0]
     cap = events.index.shape[0]
     i32 = jnp.int32
-    rank = jnp.cumsum(events.valid.astype(i32)) - 1
-    role_q = events.valid & (rank % 2 == 0)
-    role_a = events.valid & (rank % 2 == 1)
 
     def compact(mask, sub_cap):
         pos = jnp.cumsum(mask.astype(i32)) - 1
@@ -250,8 +317,6 @@ def decode_events(
             jnp.arange(cap, dtype=i32), mode="drop")
         return rows  # row index into the full table; cap = invalid fill
 
-    cap_q = (cap + 1) // 2
-    cap_a = cap // 2 + 1
     q_rows = compact(role_q, cap_q)
     a_rows = compact(role_a, cap_a)
     idx_pad = jnp.concatenate([events.index, jnp.full((1,), n, i32)])
@@ -315,7 +380,7 @@ def decode_events(
         slot_state=slot_state,
         rn16_energy=rn16_energy,
         rn16_margin=rn16_margin,
-        cmd_type=classify_commands(events.n_pulses, cfg),
+        cmd_type=cmd,
     )
 
 
@@ -333,17 +398,22 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
     i32 = jnp.int32
 
     def step(carry, xs):
-        (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
+        (ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
          n_rounds, term, slot_counts, cmd_counts) = carry
         idx, valid, rn_fit, epc_fit, ok, tid, sstate, ctype = xs
 
         term = term | (n_q > cfg.max_num_queries) | (n_uni > cfg.max_unique_tags)
+        # Role from the classified command, not position: NAK/UNKNOWN events
+        # open no reply window and are skipped (no ptr advance), so one
+        # spurious or missed gate event perturbs only its own slot.
+        qlike = (ctype == CMD_QUERY) | (ctype == CMD_QREP) | (ctype == CMD_QADJ)
+        is_ack = ctype == CMD_ACK
         live = valid & jnp.logical_not(term) & (idx >= ptr)
-        fits = jnp.where(expect_epc, epc_fit, rn_fit)
-        proc = live & fits
+        fits = jnp.where(is_ack, epc_fit, rn_fit)
+        proc = live & (qlike | is_ack) & fits
 
-        is_q = proc & jnp.logical_not(expect_epc)   # Query/QueryRep + RN16 window
-        is_a = proc & expect_epc                    # ACK + EPC window
+        is_q = proc & qlike                         # Query-like + RN16 window
+        is_a = proc & is_ack                        # ACK + EPC window
 
         n_q = n_q + is_q.astype(i32)
         slot_counts = slot_counts.at[jnp.clip(sstate, 0, 2)].add(is_q.astype(i32))
@@ -364,17 +434,15 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
         rnd = rnd + wrap.astype(i32)
         slot = jnp.where(wrap, i32(1), jnp.where(is_a, slot_a, slot))
 
-        expect_epc = jnp.where(is_q, True, jnp.where(is_a, False, expect_epc))
         ptr = jnp.where(
             is_q, idx + cfg.rn16_window, jnp.where(is_a, idx + cfg.epc_window, ptr)
         )
         n_ok = n_ok + passed.astype(i32)
-        carry = (expect_epc, ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
+        carry = (ptr, slot, rnd, n_q, n_ok, reads, n_uni, uni_hist,
                  n_rounds, term, slot_counts, cmd_counts)
         return carry, None
 
     init = (
-        jnp.array(False),
         i32(0),
         i32(1),             # cur_slot_number starts at 1 (global_vars.cc:43)
         i32(1),             # cur_inventory_round starts at 1 (:42)
@@ -391,7 +459,7 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
     xs = (dec.index, dec.valid, dec.rn16_fits, dec.epc_fits, dec.epc_pass,
           dec.tag_id, dec.slot_state, dec.cmd_type)
     carry, _ = jax.lax.scan(step, init, xs)
-    (_, _, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term,
+    (_, slot, rnd, n_q, n_ok, reads, _, uni_hist, n_rounds, term,
      slot_counts, cmd_counts) = carry
     return InventoryStats(
         n_queries=n_q,
@@ -417,8 +485,10 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     wall time on long captures.  For well-formed event tables - the common
     case - the replay is computable in closed form:
 
-    * events sorted and strictly alternating Query/ACK roles (role = parity
-      of the valid-event rank, because the RN16 branch always succeeds);
+    * events sorted, every valid event's command classified (no NAK/UNKNOWN,
+      whose skip semantics need the sequential ptr walk); roles come from
+      the classified command (command_roles), so dropped/extra events do not
+      shift later roles;
     * every processed event's window fits, with at most a trailing run of
       unfit events (trace truncation), and consecutive events are separated
       by at least the earlier event's window (no ptr-skips);
@@ -432,9 +502,8 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     max_slot = cfg.max_slot_number
 
     valid = dec.valid
-    rank = jnp.cumsum(valid.astype(i32)) - 1          # rank among valid events
-    role_epc = valid & (rank % 2 == 1)                 # ACK/EPC events
-    role_q = valid & (rank % 2 == 0)
+    role_q, role_epc = command_roles(dec.cmd_type, valid)
+    all_known = jnp.all(jnp.logical_not(valid) | role_q | role_epc)
     fit_v = jnp.where(
         valid, jnp.where(role_epc, dec.epc_fits, dec.rn16_fits), True
     )
@@ -458,7 +527,8 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     a = jnp.sum((proc & role_epc).astype(i32))        # EPC events processed
 
     ok_fast = (
-        jnp.logical_not(refit_after_unfit)
+        all_known
+        & jnp.logical_not(refit_after_unfit)
         & jnp.all(gap_ok)
         & (n_q <= cfg.max_num_queries)
         & (n_uni <= cfg.max_unique_tags)
@@ -517,8 +587,9 @@ def decode_block(
     """Decode one post-decimation complex I/Q block (trace inside jit)."""
     detect = gate_detect_scan if exact_gate else gate_detect
     events = detect(y, cfg)
-    # Full ordered table -> role-specialized decode; compat mode stays
-    # paranoid (decodes both roles per event like the reference decoder).
+    # Native mode: command-classified role-specialized decode; compat mode
+    # stays paranoid (decodes both roles per event like the reference
+    # decoder runs both branches' arithmetic).
     dec = decode_events(y, events, cfg, specialize=cfg.mode != "compat")
     return replay_inventory(dec, cfg), dec
 

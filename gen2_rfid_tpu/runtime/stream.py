@@ -71,7 +71,9 @@ class StreamDecoder:
             & (events.index < self.hl_y + self.chunk_y)
         )
         events = events._replace(valid=owned)
-        dec = decode_events(y, events, cfg)
+        # Chunk tables specialize too: decode-window roles come from the
+        # classified command (command_roles), not global event parity.
+        dec = decode_events(y, events, cfg, specialize=cfg.mode != "compat")
         return dec._replace(valid=owned)
 
     # ------------------------------------------------------------------

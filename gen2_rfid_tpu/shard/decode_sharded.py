@@ -116,7 +116,12 @@ def _shard_body(
         events = gate_detect(y_ext, cap_cfg)
         owned = events.valid & (events.index >= hl_y) & (events.index < hl_y + n_y)
         events = events._replace(valid=owned)
-        dec = decode_events(y_ext, events, cfg)
+        # Command-classified roles are local facts, so shards specialize
+        # without knowing global parity (command_roles); no cond fallback
+        # under vmap (a batched cond would execute both branches).
+        dec = decode_events(y_ext, events, cfg,
+                            specialize=cfg.mode != "compat",
+                            overflow_fallback=False)
         g0 = me.astype(jnp.int32) * n_y - hl_y
         return dec._replace(
             index=jnp.where(owned, dec.index + g0, jnp.int32(1 << 30)),
