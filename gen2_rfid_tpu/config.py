@@ -91,6 +91,14 @@ class ReaderConfig:
     # ---- framework knobs (new; no reference equivalent) ----
     # Max command events decoded per block (fixed-capacity static shape).
     max_events: int = 1024
+    # EPC symbol-period search grid: half-period candidates span
+    # [T/2*(1-frac), T/2*(1+frac)] in `steps` steps.  The reference pins
+    # +-1% / 20 steps (tag_decoder_impl.cc:151-156) - enough for its trace,
+    # but Gen2 tolerates several percent of tag BLF error; widen in native
+    # mode to decode off-nominal tags (compat ignores these and pins the
+    # reference grid).
+    epc_grid_frac: float = 0.01
+    epc_grid_steps: int = 20
     # "compat" pins reference truncation/rounding exactly; "native" may use
     # cleaner arithmetic where results provably agree on in-spec signals.
     mode: str = "native"
@@ -188,11 +196,17 @@ class ReaderConfig:
 
     @property
     def epc_window(self) -> int:
-        """Gate ungate length for an EPC response (gate_impl.cc:115)."""
+        """Gate ungate length for an EPC response (gate_impl.cc:115).
+
+        Native mode sizes the window for the *slowest* tag the period grid
+        can estimate (BLF epc_grid_frac below nominal), so off-nominal
+        frames are never tail-clipped.
+        """
         n_bits = self.epc_bits + self.effective_preamble_bits
         if self.mode == "compat":
             return n_bits * self.n_samples_tag_bit_i + self.window_slack
-        return int(math.ceil(n_bits * self.n_samples_tag_bit)) + self.window_slack
+        span = n_bits * self.n_samples_tag_bit * (1.0 + self.epc_grid_frac)
+        return int(math.ceil(span)) + self.window_slack
 
     @property
     def rn16_half_bits(self) -> int:

@@ -67,23 +67,36 @@ def rn16_detect(
     return rn16_detect_soft(frame, index, h_est, cfg)[0]
 
 
-def epc_period_grid(cfg: ReaderConfig, number_steps: int = 20, n_probe: int = 256):
+def _grid_params(cfg: ReaderConfig) -> Tuple[float, int]:
+    """(fractional span, steps) of the period grid for this config; compat
+    pins the reference's +-1% / 20 (tag_decoder_impl.cc:151-156)."""
+    if cfg.mode == "compat":
+        return 0.01, 20
+    return cfg.epc_grid_frac, cfg.epc_grid_steps
+
+
+def epc_period_grid(cfg: ReaderConfig, n_probe: int = 256):
     """Static half-period candidate grid (tag_decoder_impl.cc:151-166):
-    T/2 in [T/2 * 0.99, T/2 * 1.01], 20 steps - float32 like the reference."""
+    T/2 in [T/2*(1-frac), T/2*(1+frac)] - float32 like the reference
+    (which uses frac=1/100, 20 steps; native widens via epc_grid_frac)."""
+    frac, number_steps = _grid_params(cfg)
     half = np.float32(cfg.n_samples_tag_bit / 2.0)
-    lo = half - half / np.float32(100.0)
-    hi = half + half / np.float32(100.0)
+    if frac == 0.01:
+        span = half / np.float32(100.0)   # reference's exact f32 arithmetic
+    else:
+        span = half * np.float32(frac)
+    lo, hi = half - span, half + span
     step = (hi - lo) / np.float32(number_steps - 1)
     cand = lo + np.arange(number_steps, dtype=np.float32) * step
     return cand, n_probe
 
 
 @functools.lru_cache(maxsize=32)
-def _bit_position_tables(cfg: ReaderConfig, number_steps: int = 20):
-    """Static (20, 128) first/second half-bit sample offsets per candidate
+def _bit_position_tables(cfg: ReaderConfig):
+    """Static (steps, 128) first/second half-bit sample offsets per candidate
     period, relative to the sync index (f32 truncation order as the
     reference, tag_decoder_impl.cc:171-173)."""
-    cand, _ = epc_period_grid(cfg, number_steps)
+    cand, _ = epc_period_grid(cfg)
     j = np.arange(cfg.epc_data_bits, dtype=np.float32)
     i1 = (j[None, :] * (2.0 * cand[:, None])).astype(np.int32)
     i2 = (j[None, :] * (2.0 * cand[:, None]) + cand[:, None]).astype(np.int32)
@@ -92,16 +105,16 @@ def _bit_position_tables(cfg: ReaderConfig, number_steps: int = 20):
 
 
 @functools.lru_cache(maxsize=32)
-def _energy_selection_matrix(cfg: ReaderConfig, number_steps: int = 20,
-                             n_probe: int = 256):
-    """(K, number_steps) 0/1 matrix S with S[p, t] = #{i : floor(i*T_t) == p}.
+def _energy_selection_matrix(cfg: ReaderConfig, n_probe: int = 256):
+    """(K, steps) 0/1 matrix S with S[p, t] = #{i : floor(i*T_t) == p}.
 
     Turns the reference's 20 x 256 gather-and-sum energy grid
     (tag_decoder_impl.cc:157-164) into one small matmul over the aligned
     |frame|^2 window: energy = aligned @ S - XLA gathers are slow on TPU,
     matmuls are free.
     """
-    cand, _ = epc_period_grid(cfg, number_steps, n_probe)
+    cand, _ = epc_period_grid(cfg, n_probe)
+    number_steps = cand.shape[0]
     k = int(np.floor(np.float32(n_probe - 1) * cand.max())) + 1
     s = np.zeros((k, number_steps), dtype=np.float32)
     for t in range(number_steps):

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..config import ReaderConfig
-from .tag import Tag, reply_chips
+from .tag import Tag, reply_chips, superpose_reply
 
 
 @dataclasses.dataclass
@@ -95,14 +95,10 @@ class SimTagChannel:
                 # next Query round.
                 ts.slot = -1
 
-        d = self.chip_us * self.sp_us
         for ts, chips in replies:
-            off = int(round(self.tag_t1_us * self.sp_us))
-            bounds = np.round(off + d * np.arange(chips.size + 1)).astype(np.int64)
-            for k in range(chips.size):
-                lo, hi = bounds[k], min(bounds[k + 1], n_cw)
-                if chips[k] and lo < n_cw:
-                    cw[lo:hi] += np.complex64(ts.tag.backscatter)
+            superpose_reply(cw, chips, self.tag_t1_us, ts.tag.backscatter,
+                            ts.tag.chip_us(cfg), self.sp_us, cfg.adc_rate,
+                            ts.tag.cfo_hz, ts.tag.amp_ramp)
 
         rx = np.concatenate([cmd, cw])
         if self.noise > 0:

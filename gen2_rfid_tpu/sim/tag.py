@@ -101,12 +101,31 @@ def miller_chips(bits: np.ndarray, m: int, add_dummy: bool = True,
 
 @dataclasses.dataclass
 class Tag:
-    """One simulated tag: identity + per-round RN16 behavior."""
+    """One simulated tag: identity + per-round RN16 behavior + RF impairments.
+
+    The reference's golden trace is a real capture, so its decoder had to
+    cope with real impairments - notably tag BLF error (Gen2 allows several
+    percent of link-frequency tolerance, the reason the reference
+    re-estimates the symbol period per EPC frame,
+    tag_decoder_impl.cc:151-169).  These fields synthesize them:
+
+    * ``blf_offset``: fractional backscatter-link-frequency error; +0.01
+      means the tag clocks 1% fast (chips 1% short).
+    * ``cfo_hz``: residual carrier offset applied to the backscatter
+      component (zero in a shared-LO monostatic reader; nonzero models
+      bistatic LO offset / phase noise), rotating the reply's phase over
+      the frame.
+    * ``amp_ramp``: fractional amplitude change across one reply
+      (settling/motion), e.g. 0.2 ends 20% stronger than it starts.
+    """
 
     epc96: np.ndarray                       # 96 EPC bits
     pc16: Optional[np.ndarray] = None       # 16 PC bits (default standard 96-bit PC)
     backscatter: complex = 0.08 + 0.03j     # complex backscatter amplitude
     seed: int = 0
+    blf_offset: float = 0.0
+    cfo_hz: float = 0.0
+    amp_ramp: float = 0.0
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -138,6 +157,47 @@ class Tag:
 
     def draw_slot(self, q: int) -> int:
         return int(self._rng.integers(0, 2**q)) if q > 0 else 0
+
+    def chip_us(self, cfg: ReaderConfig) -> float:
+        """Effective backscatter chip duration under this tag's BLF error."""
+        return cfg.tag_bit_us / (2 * cfg.miller_m) / (1.0 + self.blf_offset)
+
+
+def superpose_reply(
+    seg: np.ndarray,
+    chips: np.ndarray,
+    reply_offset_us: float,
+    backscatter: complex,
+    chip_us: float,
+    sp_us: float,
+    adc_rate: float,
+    cfo_hz: float = 0.0,
+    amp_ramp: float = 0.0,
+) -> None:
+    """Add one tag's backscatter chips onto a CW segment in place.
+
+    Chip edges land at round(offset + k*chip_us) samples (the boundary
+    convention all synthesizers share); ``cfo_hz`` rotates the backscatter
+    phase linearly over the reply and ``amp_ramp`` scales its amplitude
+    linearly from 1 to 1+amp_ramp.
+    """
+    d = chip_us * sp_us
+    off = int(round(reply_offset_us * sp_us))
+    bounds = np.round(off + d * np.arange(chips.size + 1)).astype(np.int64)
+    ind = np.repeat(chips.astype(np.float32), np.diff(bounds))
+    end = min(int(bounds[-1]), seg.size)
+    if end <= off:
+        return
+    ind = ind[: end - off]
+    wave = np.complex64(backscatter) * ind
+    if amp_ramp or cfo_hz:
+        s = np.arange(end - off, dtype=np.float64)
+        total = max(int(bounds[-1]) - off, 1)
+        scale = 1.0 + amp_ramp * (s / total)
+        if cfo_hz:
+            scale = scale * np.exp(2j * np.pi * cfo_hz * s / adc_rate)
+        wave = (wave * scale).astype(np.complex64)
+    seg[off:end] += wave
 
 
 def reply_chips(cfg: ReaderConfig, bits: np.ndarray) -> np.ndarray:

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import ReaderConfig
 from ..tx.pie import PieEncoder
-from .tag import Tag, reply_chips
+from .tag import Tag, reply_chips, superpose_reply
 
 
 @dataclasses.dataclass
@@ -68,6 +68,24 @@ class _Writer:
         self.n += seg.size
         return start
 
+    def add_reply(
+        self,
+        seg: np.ndarray,
+        chips: np.ndarray,
+        reply_offset_us: float,
+        backscatter: complex,
+        chip_us: float,
+        cfo_hz: float = 0.0,
+        amp_ramp: float = 0.0,
+    ) -> None:
+        """Superpose one tag's backscatter chips onto a CW segment in place.
+
+        Delegates to sim.tag.superpose_reply (shared with the interactive
+        channel so both synthesizers have identical chip-edge conventions).
+        """
+        superpose_reply(seg, chips, reply_offset_us, backscatter, chip_us,
+                        self.sp_us, self.cfg.adc_rate, cfo_hz, amp_ramp)
+
     def append_cw_with_reply(
         self,
         cw_us: float,
@@ -75,18 +93,15 @@ class _Writer:
         reply_offset_us: float,
         backscatter: complex,
         chip_us: float,
+        cfo_hz: float = 0.0,
+        amp_ramp: float = 0.0,
     ) -> int:
         """CW segment with an optional backscatter chip sequence added."""
         n = int(round(cw_us * self.sp_us))
         seg = np.full(n, self.leak, dtype=np.complex64)
         if reply is not None:
-            d = chip_us * self.sp_us
-            off = int(round(reply_offset_us * self.sp_us))
-            bounds = np.round(off + d * np.arange(reply.size + 1)).astype(np.int64)
-            for k in range(reply.size):
-                lo, hi = bounds[k], min(bounds[k + 1], n)
-                if reply[k] and lo < n:
-                    seg[lo:hi] += np.complex64(backscatter)
+            self.add_reply(seg, reply, reply_offset_us, backscatter, chip_us,
+                           cfo_hz, amp_ramp)
         self.parts.append(seg)
         start = self.n
         self.n += n
@@ -168,19 +183,22 @@ def synthesize_inventory(
             cw_q_us = cfg.t1_us + cfg.t2_us + cfg.rn16_us
             if responders and not single:
                 # Collision: write CW then add each tag's chips.
-                start = w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
+                w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
                 seg = w.parts[-1]
-                d = chip_us * w.sp_us
                 for i in responders:
-                    r = reply_chips(cfg, tags[i].draw_rn16())
-                    off = int(round((tag_t1_us + rng.uniform(0, 5)) * w.sp_us))
-                    bounds = np.round(off + d * np.arange(r.size + 1)).astype(np.int64)
-                    for k in range(r.size):
-                        lo, hi = bounds[k], min(bounds[k + 1], seg.size)
-                        if r[k] and lo < seg.size:
-                            seg[lo:hi] += np.complex64(tags[i].backscatter)
+                    t = tags[i]
+                    r = reply_chips(cfg, t.draw_rn16())
+                    w.add_reply(seg, r, tag_t1_us + rng.uniform(0, 5),
+                                t.backscatter, t.chip_us(cfg), t.cfo_hz,
+                                t.amp_ramp)
             else:
-                w.append_cw_with_reply(cw_q_us, reply, tag_t1_us, bs, chip_us)
+                t = tags[tag_i] if single else None
+                w.append_cw_with_reply(
+                    cw_q_us, reply, tag_t1_us, bs,
+                    t.chip_us(cfg) if single else chip_us,
+                    t.cfo_hz if single else 0.0,
+                    t.amp_ramp if single else 0.0,
+                )
             events.append(
                 TraceEvent(kind, c0, c1, tag_i, rn16 if single else None,
                            collided=len(responders) > 1)
@@ -202,9 +220,13 @@ def synthesize_inventory(
                     tag_reads[tid] = tag_reads.get(tid, 0) + 1
                 epc_reply = reply_chips(cfg, frame)
             cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
+            t = tags[tag_i] if single else None
             w.append_cw_with_reply(
                 cw_a_us, epc_reply, tag_t1_us,
-                tags[tag_i].backscatter if single else 0.0, chip_us,
+                t.backscatter if single else 0.0,
+                t.chip_us(cfg) if single else chip_us,
+                t.cfo_hz if single else 0.0,
+                t.amp_ramp if single else 0.0,
             )
             events.append(TraceEvent("ack", a0, a1, tag_i, frame))
             global_slot += 1
@@ -289,19 +311,21 @@ def synthesize_adaptive_inventory(
         bs = tags[tag_i].backscatter if single else 0.0
         cw_q_us = cfg.t1_us + cfg.t2_us + cfg.rn16_us
         if responders and not single:
-            start = w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
+            w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
             seg = w.parts[-1]
-            d = chip_us * w.sp_us
             for i in responders:
-                r = reply_chips(cfg, tags[i].draw_rn16())
-                off = int(round((tag_t1_us + rng.uniform(0, 5)) * w.sp_us))
-                bounds = np.round(off + d * np.arange(r.size + 1)).astype(np.int64)
-                for k in range(r.size):
-                    lo, hi = bounds[k], min(bounds[k + 1], seg.size)
-                    if r[k] and lo < seg.size:
-                        seg[lo:hi] += np.complex64(tags[i].backscatter)
+                t = tags[i]
+                r = reply_chips(cfg, t.draw_rn16())
+                w.add_reply(seg, r, tag_t1_us + rng.uniform(0, 5),
+                            t.backscatter, t.chip_us(cfg), t.cfo_hz, t.amp_ramp)
         else:
-            w.append_cw_with_reply(cw_q_us, reply, tag_t1_us, bs, chip_us)
+            t = tags[tag_i] if single else None
+            w.append_cw_with_reply(
+                cw_q_us, reply, tag_t1_us, bs,
+                t.chip_us(cfg) if single else chip_us,
+                t.cfo_hz if single else 0.0,
+                t.amp_ramp if single else 0.0,
+            )
         events.append(TraceEvent(kind, c0, c1, tag_i, rn16 if single else None,
                                  collided=len(responders) > 1))
 
@@ -315,9 +339,13 @@ def synthesize_adaptive_inventory(
             tag_reads[tid] = tag_reads.get(tid, 0) + 1
             epc_reply = reply_chips(cfg, frame)
         cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
+        t = tags[tag_i] if single else None
         w.append_cw_with_reply(
             cw_a_us, epc_reply, tag_t1_us,
-            tags[tag_i].backscatter if single else 0.0, chip_us,
+            t.backscatter if single else 0.0,
+            t.chip_us(cfg) if single else chip_us,
+            t.cfo_hz if single else 0.0,
+            t.amp_ramp if single else 0.0,
         )
         events.append(TraceEvent("ack", a0, w.n, tag_i, frame))
 

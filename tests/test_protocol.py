@@ -89,7 +89,10 @@ def test_derived_sample_counts():
     assert cfg.win_length == 100
     assert cfg.dc_length == 48
     assert cfg.rn16_window == 250
-    assert cfg.epc_window == 1370
+    # Native sizes the EPC window for the slowest tag the +-1% period grid
+    # can estimate (1350 * 1.01 -> 1364, + 20 slack); compat pins the
+    # reference's 1370 (gate_impl.cc:115).
+    assert cfg.epc_window == 1384
     assert cfg.sync_search == 20          # native: full slack coverage
     compat = ReaderConfig(mode="compat")
     assert compat.rn16_window == 250 and compat.epc_window == 1370
