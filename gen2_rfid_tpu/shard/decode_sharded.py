@@ -175,10 +175,16 @@ def decode_capture_sharded(
     return _run_sharded_planar(iq2, cfg, mesh, events_per_shard)
 
 
-def _run_sharded_planar(
-    iq2, cfg: ReaderConfig, mesh: Mesh, events_per_shard: int
-) -> Tuple[InventoryStats, DecodedEvents]:
-    """Jitted sharded decode of a (C, 2, N) planar global array."""
+def make_sharded_decoder(
+    cfg: ReaderConfig, mesh: Mesh, events_per_shard: int = 256
+):
+    """Unjitted (C, 2, N) planar decode fn bound to a mesh.
+
+    Returned fn maps a planar global array to (per-channel InventoryStats,
+    merged DecodedEvents); callers jit it directly or embed it in a larger
+    jitted program (bench_scaling.py wraps it in an in-jit repeat loop for
+    async-safe timing).
+    """
     n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
     taps = jnp.asarray(boxcar_taps(n_taps))
     body = functools.partial(
@@ -191,10 +197,16 @@ def _run_sharded_planar(
         out_specs=_event_out_specs(),
     )
 
-    @jax.jit
     def run(iq_in):
         dec = sharded(iq_in)  # leaves (C, n_time*cap, ...)
         stats = jax.vmap(lambda d: _sort_and_replay(d, cfg))(dec)
         return stats, dec
 
-    return run(iq2)
+    return run
+
+
+def _run_sharded_planar(
+    iq2, cfg: ReaderConfig, mesh: Mesh, events_per_shard: int
+) -> Tuple[InventoryStats, DecodedEvents]:
+    """Jitted sharded decode of a (C, 2, N) planar global array."""
+    return jax.jit(make_sharded_decoder(cfg, mesh, events_per_shard))(iq2)
