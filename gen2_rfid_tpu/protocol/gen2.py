@@ -25,10 +25,12 @@ from .crc import crc5_append
 _MILLER_CODE = {1: (0, 0), 2: (0, 1), 4: (1, 0), 8: (1, 1)}
 
 
-def query_bits(cfg: ReaderConfig) -> np.ndarray:
+def query_bits(cfg: ReaderConfig, q: int = None) -> np.ndarray:
     """22-bit Query: code+DR+M+TRext+Sel+Session+Target+Q then CRC-5.
 
-    Field order follows reader_impl.cc:131-146.
+    Field order follows reader_impl.cc:131-146.  ``q`` overrides the
+    config's fixed Q (the adaptive live reader re-issues Query with its
+    current Q; the reference pins FIXED_Q, global_vars.h:72).
     """
     bits = list(QUERY_CODE)
     bits.append(cfg.dr)
@@ -37,10 +39,24 @@ def query_bits(cfg: ReaderConfig) -> np.ndarray:
     bits.extend(cfg.sel)
     bits.extend(cfg.session)
     bits.append(cfg.target)
-    bits.extend(Q_VALUE[cfg.fixed_q])
+    bits.extend(Q_VALUE[cfg.fixed_q if q is None else q])
     out = crc5_append(np.array(bits, dtype=np.int64))
     assert out.size == cfg.query_length
     return out
+
+
+def parse_query_q(bits: np.ndarray) -> int:
+    """Q field of a transmitted Query (bits[13:17], MSB first) - how a
+    listening tag learns the slot-count, EPC Gen2 spec section 6.3.2.12.1."""
+    b = np.asarray(bits, dtype=np.int64)
+    return int(b[13] * 8 + b[14] * 4 + b[15] * 2 + b[16])
+
+
+def parse_query_adjust_updn(bits: np.ndarray) -> int:
+    """UpDn field of a QueryAdjust (bits[6:9]) -> +1 / 0 / -1."""
+    row = tuple(int(x) for x in np.asarray(bits)[6:9])
+    table = {tuple(Q_UPDN[0]): +1, tuple(Q_UPDN[1]): 0, tuple(Q_UPDN[2]): -1}
+    return table[row]
 
 
 def query_rep_bits(cfg: ReaderConfig) -> np.ndarray:

@@ -9,27 +9,50 @@ this loop (pre-recorded traces already contain the answers); here a wrong
 RN16 decode silences the tag (see sim/channel.py), so every EPC read proves
 the loop.
 
+FSM parity with the reference's 10-state transmit machine
+(``reader_impl.cc:200-380``):
+
+* START power-up CW and POWER_DOWN (2 ms of zeros, ``reader_impl.cc:226-230``)
+  are emitted (power-down behind ``power_down_every``; the reference builds
+  the waveform but only reaches the state via commented-out decoder
+  transitions, ``tag_decoder_impl.cc:280,337,374``);
+* SEND_QUERY / SEND_ACK+SEND_CW / SEND_QUERY_REP exactly as before;
+* SEND_QUERY_ADJUST with a live Annex-D Q controller (``adaptive=True``):
+  Qfp += C on a collision slot, -= C on an empty slot, QueryAdjust issued
+  when round(Qfp) changes - the reference ships the synthesis
+  (``reader_impl.cc:156-162``) but pins FIXED_Q;
+* SEND_NAK_QR / SEND_NAK_Q (``reader_impl.cc:233-249``) behind
+  ``nak_on_fail``: a failed EPC CRC triggers a NAK before the next
+  Query/QueryRep (the reference's transition is commented out,
+  ``tag_decoder_impl.cc:376,381``).
+
+Slot classification (empty / single / collision) reuses the batch
+classifier's thresholds on the same live-measured signals (reply-window
+energy vs the gate's CW noise estimate, decision margin, |h_est|^2).
+
 Per-slot decoding reuses the batch primitives on small blocks: inline FIR,
-the block-parallel gate with a carried RX context tail (the moving-average
-and DC state needs ~T1+window of history, exactly like the streaming
-chunker), and the per-frame sync/FM0/CRC stack.
+the block-parallel gate with a carried RX context tail, and the per-frame
+sync/FM0/CRC stack.  ``LiveStats.slot_latency_s`` records the wall time of
+every full slot (TX -> decode -> ACK -> decode); see ``latency_summary``.
 
 Radio I/O is abstracted behind a ``channel.exchange(kind, bits, tx_env,
 cw_us)`` callable; `sim.channel.SimTagChannel` provides the simulated air
-interface, and a UHD-style adapter can provide a real one.
+interface, and `io.radio` provides a UHD-style adapter shape for real
+hardware.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+import time
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..config import ReaderConfig
 from ..protocol import gen2
 from ..tx.pie import PieEncoder
-from ..runtime.stats import InventoryStats, N_TAG_BINS
+from ..runtime.stats import N_TAG_BINS
 
 
 @dataclasses.dataclass
@@ -40,19 +63,71 @@ class LiveStats:
     cur_slot: int = 1
     n_no_rn16: int = 0          # slots where no command event / reply decoded
     tag_reads: Optional[np.ndarray] = None
+    # Slot classification + adaptive-Q bookkeeping (new vs the reference,
+    # which only ever learns a slot failed via the EPC CRC).
+    n_empty_slots: int = 0
+    n_single_slots: int = 0
+    n_collision_slots: int = 0
+    n_qadjust: int = 0
+    n_nak: int = 0
+    q_trace: List[int] = dataclasses.field(default_factory=list)
+    slot_latency_s: List[float] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
         if self.tag_reads is None:
             self.tag_reads = np.zeros(N_TAG_BINS, np.int64)
 
+    def latency_summary(self) -> Dict[str, float]:
+        lat = np.asarray(self.slot_latency_s, dtype=np.float64)
+        if lat.size == 0:
+            return {}
+        return {
+            "mean_ms": float(lat.mean() * 1e3),
+            "p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "p95_ms": float(np.percentile(lat, 95) * 1e3),
+            "n_slots": int(lat.size),
+        }
+
+
+@dataclasses.dataclass
+class _RnResult:
+    bits: np.ndarray
+    energy: float
+    margin: float
+    h2: float
+    noise_var: float
+
 
 class LiveReader:
-    """Drives inventory rounds over an interactive channel."""
+    """Drives inventory rounds over an interactive channel.
 
-    def __init__(self, cfg: ReaderConfig):
+    ``adaptive``: run the Annex-D Q controller (Qfp +- q_c on
+    collision/empty slots, QueryAdjust when round(Qfp) moves).
+    ``nak_on_fail``: transmit a NAK after a failed EPC CRC on an occupied
+    slot (SEND_NAK_QR/Q parity).
+    ``power_down_every``: emit POWER_DOWN + START CW before every Nth
+    Query round (0 = never, the reference's effective behavior).
+    """
+
+    def __init__(
+        self,
+        cfg: ReaderConfig,
+        *,
+        adaptive: bool = False,
+        q_init: Optional[int] = None,
+        q_c: float = 0.35,
+        nak_on_fail: bool = False,
+        power_down_every: int = 0,
+    ):
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
+        self.adaptive = adaptive
+        self.q = cfg.fixed_q if q_init is None else q_init
+        self.qfp = float(self.q)
+        self.q_c = q_c
+        self.nak_on_fail = nak_on_fail
+        self.power_down_every = power_down_every
         # RX context carried between exchanges so the gate's moving average
         # and DC state are warm when each reply window arrives.
         self._ctx = np.zeros(0, np.complex64)
@@ -89,52 +164,147 @@ class LiveReader:
                 m2 = jnp.abs(frame) ** 2
                 bits, _ = fm0.epc_detect(frame, m2.astype(jnp.float32), di, h, cfg)
             else:
-                bits = fm0.rn16_detect(frame, di, h, cfg)
+                bits, margin = fm0.rn16_detect_soft(frame, di, h, cfg)
         else:
             di, h = miller.miller_sync(frame, cfg)
             if want_epc:
                 bits, _ = miller.miller_epc(frame, di, h, cfg)
             else:
-                bits = miller.miller_rn16(frame, di, h, cfg)
+                bits, margin = miller.miller_rn16_soft(frame, di, h, cfg)
         bits = np.asarray(bits)
         if want_epc:
             ok = bool(np.asarray(check_epc_crc_batch(jnp.asarray(bits[None]))[0]))
             return bits, ok
-        return bits
+        energy = float(np.mean(np.abs(np.asarray(frame[: cfg.rn16_window])) ** 2))
+        h = complex(np.asarray(h))
+        return _RnResult(
+            bits=bits,
+            energy=energy,
+            margin=float(np.asarray(margin)),
+            h2=h.real**2 + h.imag**2,
+            noise_var=float(np.asarray(ev.noise_var)[valid][-1]),
+        )
+
+    def _classify(self, rn: Optional[_RnResult]) -> int:
+        """Live slot state via the batch classifier's thresholds
+        (runtime.inventory.classify_slots) on scalar measurements."""
+        from .inventory import SLOT_COLLISION, SLOT_EMPTY, SLOT_SINGLE, classify_slots
+
+        if rn is None:
+            return SLOT_EMPTY
+        state = classify_slots(
+            np.float32(rn.energy), np.float32(rn.margin),
+            np.float32(rn.noise_var), np.float32(rn.h2))
+        return int(state)
 
     # ---- the closed loop ----
 
     def run_inventory(self, channel, n_rounds: int) -> LiveStats:
+        """Run until ``n_rounds`` round-starting commands (Query or
+        QueryAdjust) have been issued and their slots walked."""
         cfg = self.cfg
+        st = self.stats
         cw_q = float(cfg.t1_us + cfg.t2_us + cfg.rn16_us)
         cw_a = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
-        for _ in range(n_rounds):
-            for s in range(cfg.max_slot_number):
-                if s == 0:
-                    kind, bits = "query", gen2.query_bits(cfg)
-                    tx = self.enc.query()
+        empty = np.zeros(0, np.int64)
+
+        # START: power-up CW before the first Query (reader_impl.cc:219-224).
+        channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
+        self._ctx = np.zeros(0, np.complex64)
+
+        rounds_issued = 0
+        slots_left = 0
+        slot_no = 0
+        next_cmd = "query"
+        while True:
+            t0 = time.perf_counter()
+            # ---- command opening this slot ----
+            if next_cmd in ("query", "query_adjust"):
+                if rounds_issued >= n_rounds:
+                    break
+                rounds_issued += 1
+                if next_cmd == "query":
+                    if (self.power_down_every
+                            and rounds_issued > 1
+                            and (rounds_issued - 1) % self.power_down_every == 0):
+                        # POWER_DOWN (2 ms of zeros) then START CW
+                        # (reader_impl.cc:226-230 -> 219-224).
+                        channel.exchange("power_down", empty,
+                                         np.zeros(cfg.n_p_down_tx, np.float32),
+                                         0.0)
+                        channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
+                        self._ctx = np.zeros(0, np.complex64)
+                    kind, bits = "query", gen2.query_bits(cfg, self.q)
+                    tx = self.enc.query(self.q)
                 else:
-                    kind, bits = "query_rep", gen2.query_rep_bits(cfg)
-                    tx = self.enc.query_rep()
-                rx = channel.exchange(kind, bits, tx, cw_q)
-                self.stats.n_queries += 1
-                rn16 = self._decode_window(rx, want_epc=False)
-                if rn16 is None:
-                    self.stats.n_no_rn16 += 1
-                    rn16 = np.zeros(16, np.int64)
-                # ACK always follows (reference closed-loop behavior:
-                # the RN16 branch always yields 16 bits).
-                ack = gen2.ack_bits(np.asarray(rn16))
-                rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
-                out = self._decode_window(rx2, want_epc=True)
-                if out is not None:
-                    epc_bits, ok = out
-                    if ok:
-                        self.stats.n_epc_correct += 1
-                        tid = int("".join(map(str, epc_bits[104:112])), 2)
-                        self.stats.tag_reads[tid] += 1
-                self.stats.cur_slot += 1
-                if self.stats.cur_slot > cfg.max_slot_number:
-                    self.stats.cur_slot = 1
-                    self.stats.cur_round += 1
-        return self.stats
+                    updn = (+1 if round(self.qfp) > self.q
+                            else (-1 if round(self.qfp) < self.q else 0))
+                    self.q = int(np.clip(round(self.qfp), 0, 15))
+                    kind, bits = "query_adjust", gen2.query_adjust_bits(cfg, updn)
+                    tx = self.enc.query_adjust(updn)
+                    st.n_qadjust += 1
+                slots_left = 2**self.q
+                slot_no = 0
+                st.q_trace.append(self.q)
+            else:
+                kind, bits = "query_rep", gen2.query_rep_bits(cfg)
+                tx = self.enc.query_rep()
+                slot_no += 1
+            rx = channel.exchange(kind, bits, tx, cw_q)
+            st.n_queries += 1
+
+            # ---- RN16 decode + slot classification ----
+            rn = self._decode_window(rx, want_epc=False)
+            from .inventory import SLOT_COLLISION, SLOT_EMPTY
+
+            slot_state = self._classify(rn)
+            if rn is None:
+                st.n_no_rn16 += 1
+                rn16 = np.zeros(16, np.int64)
+            else:
+                rn16 = rn.bits
+            if slot_state == SLOT_EMPTY:
+                st.n_empty_slots += 1
+            elif slot_state == SLOT_COLLISION:
+                st.n_collision_slots += 1
+            else:
+                st.n_single_slots += 1
+
+            # ---- ACK always follows (reference closed-loop behavior:
+            # the RN16 branch always yields 16 bits). ----
+            ack = gen2.ack_bits(np.asarray(rn16))
+            rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
+            out = self._decode_window(rx2, want_epc=True)
+            epc_ok = False
+            if out is not None:
+                epc_bits, epc_ok = out
+                if epc_ok:
+                    st.n_epc_correct += 1
+                    tid = int("".join(map(str, epc_bits[104:112])), 2)
+                    st.tag_reads[tid] += 1
+            if not epc_ok and self.nak_on_fail and slot_state != SLOT_EMPTY:
+                # SEND_NAK_QR/Q: NAK + CW before the next Query/QueryRep
+                # (reader_impl.cc:233-249).
+                channel.exchange("nak", gen2.nak_bits(), self.enc.nak(),
+                                 float(cfg.cw_us))
+                st.n_nak += 1
+
+            # ---- bookkeeping + Annex-D Q update ----
+            st.cur_slot += 1
+            if st.cur_slot > 2**self.q:
+                st.cur_slot = 1
+                st.cur_round += 1
+            if self.adaptive:
+                if slot_state == SLOT_COLLISION:
+                    self.qfp = min(self.qfp + self.q_c, 15.0)
+                elif slot_state == SLOT_EMPTY:
+                    self.qfp = max(self.qfp - self.q_c, 0.0)
+            slots_left -= 1
+            if self.adaptive and round(self.qfp) != self.q:
+                next_cmd = "query_adjust"
+            elif slots_left <= 0:
+                next_cmd = "query"
+            else:
+                next_cmd = "query_rep"
+            st.slot_latency_s.append(time.perf_counter() - t0)
+        return st

@@ -49,6 +49,10 @@ class SimTagChannel:
         self.up = int(round(cfg.adc_rate / cfg.dac_rate))
         self.sp_us = cfg.adc_rate / 1e6
         self.chip_us = cfg.tag_bit_us / (2 * cfg.miller_m)
+        # Tags learn Q from the commands themselves (parsed from the Query's
+        # Q field / QueryAdjust's UpDn bits), so an adaptive reader works
+        # against this channel with no side channel.
+        self.q = cfg.fixed_q
 
     # ---- tag protocol reactions ----
 
@@ -68,13 +72,29 @@ class SimTagChannel:
         ``cw_us`` of carrier; return the RX capture (command leak + any tag
         backscatter + noise) at ADC rate."""
         cfg = self.cfg
-        if kind in ("query", "query_adjust"):
-            self._on_query(cfg.fixed_q)
+        from ..protocol import gen2
+
+        if kind == "query":
+            self.q = gen2.parse_query_q(bits)
+            self._on_query(self.q)
+        elif kind == "query_adjust":
+            self.q = int(np.clip(
+                self.q + gen2.parse_query_adjust_updn(bits), 0, 15))
+            self._on_query(self.q)
         elif kind == "query_rep":
             for ts in self.tags:
                 if ts.slot > 0:
                     ts.slot -= 1
                 ts.rn16 = None
+        elif kind == "power_down":
+            # Unpowered tags lose all inventory state (EPC Gen2: persistence
+            # of session S0 flags does not survive power loss).
+            for ts in self.tags:
+                ts.slot = -1
+                ts.rn16 = None
+        # "nak" / "cw": NAK returns an acknowledged-state tag to arbitrate;
+        # in this model a slot is already over after the ACK exchange, so no
+        # state changes - tags simply stay silent.
 
         cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
         n_cw = int(round(cw_us * self.sp_us))

@@ -57,3 +57,83 @@ def test_live_wrong_rn16_silences_tag():
     st = rd.run_inventory(Tamper(), n_rounds=3)
     assert st.n_epc_correct == 0
     assert st.n_queries == 3
+
+
+def test_live_adaptive_q_rises_on_collisions():
+    """Round-1 VERDICT item 5: collisions must drive QueryAdjust.  Six tags
+    at Q=0 collide every slot until the Annex-D controller raises Q; the
+    channel learns Q only from the transmitted bits (no side channel)."""
+    cfg = ReaderConfig()
+    tags = [Tag.with_id(i + 1, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+            for i in range(6)]
+    ch = SimTagChannel(cfg, tags, seed=11)
+    rd = LiveReader(cfg, adaptive=True, q_init=0, q_c=0.5)
+    st = rd.run_inventory(ch, n_rounds=24)
+    assert st.n_qadjust > 0
+    assert st.n_collision_slots > 0
+    assert max(st.q_trace) >= 2          # Q climbed from 0
+    assert ch.q == rd.q                  # channel tracked Q from the bits
+    got = {t for t in range(256) if st.tag_reads[t] > 0}
+    assert len(got) >= 3                 # separation actually achieved reads
+
+
+def test_live_adaptive_q_falls_on_empty_slots():
+    """One tag at Q=3: mostly-empty rounds walk Q back down."""
+    cfg = ReaderConfig()
+    ch = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=4)
+    rd = LiveReader(cfg, adaptive=True, q_init=3, q_c=0.5)
+    st = rd.run_inventory(ch, n_rounds=12)
+    assert st.n_empty_slots > 0
+    assert st.q_trace[-1] < 3
+    assert st.n_epc_correct > 0
+
+
+def test_live_nak_on_crc_fail():
+    """Collided slots fail the EPC CRC; with nak_on_fail the reader emits
+    SEND_NAK_QR/Q-parity NAKs (reader_impl.cc:233-249)."""
+    cfg = ReaderConfig(fixed_q=0)
+    tags = [Tag.with_id(i + 1, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+            for i in range(3)]
+    ch = SimTagChannel(cfg, tags, seed=6)
+    naks = []
+
+    class Spy:
+        def exchange(self, kind, bits, env, cw_us):
+            if kind == "nak":
+                naks.append(np.array(bits))
+            return ch.exchange(kind, bits, env, cw_us)
+
+    st = LiveReader(cfg, nak_on_fail=True).run_inventory(Spy(), n_rounds=6)
+    assert st.n_nak > 0 and len(naks) == st.n_nak
+    assert all(np.array_equal(b, [1, 1, 0, 0, 0, 0, 0, 0]) for b in naks)
+
+
+def test_live_power_down_resets_tags():
+    """power_down_every emits POWER_DOWN + START CW before every Nth Query
+    round (reader_impl.cc:219-230); tags lose state but inventory still
+    proceeds exactly."""
+    cfg = ReaderConfig()
+    ch = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=9)
+    kinds = []
+
+    class Spy:
+        def exchange(self, kind, bits, env, cw_us):
+            kinds.append(kind)
+            if kind == "power_down":
+                assert not np.any(env)      # 2 ms of zeros
+            return ch.exchange(kind, bits, env, cw_us)
+
+    st = LiveReader(cfg, power_down_every=2).run_inventory(Spy(), n_rounds=6)
+    assert kinds.count("power_down") == 2   # before rounds 3 and 5
+    # START CW precedes the first Query and follows every power-down.
+    assert kinds.count("cw") == 3
+    assert st.n_epc_correct == 6
+
+
+def test_live_slot_latency_recorded():
+    cfg = ReaderConfig()
+    ch = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1)
+    st = LiveReader(cfg).run_inventory(ch, n_rounds=4)
+    lat = st.latency_summary()
+    assert lat["n_slots"] == 4
+    assert 0 < lat["p50_ms"] and lat["p50_ms"] <= lat["p95_ms"]
