@@ -1,0 +1,79 @@
+"""UHD-style radio adapter + waveform-level mock driver.
+
+Round-1 VERDICT item 6: the reference's primary mode is a USRP
+(apps/reader.py:17-43); here LiveReader runs *unmodified* against
+io.radio.RadioChannel with a mock driver that recovers each command by
+PIE-decoding the actual transmitted envelope - nothing crosses the
+interface but samples, so a successful inventory proves the waveforms
+alone carry the closed loop.
+"""
+
+import numpy as np
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.io.radio import (
+    PieAirDriver,
+    RadioChannel,
+    UhdDriver,
+    pie_decode_envelope,
+)
+from gen2_rfid_tpu.protocol import gen2
+from gen2_rfid_tpu.runtime.live import LiveReader
+from gen2_rfid_tpu.sim.channel import SimTagChannel
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.tx.pie import PieEncoder
+
+
+def _with_cw(env, n=400):
+    return np.concatenate([env, np.ones(n, np.float32)])
+
+
+def test_pie_decode_envelope_roundtrip():
+    cfg = ReaderConfig(fixed_q=3)
+    enc = PieEncoder(cfg)
+    cases = [
+        ("query", gen2.query_bits(cfg), enc.query()),
+        ("query_rep", gen2.query_rep_bits(cfg), enc.query_rep()),
+        ("ack", gen2.ack_bits(np.arange(16) % 2), enc.ack(np.arange(16) % 2)),
+        ("query_adjust", gen2.query_adjust_bits(cfg, +1), enc.query_adjust(+1)),
+        ("nak", gen2.nak_bits(), enc.nak()),
+    ]
+    for kind, bits, env in cases:
+        got_kind, got_bits = pie_decode_envelope(_with_cw(env), cfg)
+        assert got_kind == kind
+        assert np.array_equal(got_bits, bits), kind
+    assert pie_decode_envelope(np.ones(100, np.float32), cfg)[0] == "cw"
+    assert pie_decode_envelope(np.zeros(100, np.float32), cfg)[0] == "power_down"
+
+
+def test_live_reader_over_radio_adapter():
+    """LiveReader -> RadioChannel -> PieAirDriver -> SimTagChannel: every
+    command is recovered from its own TX waveform."""
+    cfg = ReaderConfig()
+    sim = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1)
+    radio = RadioChannel(cfg, PieAirDriver(sim, cfg, ampl=0.1), ampl=0.1)
+    st = LiveReader(cfg).run_inventory(radio, n_rounds=4)
+    assert st.n_queries == 4
+    assert st.n_epc_correct == 4
+    assert st.tag_reads[27] == 4
+
+
+def test_adaptive_live_over_radio_adapter():
+    """Adaptive Q through the waveform loop: the channel's Q comes from
+    parsing the Query/QueryAdjust bits that were PIE-decoded off the air."""
+    cfg = ReaderConfig()
+    tags = [Tag.with_id(i + 1, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+            for i in range(5)]
+    sim = SimTagChannel(cfg, tags, seed=11)
+    radio = RadioChannel(cfg, PieAirDriver(sim, cfg, ampl=0.1), ampl=0.1)
+    rd = LiveReader(cfg, adaptive=True, q_init=0, q_c=0.5)
+    st = rd.run_inventory(radio, n_rounds=16)
+    assert st.n_qadjust > 0 and max(st.q_trace) >= 2
+    assert sim.q == rd.q
+    assert sum(st.tag_reads) > 0
+
+
+def test_uhd_driver_import_guarded():
+    with pytest.raises(RuntimeError, match="uhd"):
+        UhdDriver(ReaderConfig())
