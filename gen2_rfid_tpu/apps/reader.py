@@ -34,31 +34,46 @@ def _cfg_from_args(args) -> "ReaderConfig":
 
 
 def cmd_decode(args) -> int:
+    import functools
+    import logging
+
     import jax.numpy as jnp
 
     from ..io.tracefile import read_trace, trace_num_samples
     from ..runtime.inventory import decode_capture
-    from ..runtime.stats import print_results
+    from ..runtime.stats import merge_stats, print_results
     from ..runtime.stream import StreamDecoder
 
+    log = logging.getLogger("gen2_rfid_tpu.apps")
     cfg = _cfg_from_args(args)
-    n = trace_num_samples(args.capture)
     t0 = time.perf_counter()
-    if args.chunked:
-        dec = StreamDecoder(cfg)
+    per_capture = []
+    total = 0
+    for path in args.capture:
+        n = trace_num_samples(path)
+        log.info("decoding %s (%d samples)", path, n)
+        if args.chunked:
+            dec = StreamDecoder(cfg)
 
-        def chunks():
-            pos = 0
-            while pos < n:
-                c = min(dec.chunk_adc, n - pos)
-                yield read_trace(args.capture, pos, c)
-                pos += c
+            def chunks():
+                pos = 0
+                while pos < n:
+                    c = min(dec.chunk_adc, n - pos)
+                    yield read_trace(path, pos, c)
+                    pos += c
 
-        stats, total = dec.decode(chunks())
-    else:
-        iq = read_trace(args.capture)
-        stats, _ = decode_capture(jnp.asarray(iq), cfg, exact_gate=args.exact_gate)
-        total = n
+            stats, done = dec.decode(chunks())
+            total += done
+        else:
+            iq = read_trace(path)
+            stats, _ = decode_capture(jnp.asarray(iq), cfg,
+                                      exact_gate=args.exact_gate)
+            total += n
+        per_capture.append(stats)
+    # Multi-capture sessions aggregate with merge_stats: each capture's
+    # replay restarts its round counter at 1, so the merged round count is
+    # a + b - 1 (continuation semantics; reads/queries simply add).
+    stats = functools.reduce(merge_stats, per_capture)
     dt = time.perf_counter() - t0
     print_results(stats)
     if args.verbose:
@@ -115,10 +130,14 @@ def cmd_golden(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gen2-reader")
+    p.add_argument("--log-level", default="WARNING",
+                   help="Python logging level for gen2_rfid_tpu loggers "
+                        "(the log4cpp analogue, reader README.md:55-64)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    d = sub.add_parser("decode", help="decode an I/Q capture file")
-    d.add_argument("capture")
+    d = sub.add_parser("decode", help="decode I/Q capture file(s); several "
+                       "files aggregate into one session report")
+    d.add_argument("capture", nargs="+")
     d.add_argument("--chunked", action="store_true",
                    help="stream in chunks (long captures)")
     d.add_argument("--exact-gate", action="store_true",
@@ -152,7 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import logging
+
     args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.WARNING),
+        format="%(levelname)s:%(name)s: %(message)s",
+    )
     return args.fn(args)
 
 

@@ -44,6 +44,7 @@ hardware.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Dict, List, Optional
 
@@ -53,6 +54,11 @@ from ..config import ReaderConfig
 from ..protocol import gen2
 from ..tx.pie import PieEncoder
 from ..runtime.stats import N_TAG_BINS
+
+# The reference logs every FSM transition through log4cpp's debug logger
+# (GR_LOG_INFO(d_debug_logger, ...), reader_impl.cc:219-358); this is the
+# Python-logging analogue, silent unless the application enables it.
+_log = logging.getLogger("gen2_rfid_tpu.live")
 
 
 @dataclasses.dataclass
@@ -250,6 +256,8 @@ class LiveReader:
                 kind, bits = "query_rep", gen2.query_rep_bits(cfg)
                 tx = self.enc.query_rep()
                 slot_no += 1
+            _log.debug("%s | round %d slot %d q=%d", kind.upper(),
+                       st.cur_round, st.cur_slot, self.q)
             rx = channel.exchange(kind, bits, tx, cw_q)
             st.n_queries += 1
 
@@ -272,6 +280,7 @@ class LiveReader:
 
             # ---- ACK always follows (reference closed-loop behavior:
             # the RN16 branch always yields 16 bits). ----
+            _log.debug("SEND ACK | rn16=%s", "".join(map(str, rn16)))
             ack = gen2.ack_bits(np.asarray(rn16))
             rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
             out = self._decode_window(rx2, want_epc=True)
@@ -282,6 +291,7 @@ class LiveReader:
                     st.n_epc_correct += 1
                     tid = int("".join(map(str, epc_bits[104:112])), 2)
                     st.tag_reads[tid] += 1
+                    _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
             if not epc_ok and self.nak_on_fail and slot_state != SLOT_EMPTY:
                 # SEND_NAK_QR/Q: NAK + CW before the next Query/QueryRep
                 # (reader_impl.cc:233-249).

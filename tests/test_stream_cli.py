@@ -83,3 +83,37 @@ def test_stream_checkpoint_resume(tmp_path, trace):
     assert int(stats_b.n_queries) == int(stats_full.n_queries)
     assert int(stats_b.n_epc_correct) == int(stats_full.n_epc_correct)
     np.testing.assert_array_equal(stats_b.tag_reads, stats_full.tag_reads)
+
+
+def test_merge_stats_multi_capture():
+    """merge_stats aggregates independent capture segments: reads and
+    queries add, and since each segment's replay restarts its round counter
+    at 1 the merged round count is a + b - 1 (continuation semantics)."""
+    from gen2_rfid_tpu.runtime.stats import merge_stats, unique_tags
+
+    cfg = ReaderConfig(max_events=64)
+    t1 = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=3, seed=1)
+    t2 = synthesize_inventory(cfg, [Tag.with_id(9, seed=8)], n_rounds=4, seed=2)
+    s1, _ = decode_capture(jnp.asarray(t1.iq), cfg)
+    s2, _ = decode_capture(jnp.asarray(t2.iq), cfg)
+    m = merge_stats(s1, s2)
+    assert int(m.n_epc_correct) == int(s1.n_epc_correct) + int(s2.n_epc_correct)
+    assert int(m.n_queries) == int(s1.n_queries) + int(s2.n_queries)
+    assert int(m.cur_inventory_round) == (
+        int(s1.cur_inventory_round) + int(s2.cur_inventory_round) - 1)
+    assert unique_tags(m) == 2
+    reads = np.asarray(m.tag_reads)
+    assert reads[27] == 3 and reads[9] == 4
+
+
+def test_cli_decode_multiple_captures(tmp_path, capsys):
+    """`decode a.bin b.bin` aggregates one session report via merge_stats."""
+    a, b = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    cli_main(["simulate", a, "--rounds", "3", "--tags", "27"])
+    cli_main(["simulate", b, "--rounds", "4", "--tags", "9", "--seed", "5"])
+    capsys.readouterr()
+    cli_main(["decode", a, b])
+    text = capsys.readouterr().out
+    assert "Correctly decoded EPC : 7" in text
+    assert "Number of unique tags : 2" in text
+    assert "Tag ID : 1b" in text and "Tag ID : 9" in text
