@@ -51,3 +51,25 @@ def test_single_tag_all_single():
     assert int(stats.n_slot_single) == 5
     assert int(stats.n_slot_empty) == 0
     assert int(stats.n_slot_collision) == 0
+
+
+def test_classifier_envelope_regression():
+    """Pin the measured classifier envelope (docs/CLASSIFIER.md, round-1
+    VERDICT item 7): empty detection is exact at every tested SNR; single
+    stays >=0.95 at >=22 dB and >=0.8 at 16 dB; collision stays >=0.85 at
+    >=16 dB for separated phases and >=0.8 phase-aligned."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from classifier_sweep import accuracy, cell_confusion
+
+    for noise, dphi, bounds in [
+        (0.016, 0.0, {"empty": 1.0, "single": 0.95, "collision": 0.80}),
+        (0.016, np.pi / 3, {"empty": 1.0, "single": 0.95, "collision": 0.85}),
+        (0.064, np.pi / 3, {"empty": 1.0, "single": 0.80, "collision": 0.85}),
+    ]:
+        conf = cell_confusion(noise, dphi, seed=3) + cell_confusion(
+            noise, dphi, seed=17)
+        for cls, lo in bounds.items():
+            acc = accuracy(conf, cls)
+            assert acc >= lo, (noise, dphi, cls, acc)
