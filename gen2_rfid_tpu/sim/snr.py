@@ -67,3 +67,67 @@ def snr_sweep(
             )
         )
     return out
+
+
+def theory_waterfall_db(epc_bits: int = 128) -> float:
+    """Predicted FER=0.5 SNR (dB, per post-MF half-symbol) for coherent
+    single-sample differential FM0 detection.
+
+    Per-bit statistic: real((s1 - s2) conj(h)) with unit-energy half-symbol
+    samples s = +-h + CN(0, sigma_s^2); a decision flips when the projected
+    noise exceeds the signal, Pb ~ Q(sqrt(gamma)) with gamma = |h|^2 /
+    sigma_s^2 (single-sample detection of the half-amplitude OOK chips
+    costs the factor 4 of ideal antipodal signaling).  The 50% frame point
+    solves 1 - (1 - Pb)^n = 0.5.
+    """
+    from scipy.stats import norm  # scipy is available via jax deps
+
+    pb = 1.0 - 0.5 ** (1.0 / epc_bits)
+    gamma = norm.isf(pb) ** 2
+    return 10.0 * math.log10(gamma)
+
+
+def waterfall_db(
+    cfg: ReaderConfig,
+    lo_db: float = -2.0,
+    hi_db: float = 18.0,
+    tol_db: float = 0.5,
+    n_rounds: int = 16,
+    seed: int = 0,
+) -> float:
+    """SNR (dB) where the EPC decode rate crosses 0.5, by bisection.
+
+    All probes reuse one trace structure (same seed -> same length -> one
+    jit compile); only the AWGN level changes.
+    """
+    def rate(s):
+        return snr_sweep(cfg, [s], n_rounds=n_rounds, seed=seed)[0].epc_rate
+
+    assert rate(hi_db) > 0.5 and rate(lo_db) < 0.5, "bracket the waterfall"
+    while hi_db - lo_db > tol_db:
+        mid = 0.5 * (lo_db + hi_db)
+        if rate(mid) >= 0.5:
+            hi_db = mid
+        else:
+            lo_db = mid
+    return 0.5 * (lo_db + hi_db)
+
+
+def theory_miller_waterfall_db(m: int, epc_bits: int = 128) -> float:
+    """Predicted FER=0.5 SNR (dB, per post-MF half-chip) for Miller-M.
+
+    Per half-bit the detector correlates M chip samples against the
+    subcarrier (dsp/miller.py::_halfbit_corr): OOK chips alternate 0/h so
+    the correlation mean is M|h|/2 with noise variance M sigma_s^2, i.e.
+    statistic SNR M*gamma/4; a bit errs when either half-bit correlation
+    flips sign: Pb ~ 2 Q(sqrt(M*gamma/2)).  Solving 1-(1-Pb)^n = 0.5 gives
+    gamma* ~ 11.9 - 10 log10(M) dB - a ~3 dB gain per doubling of M, with
+    Miller-2 sitting at FM0's level (both integrate the same energy per
+    decision).
+    """
+    from scipy.stats import norm
+
+    pb = 1.0 - 0.5 ** (1.0 / epc_bits)
+    x = norm.isf(pb / 2.0)
+    gamma = 2.0 * x * x / m
+    return 10.0 * math.log10(gamma)

@@ -18,3 +18,28 @@ def test_snr_operating_region():
     assert by[3.0] == 0.0
     rates = [p.epc_rate for p in pts]
     assert rates == sorted(rates, reverse=True)  # monotone in SNR
+
+
+def test_waterfalls_vs_theory():
+    """Round-1 VERDICT item 9: measured FER=0.5 waterfalls for FM0,
+    Miller-2/4/8 and high BLF must sit within 2 dB of the coherent-detection
+    predictions (docs/SNR.md), and Miller must gain monotonically with M."""
+    from gen2_rfid_tpu.sim.snr import (
+        theory_miller_waterfall_db,
+        theory_waterfall_db,
+        waterfall_db,
+    )
+
+    fm0 = ReaderConfig(max_events=64)
+    wf = {"fm0": waterfall_db(fm0, lo_db=5.0, hi_db=14.0)}
+    assert abs(wf["fm0"] - theory_waterfall_db()) <= 2.0, wf
+
+    for m, adc in [(2, 2e6), (4, 4e6), (8, 8e6)]:
+        cfg = ReaderConfig(miller_m=m, adc_rate=adc, decim=2, max_events=64)
+        wf[m] = waterfall_db(cfg, lo_db=-2.0, hi_db=14.0)
+        assert abs(wf[m] - theory_miller_waterfall_db(m)) <= 2.0, (m, wf)
+    assert wf[8] < wf[4] < wf[2]           # ~3 dB per doubling of M
+
+    blf160 = ReaderConfig(blf_hz=160e3, adc_rate=2e6, decim=1, max_events=64)
+    wf["blf160"] = waterfall_db(blf160, lo_db=5.0, hi_db=14.0)
+    assert abs(wf["blf160"] - wf["fm0"]) <= 2.0    # normalization-invariant
