@@ -99,6 +99,10 @@ class ReaderConfig:
     # reference grid).
     epc_grid_frac: float = 0.01
     epc_grid_steps: int = 20
+    # Use the fused Pallas gate front-end (kernels/gate_front.py) for
+    # FIR + amplitude + moving sums instead of separate XLA passes
+    # (interpret mode on CPU; validated on TPU hardware round 2).
+    pallas_front: bool = False
     # "compat" pins reference truncation/rounding exactly; "native" may use
     # cleaner arithmetic where results provably agree on in-spec signals.
     mode: str = "native"

@@ -93,10 +93,18 @@ def gate_signal_state(amp: jnp.ndarray, thresh: jnp.ndarray) -> jnp.ndarray:
     return _last_le(dec != 0, dec, jnp.int32(-1))
 
 
-def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
+def gate_detect(
+    y: jnp.ndarray,
+    cfg: ReaderConfig,
+    amp: jnp.ndarray = None,
+    avg: jnp.ndarray = None,
+) -> GateEvents:
     """Detect reader-command-over events in a post-decimation I/Q block.
 
     y: (N,) complex64 at cfg.sample_rate.  Returns fixed-capacity events.
+    ``amp``/``avg`` optionally supply the precomputed |y| and its
+    win_length moving average (e.g. from the fused Pallas front-end,
+    kernels/gate_front.py); by default both derive from y here.
 
     Native mode breaks amp==thresh ties as "below" so the POS/NEG state is
     simply the per-sample comparison, turning edge/run detection into
@@ -115,9 +123,11 @@ def gate_detect(y: jnp.ndarray, cfg: ReaderConfig) -> GateEvents:
     i32 = jnp.int32
     arange = jnp.arange(n, dtype=i32)
 
-    amp = jnp.abs(y).astype(jnp.float32)
-    # Moving average including the current sample (gate_impl.cc:131-133).
-    avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
+    if amp is None:
+        amp = jnp.abs(y).astype(jnp.float32)
+    if avg is None:
+        # Moving average including the current sample (gate_impl.cc:131-133).
+        avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
     thresh = avg * jnp.float32(cfg.thresh_fraction)
 
     pw_half = cfg.n_samples_pw // 2

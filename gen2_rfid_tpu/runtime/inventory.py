@@ -582,11 +582,17 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
 
 
 def decode_block(
-    y: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False
+    y: jnp.ndarray, cfg: ReaderConfig, exact_gate: bool = False,
+    amp: jnp.ndarray = None, avg: jnp.ndarray = None,
 ) -> Tuple[InventoryStats, DecodedEvents]:
-    """Decode one post-decimation complex I/Q block (trace inside jit)."""
-    detect = gate_detect_scan if exact_gate else gate_detect
-    events = detect(y, cfg)
+    """Decode one post-decimation complex I/Q block (trace inside jit).
+
+    ``amp``/``avg`` optionally carry the fused front-end's precomputed
+    amplitude / moving average (kernels/gate_front.py)."""
+    if exact_gate:
+        events = gate_detect_scan(y, cfg)
+    else:
+        events = gate_detect(y, cfg, amp=amp, avg=avg)
     # Native mode: command-classified role-specialized decode; compat mode
     # stays paranoid (decodes both roles per event like the reference
     # decoder runs both branches' arithmetic).
@@ -610,6 +616,17 @@ def decode_capture_planar(
     (unsupported by the TPU runtime here); (re, im) planes are combined with
     lax.complex as the first traced op.
     """
+    if cfg.pallas_front and not exact_gate:
+        # Fused Pallas front-end: FIR + |.| + both moving sums in one HBM
+        # pass (kernels/gate_front.py; exact f32 - unlike XLA's conv, which
+        # lowers f32 to bf16 multiplies on the MXU at default precision).
+        from ..kernels.gate_front import gate_front_for_cfg
+
+        interpret = jax.default_backend() == "cpu"
+        y2, amp, avgsum, _ = gate_front_for_cfg(iq2, cfg, interpret=interpret)
+        y = jax.lax.complex(y2[0], y2[1])
+        avg = avgsum / jnp.float32(cfg.win_length)
+        return decode_block(y, cfg, amp=amp, avg=avg)
     iq = jax.lax.complex(iq2[0], iq2[1])
     y = matched_filter_decimate(iq, matched_taps(cfg), cfg.decim)
     return decode_block(y, cfg, exact_gate)

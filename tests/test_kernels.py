@@ -45,3 +45,20 @@ def test_gate_front_for_cfg_shapes():
     y2, amp, avg, dc2 = gate_front_for_cfg(x2, cfg, interpret=True)
     assert y2.shape == (2, 10000) and amp.shape == (10000,)
     assert avg.shape == (10000,) and dc2.shape == (2, 10000)
+
+
+def test_pallas_front_golden_decode():
+    """End-to-end: the fused Pallas front-end wired into decode_capture
+    (cfg.pallas_front; interpret mode on CPU) reproduces the golden tuple."""
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.stats import unique_tags
+    from gen2_rfid_tpu.sim.trace import golden_trace
+
+    cfg = ReaderConfig(pallas_front=True)
+    tr = golden_trace(cfg)
+    stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(stats.n_queries) == 71
+    assert int(stats.cur_inventory_round) == 72
+    assert int(stats.n_epc_correct) == 70
+    assert unique_tags(stats) == 1
+    assert int(stats.tag_reads[0x1B]) == 70
