@@ -1,0 +1,35 @@
+# Build / test / bench entry points (the reference's `cmake; make install`
+# equivalent, reference README.md:33-38).
+
+PY ?= python
+CPU_ENV = env -u PYTHONPATH JAX_PLATFORMS=cpu \
+          XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+.PHONY: all native test bench bench-scaling dryrun install clean
+
+all: native
+
+# Ahead-of-time build of the C++ streaming engine (engine.py also builds
+# it on demand at first use).
+native: gen2_rfid_tpu/native/libgen2_stream.so
+
+gen2_rfid_tpu/native/libgen2_stream.so: gen2_rfid_tpu/native/gen2_stream.cc
+	g++ -O3 -march=native -shared -fPIC -std=c++17 $< -o $@
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+bench-scaling:
+	$(CPU_ENV) $(PY) bench_scaling.py
+
+dryrun:
+	$(CPU_ENV) $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+install:
+	$(PY) -m pip install -e .
+
+clean:
+	rm -f gen2_rfid_tpu/native/libgen2_stream.so
