@@ -117,6 +117,56 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    """Closed-loop live inventory (the reference's primary, non-DEBUG mode,
+    apps/reader.py:82-96): --radio uhd drives real hardware through
+    io.radio.UhdDriver; the default simulates the air interface."""
+    import numpy as np
+
+    from ..runtime.live import LiveReader
+    from ..runtime.stats import InventoryStats, N_TAG_BINS, print_results
+
+    cfg = _cfg_from_args(args)
+    if args.radio == "uhd":
+        from ..io.radio import RadioChannel, UhdDriver
+
+        channel = RadioChannel(cfg, UhdDriver(cfg, freq=args.freq))
+    else:
+        from ..sim.channel import SimTagChannel
+        from ..sim.tag import Tag
+
+        tags = [
+            Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+            for i, t in enumerate(args.tags)
+        ]
+        channel = SimTagChannel(cfg, tags, seed=args.seed)
+    rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
+                    nak_on_fail=args.nak)
+    st = rd.run_inventory(channel, n_rounds=args.rounds)
+    # Reuse the byte-format report (reader_impl.cc:173-192).
+    import jax.numpy as jnp
+
+    print_results(InventoryStats(
+        n_queries=jnp.int32(st.n_queries),
+        cur_inventory_round=jnp.int32(st.cur_round),
+        cur_slot=jnp.int32(st.cur_slot),
+        n_epc_correct=jnp.int32(st.n_epc_correct),
+        tag_reads=jnp.asarray(st.tag_reads),
+        unique_tags_round=jnp.zeros(1, jnp.int32),
+        n_rounds_closed=jnp.int32(st.cur_round - 1),
+        n_events=jnp.int32(st.n_queries),
+        terminated=jnp.asarray(False),
+    ))
+    lat = st.latency_summary()
+    if lat:
+        print(f"| Slot latency: {lat['p50_ms']:.1f} ms p50 / "
+              f"{lat['p95_ms']:.1f} ms p95 over {lat['n_slots']} slots")
+    if st.n_qadjust:
+        print(f"| QueryAdjust sent: {st.n_qadjust}  (Q trace: "
+              f"{' '.join(map(str, st.q_trace))})")
+    return 0
+
+
 def cmd_golden(args) -> int:
     from ..io.tracefile import write_trace
     from ..sim.trace import golden_trace
@@ -167,6 +217,23 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("golden", help="regenerate the golden test capture")
     g.add_argument("out")
     g.set_defaults(fn=cmd_golden)
+
+    lv = sub.add_parser("live", help="closed-loop live inventory "
+                        "(simulated air interface, or --radio uhd)")
+    lv.add_argument("--radio", choices=["sim", "uhd"], default="sim")
+    lv.add_argument("--freq", type=float, default=910e6,
+                    help="carrier frequency for --radio uhd")
+    lv.add_argument("--rounds", type=int, default=10)
+    lv.add_argument("--tags", type=int, nargs="+", default=[27])
+    lv.add_argument("--q", type=int)
+    lv.add_argument("--blf", type=float)
+    lv.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
+    lv.add_argument("--adaptive", action="store_true",
+                    help="Annex-D adaptive Q (QueryAdjust)")
+    lv.add_argument("--nak", action="store_true",
+                    help="transmit NAK on failed EPC CRC")
+    lv.add_argument("--seed", type=int, default=99)
+    lv.set_defaults(fn=cmd_live)
     return p
 
 

@@ -117,3 +117,13 @@ def test_cli_decode_multiple_captures(tmp_path, capsys):
     assert "Correctly decoded EPC : 7" in text
     assert "Number of unique tags : 2" in text
     assert "Tag ID : 1b" in text and "Tag ID : 9" in text
+
+
+def test_cli_live_inventory(capsys):
+    """`live` subcommand: the reference's primary (non-DEBUG) mode, against
+    the simulated air interface."""
+    cli_main(["live", "--rounds", "3", "--tags", "27", "--seed", "1"])
+    text = capsys.readouterr().out
+    assert "Correctly decoded EPC : 3" in text
+    assert "Tag ID : 1b" in text
+    assert "Slot latency" in text
