@@ -103,6 +103,11 @@ class ReaderConfig:
     # FIR + amplitude + moving sums instead of separate XLA passes
     # (interpret mode on CPU; validated on TPU hardware round 2).
     pallas_front: bool = False
+    # Decision-directed channel tracking across EPC frames (FM0 native
+    # mode): re-estimates h per 8-bit segment from confident decisions,
+    # extending CFO tolerance ~10x over the reference's frozen preamble
+    # h_est (dsp/fm0.py::_track_and_slice).
+    track_channel: bool = False
     # "compat" pins reference truncation/rounding exactly; "native" may use
     # cleaner arithmetic where results provably agree on in-spec signals.
     mode: str = "native"

@@ -156,14 +156,63 @@ def epc_detect(
     # idx is integral, so int(j*2T + idx) = int(j*2T) + idx: the per-
     # candidate position tables are static, and the samples come from one
     # dynamic slice + a small static gather selected by the winning T.
+    tracking = cfg.track_channel and cfg.mode != "compat"
     i1_tab, i2_tab, span = _bit_position_tables(cfg)
     sl_start = jnp.minimum(index, w - span)
     sl = jax.lax.dynamic_slice(frame, (sl_start,), (span,))
     i1 = jnp.asarray(i1_tab)[t_sel]
     i2 = jnp.asarray(i2_tab)[t_sel]
-    result = jnp.real((sl[i1] - sl[i2]) * jnp.conj(h_est))
-    signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
+    d = sl[i1] - sl[i2]
+    if tracking:
+        signs = _track_and_slice(d, h_est)
+    else:
+        result = jnp.real(d * jnp.conj(h_est))
+        signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
     return _diff_decode(signs), t_half
+
+
+def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
+                     seg: int = 4) -> jnp.ndarray:
+    """Decision-directed channel tracking over an EPC frame (new
+    capability; the reference's h_est is frozen at the preamble,
+    tag_decoder_impl.cc:103, limiting CFO tolerance to ~pi/2 of rotation
+    per 3.4 ms frame ~ 70 Hz).
+
+    The frame's 128 differential samples d_j = s1 - s2 take values ~+-2h
+    on mid-bit-transition bits and ~0 otherwise; processing them in
+    ``seg``-bit segments, each segment is sliced with the running channel
+    estimate and then refines it from its own confident (|d| > |h|)
+    decisions: h' <- (h + mean(d*s)/2) / 2.  Phase rotation is tracked as
+    long as it stays < ~pi/4 per segment (~0.4 ms), extending CFO
+    tolerance roughly 10x (tests/test_impairments.py).
+    """
+    n = d.shape[0]
+    d_seg = d.reshape(n // seg, seg)
+
+    def step(h_cur, d_k):
+        r = jnp.real(d_k * jnp.conj(h_cur))
+        s = jnp.where(r > 0, jnp.float32(1), jnp.float32(-1))
+        h2 = jnp.real(h_cur) ** 2 + jnp.imag(h_cur) ** 2
+        # Confident decisions: |d| above half the expected ~2|h_eff| swing
+        # (|d|/|h_est| sits near 0.9 in practice - DC removal halves the
+        # OOK swing and the MF smears transitions).
+        conf = (jnp.real(d_k) ** 2 + jnp.imag(d_k) ** 2) > 0.25 * h2
+        num = jnp.sum(d_k * s * conf)
+        den = jnp.sum(conf.astype(jnp.float32))
+        # Phase-only update: rotate h toward the decision-aligned mean
+        # without touching its magnitude (the slicer only uses phase, and
+        # magnitude feedback through the duty factor would decay h).
+        u = num / jnp.maximum(den, 1.0)
+        mag_u = jnp.sqrt(jnp.real(u) ** 2 + jnp.imag(u) ** 2)
+        u = u * (jnp.sqrt(h2) / jnp.maximum(mag_u, 1e-20))
+        blend = 0.5 * h_cur + 0.5 * u
+        mag_b = jnp.sqrt(jnp.real(blend) ** 2 + jnp.imag(blend) ** 2)
+        blend = blend * (jnp.sqrt(h2) / jnp.maximum(mag_b, 1e-20))
+        h_new = jnp.where(den > 0.5, blend, h_cur)
+        return h_new, s
+
+    _, s_seg = jax.lax.scan(step, h_est, d_seg)
+    return jnp.where(s_seg.reshape(-1) > 0, jnp.int32(1), jnp.int32(-1))
 
 
 rn16_detect_batch = jax.vmap(rn16_detect, in_axes=(0, 0, 0, None))

@@ -113,3 +113,28 @@ def test_combined_impairments_within_envelope():
     _, stats, _ = _decode(cfg, tag, n_rounds=6)
     assert int(stats.n_epc_correct) == 6
     assert int(np.asarray(stats.tag_reads)[27]) == 6
+
+
+def test_channel_tracking_extends_cfo_envelope():
+    """Decision-directed per-segment h tracking (cfg.track_channel,
+    dsp/fm0.py::_track_and_slice) extends the EPC CFO envelope >10x over
+    the reference's frozen preamble h_est: exact decode through 800 Hz
+    where the untracked detector dies at ~70 Hz."""
+    for cfo in (200.0, 800.0):
+        cfg = ReaderConfig(max_events=64, track_channel=True)
+        _, stats, _ = _decode(cfg, Tag.with_id(27, seed=7, cfo_hz=cfo))
+        assert int(stats.n_epc_correct) == 4, cfo
+        _, stats_off, _ = _decode(ReaderConfig(max_events=64),
+                                  Tag.with_id(27, seed=7, cfo_hz=cfo))
+        assert int(stats_off.n_epc_correct) == 0, cfo
+
+
+def test_channel_tracking_clean_and_combined_exact():
+    """Tracking must not cost anything on clean or mildly-impaired tags."""
+    cfg = ReaderConfig(max_events=64, track_channel=True)
+    _, stats, _ = _decode(cfg, Tag.with_id(27, seed=7))
+    assert int(stats.n_epc_correct) == 4
+    tag = Tag.with_id(27, seed=7, blf_offset=0.007, cfo_hz=300.0,
+                      amp_ramp=0.15)
+    _, stats, _ = _decode(cfg, tag, n_rounds=6)
+    assert int(stats.n_epc_correct) == 6
