@@ -53,8 +53,12 @@ def rn16_detect_soft(
     sl = jax.lax.dynamic_slice(frame, (start,), (span,))
     samples = sl[jnp.asarray(offs)]                          # (n_half,)
     pairs = samples.reshape(-1, 2)
-    result = jnp.real((pairs[:, 0] - pairs[:, 1]) * jnp.conj(h_est))
-    signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
+    d = pairs[:, 0] - pairs[:, 1]
+    result = jnp.real(d * jnp.conj(h_est))
+    if cfg.track_channel and cfg.mode != "compat":
+        signs = _track_and_slice(d, h_est)   # see EPC docstring; 16 bits
+    else:
+        signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
     h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
     margin = jnp.mean(jnp.abs(result)) / jnp.maximum(h2, 1e-12)
     return _diff_decode(signs), margin

@@ -138,3 +138,19 @@ def test_channel_tracking_clean_and_combined_exact():
                       amp_ramp=0.15)
     _, stats, _ = _decode(cfg, tag, n_rounds=6)
     assert int(stats.n_epc_correct) == 6
+
+
+def test_channel_tracking_live_closed_loop_cfo():
+    """With RN16+EPC tracking the full live loop (the ACK must echo the
+    RN16 exactly or the tag goes silent) survives 800 Hz CFO; untracked it
+    dies two orders of magnitude earlier."""
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+
+    tag = lambda: Tag.with_id(27, seed=7, cfo_hz=800.0)
+    st = LiveReader(ReaderConfig(track_channel=True)).run_inventory(
+        SimTagChannel(ReaderConfig(track_channel=True), [tag()], seed=1), 4)
+    assert st.n_epc_correct == 4
+    st_off = LiveReader(ReaderConfig()).run_inventory(
+        SimTagChannel(ReaderConfig(), [tag()], seed=1), 4)
+    assert st_off.n_epc_correct == 0
