@@ -116,3 +116,28 @@ def test_many_channel_mesh(trace):
     stats, _ = decode_capture_sharded(four, CFG, mesh)
     for c in range(4):
         assert int(stats.n_epc_correct[c]) == trace.expected_epc_pass
+
+
+def test_sixteen_channels_on_eight_devices(trace):
+    """BASELINE config '4-16 channel parallel demod': 16 channels fold onto
+    an 8-chan device mesh (2 per device), each decoding independently -
+    and distinct per-channel content stays separated."""
+    import dataclasses
+
+    from gen2_rfid_tpu.sim.tag import Tag
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    mesh = make_mesh(n_time=1, n_chan=8)
+    other = synthesize_inventory(
+        CFG, [Tag.with_id(9, seed=4)], n_rounds=3, seed=8)
+    n = max(trace.iq.size, other.iq.size)
+    n += (-n) % CFG.decim
+    a = np.zeros(n, np.complex64); a[: trace.iq.size] = trace.iq
+    b = np.zeros(n, np.complex64); b[: other.iq.size] = other.iq
+    chans = jnp.asarray(np.stack([a, b] * 8))        # 16 channels, alternating
+    stats, _ = decode_capture_sharded(chans, CFG, mesh)
+    for c in range(16):
+        exp = trace if c % 2 == 0 else other
+        (tid, reads), = exp.expected_tag_reads.items()
+        assert int(stats.n_epc_correct[c]) == exp.expected_epc_pass, c
+        assert int(np.asarray(stats.tag_reads)[c, tid]) == reads
