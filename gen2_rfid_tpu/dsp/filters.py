@@ -102,3 +102,33 @@ def moving_sum_complex(x: jnp.ndarray, win: int) -> jnp.ndarray:
 def boxcar_taps(n: int) -> np.ndarray:
     """The reference's matched filter: [1]*n (apps/reader.py:65)."""
     return np.ones(n, dtype=np.float32)
+
+
+def run_sum(x01: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Causal windowed sum of a 0/1 indicator, via dyadic doubling.
+
+    out[i] = sum(x01[i-win+1 .. i]) exactly (integer-valued f32 sums are
+    order-independent), in ceil(log2 win) shifted adds plus popcount(win)-1
+    combines - flat shifts XLA fuses into a handful of passes, vs the
+    O(log n) full-array passes of the blocked-cumsum ``moving_sum``.  Used
+    for the gate's pulse-width / T1-quiet run lengths (gate_impl.cc:148-180
+    semantics); NOT for amplitude sums, where summation order changes f32
+    results and compat mode pins the reference's order.
+    """
+    x = x01.astype(jnp.float32)
+
+    def shifted(a, s):
+        return jnp.pad(a, (s, 0))[: a.shape[0]] if s else a
+
+    pows = [x]
+    while (1 << len(pows)) <= win:
+        p = pows[-1]
+        pows.append(p + shifted(p, 1 << (len(pows) - 1)))
+    out = None
+    off = 0
+    for j in reversed(range(len(pows))):
+        if win & (1 << j):
+            term = shifted(pows[j], off)
+            out = term if out is None else out + term
+            off += 1 << j
+    return out

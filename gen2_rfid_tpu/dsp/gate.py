@@ -93,6 +93,38 @@ def gate_signal_state(amp: jnp.ndarray, thresh: jnp.ndarray) -> jnp.ndarray:
     return _last_le(dec != 0, dec, jnp.int32(-1))
 
 
+def _rises_since_reset(rise: jnp.ndarray, reset: jnp.ndarray,
+                       max_span: int) -> jnp.ndarray:
+    """out[i] = #{j : j > p*(i), j <= i, rise[j]} where p*(i) is the last
+    position <= i with reset[p*] (0 if none within ``max_span``).
+
+    Segmented inclusive scan by doubling: carry pairs (s, r) with
+    s = rise-count over the window truncated at the newest reset and
+    r = "window contains a reset";
+    (s, r)_{j+1}[i] = (s_j[i] + (r_j[i] ? 0 : s_j[i - 2^j]),
+                       r_j[i] | r_j[i - 2^j]).
+    ceil(log2 max_span) flat shifted steps - replaces the former
+    overlap-blocked cumsum + cummax formulation (full-array log-N scan
+    passes dominated the gate's TPU time).  A reset position itself
+    reports 0 (matching rc - cummax(where(reset, rc, 0))).  Positions with
+    no reset in window count from stream start, exact for the protocol
+    (every command is preceded by a CW marker within max_span).
+    """
+    s = jnp.where(reset, 0.0, rise.astype(jnp.float32))
+    r = reset
+
+    def shifted(a, k, fill):
+        pad = jnp.full((k,), fill, a.dtype)
+        return jnp.concatenate([pad, a[:-k]])
+
+    k = 1
+    while k < max_span:
+        s = s + jnp.where(r, 0.0, shifted(s, k, jnp.float32(0)))
+        r = r | shifted(r, k, False)
+        k *= 2
+    return s
+
+
 def gate_detect(
     y: jnp.ndarray,
     cfg: ReaderConfig,
@@ -158,22 +190,23 @@ def gate_detect(
         )
         quiet_after = next_edge_excl > arange + nt1 + 1
     else:
+        from .filters import run_sum
+
         above = amp > thresh
         prev_above = jnp.concatenate([jnp.zeros((1,), bool), above[:-1]])
         rise = above & jnp.logical_not(prev_above)
         # Low-run > pw/2: the pw/2+1 samples before the rise are all below
         # (first-rise-in-stream counts as a long run, like the reference's
-        # n_samples counting from startup).
-        below_run = moving_sum(
-            jnp.logical_not(prev_above).astype(jnp.float32), pw_half + 1
-        )
+        # n_samples counting from startup).  run_sum: exact dyadic windowed
+        # count, cheaper than the blocked-cumsum moving_sum for 0/1 inputs.
+        below_run = run_sum(jnp.logical_not(prev_above), pw_half + 1)
         # Startup corner: before any edge the reference's run counter spans
         # the whole stream, so a rise at i qualifies iff i >= pw/2 and all
         # preceding samples are below.
         need = jnp.minimum(jnp.float32(pw_half + 1), arange.astype(jnp.float32))
         qualify = rise & (below_run >= need) & (arange >= pw_half)
         # T1-quiet: the nt1+1 samples after the rise are all above.
-        above_run = moving_sum(above.astype(jnp.float32), nt1 + 1)
+        above_run = run_sum(above, nt1 + 1)
         shifted = jnp.concatenate(
             [above_run[nt1 + 1:], jnp.zeros((nt1 + 1,), jnp.float32)]
         )
@@ -204,34 +237,22 @@ def gate_detect(
         # Native: pulses reset at every CW boundary (a T1-long all-above run
         # always precedes a command, and every trigger is followed by one),
         # which bounds the pulse-count lookback to one command span.  The
-        # whole counter machinery then runs block-locally: overlapping
-        # (nb, halo+B) tiles, per-row cumsum/cummax - no O(N) scans.  This
-        # also makes n_pulses the exact per-command count (better for
+        # count-since-last-reset is then a *segmented* windowed scan,
+        # computed by log2(span) paired doubling steps over flat arrays -
+        # no data-expanding overlap blocks, no full cumsum/cummax passes.
+        # This also makes n_pulses the exact per-command count (better for
         # command classification than the reference's cross-command
         # accumulator).
         cmd_us = (
             cfg.delim_us + 2 * cfg.pw_us + 8 * cfg.pw_us + cfg.trcal_us
             + cfg.query_length * 4 * cfg.pw_us + cfg.t1_us
         )
-        halo = -(-int(cmd_us * cfg.sample_rate / 1e6 + 128) // 128) * 128
-        blk = max(4096, 2 * halo)
+        span = -(-int(cmd_us * cfg.sample_rate / 1e6 + 128) // 128) * 128
 
         # marker[i]: sample i ends an nt1+1-long all-above run (CW inside).
         marker = above_run >= jnp.float32(nt1 + 1)
-
-        from .filters import _overlap_blocks
-
-        def ext(a):
-            return _overlap_blocks(a.astype(jnp.float32), blk, halo)
-
-        rise_e = ext(rise)
-        rc = jnp.cumsum(rise_e, axis=1)
-        reset_mask = jnp.maximum(ext(disq), ext(marker))
-        last_reset = jax.lax.cummax(
-            jnp.where(reset_mask > 0, rc, 0.0), axis=1
-        )
-        pulses_e = rc - last_reset
-        pulses_at = pulses_e[:, halo:].reshape(-1)[:n].astype(i32)
+        reset = disq | marker
+        pulses_at = _rises_since_reset(rise, reset, span).astype(i32)
         trig = (rise & (pulses_at > npc) & quiet_after
                 & (arange + nt1 + 1 < n))
 
