@@ -116,7 +116,22 @@ def miller_detect(
 
     q = jax.vmap(segment)(jnp.arange(n_seg)).reshape(-1)[: 2 * n_bits]
     stat = jnp.real(q * jnp.conj(h_est))
-    s = jnp.sign(stat)
+    if cfg.track_channel and cfg.mode != "compat":
+        # Decision-directed channel tracking (new capability, shared with
+        # FM0: fm0._track_and_slice).  Each clean Miller half-bit correlates
+        # to q ~ +-(m/2) h - a full-swing BPSK constellation on h - so
+        # scaling by 2/m matches the tracker's expected-swing confidence
+        # gate, and every half-bit (unlike FM0's zero mid-bit samples)
+        # contributes a phase measurement.  CFO robustness context: the
+        # within-bit comparison is invariant to slow common rotation, but
+        # the margin collapses as the rotation approaches pi/2; tracking
+        # keeps the statistic at full swing instead.
+        from .fm0 import _track_and_slice
+
+        s = _track_and_slice(q * jnp.float32(2.0 / m), h_est).astype(
+            jnp.float32)
+    else:
+        s = jnp.sign(stat)
     bits = (s[0::2] != s[1::2]).astype(jnp.int32)
     # Decision margin ~1 for a clean single tag: {0,h} chips alternating
     # with the subcarrier give |stat| = (m/2)*|h|^2 per half-bit; lower

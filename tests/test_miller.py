@@ -52,3 +52,25 @@ def test_trext_pilot_decode(m, adc, decim):
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=3, seed=1)
     stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
     assert int(stats.n_epc_correct) == 3
+
+
+@pytest.mark.parametrize("m,adc,decim", [(2, 2e6, 2), (4, 4e6, 2)])
+def test_miller_channel_tracking_cfo(m, adc, decim):
+    """Decision-directed tracking (shared with FM0: fm0._track_and_slice,
+    scaled to the Miller +-(m/2)h half-bit swing) keeps the statistic at
+    full swing under CFO: exact decode through 1.6 kHz where the frozen
+    preamble h_est loses frames from ~100 Hz (the within-bit comparison is
+    rotation-invariant but collapses to noise near each pi/2 crossing)."""
+    def run(cfo, track):
+        cfg = ReaderConfig(miller_m=m, adc_rate=adc, decim=decim,
+                           max_events=64, track_channel=track)
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, cfo_hz=cfo)], n_rounds=3, seed=1)
+        stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+        return int(stats.n_epc_correct)
+
+    for cfo in (100.0, 800.0, 1600.0):
+        assert run(cfo, True) == 3, cfo
+    assert run(800.0, False) == 0
+    # Tracking must be free on clean tags.
+    assert run(0.0, True) == 3
