@@ -45,6 +45,7 @@ def snr_sweep(
     n_rounds: int = 10,
     seed: int = 0,
     backscatter: complex = 0.08 + 0.03j,
+    cfo_hz: float = 0.0,
 ) -> List[SnrPoint]:
     import jax.numpy as jnp
 
@@ -53,7 +54,7 @@ def snr_sweep(
     out = []
     for k, s in enumerate(snr_db):
         sigma = sigma_for_snr(cfg, backscatter, s)
-        tag = Tag.with_id(27, seed=7, backscatter=backscatter)
+        tag = Tag.with_id(27, seed=7, backscatter=backscatter, cfo_hz=cfo_hz)
         tr = synthesize_inventory(
             cfg, [tag], n_rounds=n_rounds, noise=sigma, seed=seed + 1000 * k
         )
@@ -94,6 +95,7 @@ def waterfall_db(
     tol_db: float = 0.5,
     n_rounds: int = 16,
     seed: int = 0,
+    cfo_hz: float = 0.0,
 ) -> float:
     """SNR (dB) where the EPC decode rate crosses 0.5, by bisection.
 
@@ -101,7 +103,8 @@ def waterfall_db(
     jit compile); only the AWGN level changes.
     """
     def rate(s):
-        return snr_sweep(cfg, [s], n_rounds=n_rounds, seed=seed)[0].epc_rate
+        return snr_sweep(cfg, [s], n_rounds=n_rounds, seed=seed,
+                         cfo_hz=cfo_hz)[0].epc_rate
 
     assert rate(hi_db) > 0.5 and rate(lo_db) < 0.5, "bracket the waterfall"
     while hi_db - lo_db > tol_db:

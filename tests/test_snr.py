@@ -43,3 +43,30 @@ def test_waterfalls_vs_theory():
     blf160 = ReaderConfig(blf_hz=160e3, adc_rate=2e6, decim=1, max_events=64)
     wf["blf160"] = waterfall_db(blf160, lo_db=5.0, hi_db=14.0)
     assert abs(wf["blf160"] - wf["fm0"]) <= 2.0    # normalization-invariant
+
+
+def test_cfo_tracked_waterfall_vs_theory():
+    """BER-vs-theory for tracked mode under CFO (round-2 follow-up to
+    test_channel_tracking_extends_cfo_envelope): at 300 Hz the
+    decision-directed tracker costs ~nothing - the waterfall sits within
+    2.5 dB of coherent FM0 theory, i.e. at the CFO-free detector's own
+    implementation loss - while the frozen-h_est detector decodes nothing
+    even at 30 dB.  At 800 Hz the tracker holds lock only above ~16 dB
+    (needs confident decisions to follow ~pi/3 rotation per segment):
+    the documented envelope edge (docs/SNR.md)."""
+    from gen2_rfid_tpu.sim.snr import (
+        snr_sweep,
+        theory_waterfall_db,
+        waterfall_db,
+    )
+
+    tracked = ReaderConfig(max_events=64, track_channel=True)
+    w300 = waterfall_db(tracked, lo_db=5.0, hi_db=14.0, cfo_hz=300.0)
+    assert abs(w300 - theory_waterfall_db()) <= 2.5, w300
+
+    untracked = ReaderConfig(max_events=64)
+    r = snr_sweep(untracked, [30.0], n_rounds=16, cfo_hz=300.0)[0].epc_rate
+    assert r == 0.0, r
+
+    r800 = snr_sweep(tracked, [20.0], n_rounds=16, cfo_hz=800.0)[0].epc_rate
+    assert r800 >= 0.75, r800
