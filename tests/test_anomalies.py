@@ -215,3 +215,27 @@ def test_max_unique_tags_termination():
     # Termination froze the FSM: fewer queries processed than present.
     truth_cmds = sum(1 for e in tr.events if e.kind != "ack")
     assert int(stats.n_queries) < truth_cmds
+
+
+def test_trigger_compaction_block_phase_invariance():
+    """The gate's block-first trigger compaction (dsp/gate.py: <=1 trigger
+    per 64-sample block, guaranteed by the T1-quiet spacing) must be exact
+    for triggers at every block phase: prepending k decimated samples of CW
+    shifts every event index by exactly k, for k sweeping both sides of the
+    block boundaries."""
+    cfg, tr = _make(n_rounds=3)
+    y0, ev0 = _events(cfg, tr)
+    base_idx = np.asarray(ev0.index)[np.asarray(ev0.valid)]
+    assert base_idx.size >= 6
+
+    iq = np.asarray(tr.iq)
+    cw = iq[:1]  # leading CW sample, replicated (constant envelope)
+    for k in (1, 62, 63, 64, 65, 96, 127, 128):
+        iq_k = np.concatenate([np.repeat(cw, k * cfg.decim), iq])
+        y = matched_filter_decimate(jnp.asarray(iq_k), matched_taps(cfg),
+                                    cfg.decim)
+        ev = gate_detect(y, cfg)
+        idx = np.asarray(ev.index)[np.asarray(ev.valid)]
+        assert idx.size >= base_idx.size, k
+        np.testing.assert_array_equal(idx[-base_idx.size:], base_idx + k,
+                                      err_msg=str(k))
