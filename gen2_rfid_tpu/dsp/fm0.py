@@ -43,17 +43,19 @@ def rn16_detect_soft(
     (new capability; the reference only learns about collisions via the EPC
     CRC failing).
     """
-    half = cfg.n_samples_tag_bit / 2.0
-    n_half = cfg.rn16_half_bits
-    offs = np.round(np.arange(n_half) * half).astype(np.int32)
-    # One contiguous dynamic slice at the sync index, then a static gather -
-    # cheap on TPU (per-frame scalar gathers are not).
-    span = int(offs[-1]) + 1
+    # One contiguous dynamic slice at the sync index, then a +-1 selection
+    # matmul forming the differential samples d_j = sl[offs[2j]] -
+    # sl[offs[2j+1]] directly (exact f32 at HIGHEST precision; scalar
+    # gathers serialize on TPU).
+    sel_d, span = _rn16_selection_matrix(cfg)
     start = jnp.minimum(index, frame.shape[0] - span)
     sl = jax.lax.dynamic_slice(frame, (start,), (span,))
-    samples = sl[jnp.asarray(offs)]                          # (n_half,)
-    pairs = samples.reshape(-1, 2)
-    d = pairs[:, 0] - pairs[:, 1]
+    dj = jnp.asarray(sel_d)
+    hi = jax.lax.Precision.HIGHEST
+    d = jax.lax.complex(
+        jnp.matmul(jnp.real(sl), dj, precision=hi),
+        jnp.matmul(jnp.imag(sl), dj, precision=hi),
+    )
     result = jnp.real(d * jnp.conj(h_est))
     if cfg.track_channel and cfg.mode != "compat":
         signs = _track_and_slice(d, h_est)   # see EPC docstring; 16 bits
@@ -69,6 +71,22 @@ def rn16_detect(
 ) -> jnp.ndarray:
     """Decode 16 RN16 bits from a synced frame (tag_decoder_impl.cc:237-268)."""
     return rn16_detect_soft(frame, index, h_est, cfg)[0]
+
+
+@functools.lru_cache(maxsize=32)
+def _rn16_selection_matrix(cfg: ReaderConfig):
+    """(span, 16) +-1 matrix forming the RN16 differential samples
+    d_j = sl[round(2j*T/2)] - sl[round((2j+1)*T/2)] (tag_decoder_impl.cc:
+    237-253 float-stepping positions, exact at the defaults)."""
+    half = cfg.n_samples_tag_bit / 2.0
+    n_half = cfg.rn16_half_bits
+    offs = np.round(np.arange(n_half) * half).astype(np.int32)
+    span = int(offs[-1]) + 1
+    d = np.zeros((span, n_half // 2), dtype=np.float32)
+    cols = np.arange(n_half // 2)
+    np.add.at(d, (offs[0::2], cols), 1.0)
+    np.add.at(d, (offs[1::2], cols), -1.0)
+    return d, span
 
 
 def _grid_params(cfg: ReaderConfig) -> Tuple[float, int]:
@@ -106,6 +124,28 @@ def _bit_position_tables(cfg: ReaderConfig):
     i2 = (j[None, :] * (2.0 * cand[:, None]) + cand[:, None]).astype(np.int32)
     span = int(max(i1.max(), i2.max())) + 1
     return i1, i2, span
+
+
+@functools.lru_cache(maxsize=32)
+def _bit_selection_matrix(cfg: ReaderConfig):
+    """(span, steps*128) +-1 selection matrix D with
+    D[s, t*128+j] = [s == i1[t,j]] - [s == i2[t,j]].
+
+    Lets the per-frame differential sampling d_j = sl[i1] - sl[i2] run as
+    one MXU matmul over ALL period candidates at once instead of two
+    128-element dynamic gathers per frame (scalar gathers serialize on TPU:
+    the gather formulation measured ~8 ms/iter on v5e, the matmul is
+    ~10 GFLOP — noise for the MXU).  With Precision.HIGHEST the 0/+-1
+    contraction is bit-exact f32 (each output is a sum of exactly two
+    +-sample terms; the bf16x3 split reconstructs f32 inputs exactly).
+    """
+    i1, i2, span = _bit_position_tables(cfg)
+    steps, nb = i1.shape
+    d = np.zeros((span, steps * nb), dtype=np.float32)
+    cols = np.arange(steps * nb)
+    np.add.at(d, (i1.reshape(-1), cols), 1.0)
+    np.add.at(d, (i2.reshape(-1), cols), -1.0)
+    return d, span, steps, nb
 
 
 @functools.lru_cache(maxsize=32)
@@ -158,15 +198,19 @@ def epc_detect(
     # 128 differential samples at truncated float positions
     # (tag_decoder_impl.cc:171-173: j*(2T)+idx and j*2T+T+idx, float32).
     # idx is integral, so int(j*2T + idx) = int(j*2T) + idx: the per-
-    # candidate position tables are static, and the samples come from one
-    # dynamic slice + a small static gather selected by the winning T.
+    # candidate position tables are static, so the sampling runs as one
+    # +-1 selection matmul over all candidates (see _bit_selection_matrix;
+    # per-frame 128-element gathers serialize on TPU), then the winning
+    # T's row is picked.
     tracking = cfg.track_channel and cfg.mode != "compat"
-    i1_tab, i2_tab, span = _bit_position_tables(cfg)
+    sel_d, span, steps, nb = _bit_selection_matrix(cfg)
     sl_start = jnp.minimum(index, w - span)
     sl = jax.lax.dynamic_slice(frame, (sl_start,), (span,))
-    i1 = jnp.asarray(i1_tab)[t_sel]
-    i2 = jnp.asarray(i2_tab)[t_sel]
-    d = sl[i1] - sl[i2]
+    dj = jnp.asarray(sel_d)
+    hi = jax.lax.Precision.HIGHEST
+    d_re = jnp.matmul(jnp.real(sl), dj, precision=hi).reshape(steps, nb)
+    d_im = jnp.matmul(jnp.imag(sl), dj, precision=hi).reshape(steps, nb)
+    d = jax.lax.complex(d_re[t_sel], d_im[t_sel])
     if tracking:
         signs = _track_and_slice(d, h_est)
     else:

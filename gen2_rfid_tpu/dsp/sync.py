@@ -2,12 +2,14 @@
 
 Vectorized re-design of ``tag_decoder_impl::tag_sync``
 (``tag_decoder_impl.cc:78-109``): the 15-offset x 12-half-bit correlation
-becomes one gather + a tiny matmul per frame, batched over all frames with
-``vmap`` so the whole sync stage is a single (F, 15, 12) x (12,) contraction.
+and the 6-chip channel estimate both become tiny +-1 / (1/6) selection
+matmuls over the frame head — one (W0, n_off) weight matrix each, batched
+over all frames, no gathers (per-frame scalar gathers serialize on TPU).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -23,6 +25,29 @@ _PREAMBLE_PM = np.array(TAG_PREAMBLE_BITS_PATTERN, dtype=np.float32) * 2.0 - 1.0
 _H_CHIPS = np.array([0, 1, 3, 6, 10, 11], dtype=np.int32)
 
 
+@functools.lru_cache(maxsize=32)
+def _sync_selection(cfg: ReaderConfig):
+    """(span, n_off) correlation + channel-mean selection matrices.
+
+    corr[off] = sum_j pm[j] * frame[floor(j*half) + off]   (S)
+    h[off]    = mean_k     frame[floor(k*half) + off], k in _H_CHIPS  (Sh)
+    """
+    half = cfg.n_samples_tag_bit / 2.0
+    n_off = cfg.sync_search
+    n_hb = cfg.preamble_half_bits
+    hb_pos = np.floor(np.arange(n_hb) * half).astype(np.int32)
+    span = int(hb_pos[-1]) + n_off
+    s = np.zeros((span, n_off), dtype=np.float32)
+    sh = np.zeros((span, n_off), dtype=np.float32)
+    offs = np.arange(n_off)
+    for j in range(n_hb):
+        np.add.at(s, (hb_pos[j] + offs, offs), _PREAMBLE_PM[j])
+    chips = _H_CHIPS[_H_CHIPS < n_hb]
+    for k in chips:
+        np.add.at(sh, (hb_pos[k] + offs, offs), 1.0 / len(chips))
+    return s, sh, span
+
+
 def tag_sync(frame: jnp.ndarray, cfg: ReaderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Locate the FM0 preamble and estimate the channel for one frame.
 
@@ -31,24 +56,21 @@ def tag_sync(frame: jnp.ndarray, cfg: ReaderConfig) -> Tuple[jnp.ndarray, jnp.nd
     ``max_index + TAG_PREAMBLE_BITS*T + T/2`` shift, tag_decoder_impl.cc:107).
     """
     half = cfg.n_samples_tag_bit / 2.0                      # float, ref semantics
-    n_off = cfg.sync_search                                 # int(1.5 * T)
-    n_hb = cfg.preamble_half_bits
-    # Sample positions: off + int(j * half)  (tag_decoder_impl.cc:92
-    # truncates).  Each half-bit contributes a contiguous offset run, so the
-    # correlation is built from n_hb STATIC slices (no gather at all):
-    # segs[j, off] = frame[hb_pos[j] + off].
-    hb_pos = np.floor(np.arange(n_hb) * half).astype(np.int32)
-    segs = jnp.stack(
-        [jax.lax.slice(frame, (int(p),), (int(p) + n_off,)) for p in hb_pos]
-    )                                                        # (n_hb, n_off)
-    tmpl = jnp.asarray(_PREAMBLE_PM[:n_hb])
-    corr = tmpl.astype(segs.real.dtype) @ segs               # (n_off,) complex
-    power = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    s_np, sh_np, span = _sync_selection(cfg)
+    x = jax.lax.slice(frame, (0,), (span,))
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.asarray(s_np)
+    sh = jnp.asarray(sh_np)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    corr_re = jnp.matmul(xr, s, precision=hi)
+    corr_im = jnp.matmul(xi, s, precision=hi)
+    power = corr_re ** 2 + corr_im ** 2
     max_index = jnp.argmax(power).astype(jnp.int32)
 
-    # Channel estimate: the high preamble chips k are exactly rows k of segs
-    # (hb_pos[k] = floor(k*half)) at column max_index.
-    h_est = jnp.mean(segs[jnp.asarray(_H_CHIPS), max_index])
+    h_all = jax.lax.complex(
+        jnp.matmul(xr, sh, precision=hi), jnp.matmul(xi, sh, precision=hi)
+    )
+    h_est = h_all[max_index]
 
     data_index = max_index + jnp.int32(
         int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
