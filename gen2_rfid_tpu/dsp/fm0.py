@@ -167,6 +167,27 @@ def _energy_selection_matrix(cfg: ReaderConfig, n_probe: int = 256):
     return s, k
 
 
+@functools.lru_cache(maxsize=32)
+def _energy_selection_all(cfg: ReaderConfig, w: int):
+    """(w, n_off*steps) selection matrix folding the per-frame sync offset
+    into the energy grid: column o*steps+t sums |frame|^2 at positions
+    b0 + o + floor(i*T_t), so the grid runs as ONE shared-weight matmul
+    over the unshifted window (no per-frame dynamic slice; the sync index
+    is always b0 + max_index with max_index < sync_search).  Returns None
+    if the window is too short to fold (fallback to the sliced path)."""
+    sel, k = _energy_selection_matrix(cfg)
+    steps = sel.shape[1]
+    n_off = cfg.sync_search
+    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit
+             + cfg.n_samples_tag_bit / 2.0)
+    if b0 + n_off - 1 + k > w:
+        return None, b0, steps, n_off
+    s_all = np.zeros((w, n_off * steps), dtype=np.float32)
+    for o in range(n_off):
+        s_all[b0 + o: b0 + o + k, o * steps:(o + 1) * steps] = sel
+    return s_all, b0, steps, n_off
+
+
 def epc_detect(
     frame: jnp.ndarray,
     magn2: jnp.ndarray,
@@ -183,15 +204,22 @@ def epc_detect(
     cand, n_probe = epc_period_grid(cfg)
     candj = jnp.asarray(cand)
     w = magn2.shape[0]
-    # Energy grid as a matmul: one contiguous dynamic slice of |frame|^2 at
-    # the sync index, then a (K,) x (K, 20) contraction - replaces 20x256
-    # scalar gathers (tag_decoder_impl.cc:157-164 semantics preserved,
-    # including the end-of-window clamp via the slice's start clamp: the
-    # window is sized so all probes fit).
-    sel, k = _energy_selection_matrix(cfg)
-    a_start = jnp.minimum(index, w - k)
-    aligned = jax.lax.dynamic_slice(magn2, (a_start,), (k,))  # (K,)
-    energy = aligned @ jnp.asarray(sel)                       # (20,)
+    hi = jax.lax.Precision.HIGHEST
+    # Energy grid as a matmul (tag_decoder_impl.cc:157-164 semantics: sum
+    # of |frame|^2 at floor(i*T_t) past the sync index, i < 256).  The
+    # offset-folded form computes all sync offsets as extra columns of one
+    # shared-weight selection matmul; the fallback (window too short to
+    # fold) dynamic-slices at the index first.
+    s_all_np, b0, steps, n_off = _energy_selection_all(cfg, w)
+    if s_all_np is not None:
+        e_all = jnp.matmul(magn2, jnp.asarray(s_all_np), precision=hi)
+        o = jnp.clip(index - b0, 0, n_off - 1)
+        energy = jax.lax.dynamic_slice(e_all, (o * steps,), (steps,))
+    else:
+        sel, k = _energy_selection_matrix(cfg)
+        a_start = jnp.minimum(index, w - k)
+        aligned = jax.lax.dynamic_slice(magn2, (a_start,), (k,))  # (K,)
+        energy = jnp.matmul(aligned, jnp.asarray(sel), precision=hi)
     t_sel = jnp.argmax(energy)
     t_half = candj[t_sel]
 
