@@ -17,6 +17,7 @@ batched design as ``fm0.py``:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -34,6 +35,27 @@ def _preamble_pm(m: int, trext: int = 0) -> np.ndarray:
     return chips.astype(np.float32) * 2.0 - 1.0
 
 
+@functools.lru_cache(maxsize=32)
+def _miller_sync_selection(cfg: ReaderConfig):
+    """(span, n_off) preamble-correlation + channel-mean selection matrices
+    (the FM0 pattern, sync.py::_sync_selection: per-frame chip gathers
+    serialize on TPU; tiny shared-weight matmuls do not)."""
+    m = cfg.miller_m
+    pm = _preamble_pm(m, cfg.trext)
+    n_chips = pm.shape[0]
+    d = cfg.n_samples_chip
+    n_off = cfg.sync_search
+    pos = np.floor(np.arange(n_chips) * d).astype(np.int32)
+    span = int(pos[-1]) + n_off
+    s = np.zeros((span, n_off), dtype=np.float32)
+    sh = np.zeros((span, n_off), dtype=np.float32)
+    offs = np.arange(n_off)
+    for j in range(n_chips):
+        np.add.at(s, (pos[j] + offs, offs), pm[j])
+        np.add.at(sh, (pos[j] + offs, offs), pm[j] / n_chips)
+    return s, sh, span, int(round(n_chips * d))
+
+
 def miller_sync(
     frame: jnp.ndarray, cfg: ReaderConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,32 +63,58 @@ def miller_sync(
 
     chip0_index points at the first *data* chip (offset of preamble end).
     """
-    m = cfg.miller_m
-    pm = _preamble_pm(m, cfg.trext)
-    n_chips = pm.shape[0]
-    d = cfg.n_samples_chip
-    n_off = cfg.sync_search
-    pos = np.floor(np.arange(n_chips) * d).astype(np.int32)
-    idx = jnp.arange(n_off, dtype=jnp.int32)[:, None] + jnp.asarray(pos)[None, :]
-    g = frame[idx]                                   # (n_off, n_chips)
-    corr = g @ jnp.asarray(pm)                       # (n_off,)
-    power = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    s_np, sh_np, span, dshift = _miller_sync_selection(cfg)
+    x = jax.lax.slice(frame, (0,), (span,))
+    xr, xi = jnp.real(x), jnp.imag(x)
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.asarray(s_np)
+    cr = jnp.matmul(xr, s, precision=hi)
+    ci = jnp.matmul(xi, s, precision=hi)
+    power = cr ** 2 + ci ** 2
     best = jnp.argmax(power).astype(jnp.int32)
-    h_est = (g[best] * jnp.asarray(pm)).mean()
-    data_index = best + jnp.int32(int(round(n_chips * d)))
+    sh = jnp.asarray(sh_np)
+    h_all = jax.lax.complex(
+        jnp.matmul(xr, sh, precision=hi), jnp.matmul(xi, sh, precision=hi)
+    )
+    h_est = h_all[best]
+    data_index = best + jnp.int32(dshift)
     return data_index, h_est
 
 
-def _halfbit_corr(
-    frame: jnp.ndarray, index, chip: jnp.ndarray, n_half: int, m: int
-) -> jnp.ndarray:
-    """Subcarrier correlation per half-bit: q_k = sum_a x[(k*m+a)*chip] * (-1)^a."""
-    k = jnp.arange(n_half, dtype=jnp.float32)[:, None]
-    a = jnp.arange(m, dtype=jnp.float32)[None, :]
-    pos = ((k * m + a) * chip).astype(jnp.int32) + index
-    pos = jnp.minimum(pos, frame.shape[0] - 1)
-    sub = jnp.asarray((-1.0) ** np.arange(m), dtype=jnp.float32)
-    return (frame[pos] * sub[None, :]).sum(axis=1)    # (n_half,) complex
+@functools.lru_cache(maxsize=32)
+def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
+                              n_offsets: int):
+    """Per-segment (span, n_offsets * 2*seg_bits) subcarrier-correlation
+    selection tables.
+
+    Column o*2S+h of segment g sums +-frame[index + pos] over the m chips
+    of half-bit h at offset o, with pos = floor(g*(2S*m)*d + off_o + k*d)
+    (f32 arithmetic like the gather formulation it replaces; index is
+    integral so the floor splits exactly).  Returns a list of
+    (s0, span, D) with positions rebased to each segment's minimum s0.
+    """
+    m = cfg.miller_m
+    d = np.float32(cfg.n_samples_chip)
+    s = seg_bits
+    n_seg = (n_bits + s - 1) // s
+    offsets = (np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
+               * d).astype(np.float32)
+    sub = ((-1.0) ** np.arange(m)).astype(np.float32)
+    k = np.arange(2 * s * m, dtype=np.float32)
+    tables = []
+    for g in range(n_seg):
+        base = np.float32(g) * np.float32(2.0 * s * m) * d
+        pos = (base + offsets[:, None] + k[None, :] * d).astype(np.int32)
+        s0 = int(pos.min())
+        span = int(pos.max()) - s0 + 1
+        dmat = np.zeros((span, n_offsets * 2 * s), dtype=np.float32)
+        half = (np.arange(2 * s * m) // m)[None, :]
+        cols = np.arange(n_offsets)[:, None] * (2 * s) + half
+        np.add.at(dmat, (pos - s0, cols),
+                  np.broadcast_to(sub[None, np.tile(np.arange(m), 2 * s)],
+                                  pos.shape))
+        tables.append((s0, span, dmat))
+    return tuple(tables)
 
 
 def miller_detect(
@@ -93,28 +141,26 @@ def miller_detect(
     consistently and the within-bit comparison is invariant.
     """
     m = cfg.miller_m
-    d = jnp.float32(cfg.n_samples_chip)
-    n_seg = (n_bits + seg_bits - 1) // seg_bits
-    offsets = jnp.linspace(-1.5, 1.5, n_offsets).astype(jnp.float32) * d
+    tables = _miller_segment_selection(cfg, n_bits, seg_bits, n_offsets)
+    hi = jax.lax.Precision.HIGHEST
+    w = frame.shape[0]
+    fr, fi = jnp.real(frame), jnp.imag(frame)
+    q_segs = []
+    for s0, span, d_np in tables:
+        # One dynamic slice per segment, then a shared-weight +-1 selection
+        # matmul computing every offset's subcarrier correlations at once
+        # (per-frame chip gathers serialize on TPU).
+        start = jnp.clip(index + s0, 0, w - span)
+        slr = jax.lax.dynamic_slice(fr, (start,), (span,))
+        sli = jax.lax.dynamic_slice(fi, (start,), (span,))
+        dj = jnp.asarray(d_np)
+        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_offsets, -1)
+        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_offsets, -1)
+        e = jnp.sum(qr ** 2 + qi ** 2, axis=1)
+        b = jnp.argmax(e)
+        q_segs.append(jax.lax.complex(qr[b], qi[b]))
 
-    def segment(g):
-        base = index.astype(jnp.float32) + g.astype(jnp.float32) * (
-            2.0 * seg_bits * m
-        ) * d
-
-        def at(off):
-            k = jnp.arange(2 * seg_bits * m, dtype=jnp.float32)
-            pos = (base + off + k * d).astype(jnp.int32)
-            pos = jnp.minimum(pos, frame.shape[0] - 1)
-            sub = jnp.asarray((-1.0) ** np.arange(m), dtype=jnp.float32)
-            x = frame[pos].reshape(2 * seg_bits, m)
-            return (x * sub[None, :]).sum(axis=1)    # (2*seg_bits,) complex
-
-        qs = jax.vmap(at)(offsets)                   # (n_offsets, 2*seg_bits)
-        e = jnp.sum(jnp.real(qs) ** 2 + jnp.imag(qs) ** 2, axis=1)
-        return qs[jnp.argmax(e)]
-
-    q = jax.vmap(segment)(jnp.arange(n_seg)).reshape(-1)[: 2 * n_bits]
+    q = jnp.concatenate(q_segs)[: 2 * n_bits]
     stat = jnp.real(q * jnp.conj(h_est))
     if cfg.track_channel and cfg.mode != "compat":
         # Decision-directed channel tracking (new capability, shared with
@@ -138,7 +184,7 @@ def miller_detect(
     # under collisions - see fm0.rn16_detect_soft.
     h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
     margin = jnp.mean(jnp.abs(stat)) / jnp.maximum(0.5 * m * h2, 1e-12)
-    return bits, d, margin
+    return bits, jnp.float32(cfg.n_samples_chip), margin
 
 
 def miller_rn16(frame, index, h, cfg):

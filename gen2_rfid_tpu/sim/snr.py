@@ -120,7 +120,7 @@ def theory_miller_waterfall_db(m: int, epc_bits: int = 128) -> float:
     """Predicted FER=0.5 SNR (dB, per post-MF half-chip) for Miller-M.
 
     Per half-bit the detector correlates M chip samples against the
-    subcarrier (dsp/miller.py::_halfbit_corr): OOK chips alternate 0/h so
+    subcarrier (dsp/miller.py::miller_detect): OOK chips alternate 0/h so
     the correlation mean is M|h|/2 with noise variance M sigma_s^2, i.e.
     statistic SNR M*gamma/4; a bit errs when either half-bit correlation
     flips sign: Pb ~ 2 Q(sqrt(M*gamma/2)).  Solving 1-(1-Pb)^n = 0.5 gives

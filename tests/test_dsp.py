@@ -131,3 +131,17 @@ def test_epc_decode_and_period_estimate():
     truth = tr.events[1].reply_bits
     np.testing.assert_array_equal(np.asarray(bits), truth)
     assert abs(float(t_half) - 5.0) <= 0.05 + 1e-6
+
+
+def test_matched_filter_blocked_bitexact():
+    """The overlap-save blocked conv (long inputs) must be bit-identical to
+    the flat conv: same windows, same op, only the batch layout changes."""
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=100000) + 1j * rng.normal(size=100000)).astype(
+        np.complex64)
+    taps = boxcar_taps(25)
+    got_b = np.asarray(
+        matched_filter_decimate(jnp.asarray(x), taps, 5, block_out=1024))
+    got_f = np.asarray(
+        matched_filter_decimate(jnp.asarray(x), taps, 5, block_out=10 ** 9))
+    np.testing.assert_array_equal(got_b, got_f)

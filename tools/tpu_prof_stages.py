@@ -105,9 +105,17 @@ def main():
 
         trig_sample = jnp.where(trig, arange + nt1 + 1, i32(n))
         cap = cfg.max_events
-        pos = jnp.cumsum(trig.astype(i32)) - 1
-        slot = jnp.where(trig, jnp.minimum(pos, cap), i32(cap))
-        ev = jnp.full((cap,), n, i32).at[slot].set(trig_sample, mode="drop")
+        # Mirrors gate_detect's block-first compaction (<=1 trigger per
+        # <=nt1+1-sample block, guaranteed by the T1-quiet spacing).
+        bsz = 1 << max(min(nt1 + 1, 512).bit_length() - 1, 0)
+        nb = -(-n // bsz)
+        s2 = jnp.pad(trig_sample, (0, nb * bsz - n),
+                     constant_values=n).reshape(nb, bsz)
+        bsamp = jnp.min(s2, axis=1)
+        bhas = bsamp < n
+        pos = jnp.cumsum(bhas.astype(i32)) - 1
+        slot = jnp.where(bhas, jnp.minimum(pos, cap), i32(cap))
+        ev = jnp.full((cap,), n, i32).at[slot].set(bsamp, mode="drop")
         valid = ev < n
         ev_c = jnp.minimum(ev, n - 1)
         if stage == "compact":
