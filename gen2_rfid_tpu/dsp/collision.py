@@ -1,0 +1,184 @@
+"""Two-tag RN16 collision recovery by successive interference cancellation.
+
+New capability with no reference analogue: the reference loses every
+collided slot (it only ever learns about the collision when the EPC CRC
+fails, ``tag_decoder_impl.cc:366-387``).  Real tags reply with independent
+T1 timing and channel phases, so a collided RN16 window is usually
+*separable*:
+
+1. decode the dominant reply with the standard coherent slicer (capture
+   effect: when the colliders' timings differ, sync locks to the stronger
+   correlation peak; even perfectly aligned colliders decode to the
+   stronger tag's bits — disagreeing bits project to |h1|^2 - |h2|^2);
+2. re-synthesize the decoded tag's matched-filtered OOK waveform from its
+   chip train (closed-form FM0 re-encoding — no scan: the FM0 level
+   recursion is a cumulative XOR) over a small static bank of timing
+   hypotheses (decim ADC phases x integer shifts, since the simulator and
+   real edges land on ADC samples), least-squares fit the complex
+   amplitude, and subtract the best hypothesis;
+3. re-run sync + slicing on the residual to recover the second tag.
+
+The reader can then ACK either tag (capture-style inventory: the matching
+tag answers with its EPC — ``sim/channel.py`` models exactly this), instead
+of losing the slot.
+
+TPU shape: everything is selection/matmul algebra — the chip train is a
+cumxor, the template bank is one (E, 46) x (46, C*L) matmul, hypothesis
+scoring is a (C, L) x (L,) contraction per frame, and the only per-frame
+dynamic ops are two dynamic slices and one dynamic-update-slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TAG_PREAMBLE_BITS_PATTERN, ReaderConfig
+from . import fm0, sync
+
+N_SHIFTS = 7          # integer decim-sample alignment hypotheses
+# The sync correlation peaks ~(taps/decim) samples AFTER the preamble start
+# (its per-chip samples integrate a full MF window inside each chip), so
+# the true start lies a few samples below the peak; hypotheses cover
+# peak-7 .. peak-1.
+SHIFT0 = -7
+
+
+class SicResult(NamedTuple):
+    bits1: jnp.ndarray    # (16,) dominant tag's RN16
+    bits2: jnp.ndarray    # (16,) cancelled-residual tag's RN16
+    h1: jnp.ndarray       # () complex refined LS amplitude of tag 1 (per-chip
+                          #    backscatter scale, i.e. post-MF amplitude / taps)
+    h1_sync: jnp.ndarray  # () complex pass-1 preamble estimate (post-MF scale)
+    h2: jnp.ndarray       # () complex preamble channel estimate of tag 2
+    margin1: jnp.ndarray  # () f32 slicer margin of pass 1
+    margin2: jnp.ndarray  # () f32 slicer margin of pass 2 (on the residual)
+    cancel_ratio: jnp.ndarray  # () f32 energy removed / window energy
+
+
+def fm0_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
+    """Preamble + FM0 half-bit chips (0/1) for a 16-bit RN16 + dummy-1.
+
+    Closed form of the sequential level recursion in ``sim.tag.fm0_chips``
+    (first_i = cumxor_{<i}, second_i = 1 - cumxor_{<=i}, starting from the
+    preamble's trailing high chip) — verified equal in tests.
+    """
+    bits = jnp.concatenate(
+        [bits16.astype(jnp.int32), jnp.ones((1,), jnp.int32)])
+    cx = jnp.cumsum(bits) % 2
+    cx_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cx[:-1]])
+    first = cx_prev
+    second = 1 - cx
+    data = jnp.stack([first, second], axis=-1).reshape(-1)
+    pre = jnp.asarray(np.asarray(TAG_PREAMBLE_BITS_PATTERN, np.int32))
+    return jnp.concatenate([pre, data])
+
+
+@functools.lru_cache(maxsize=8)
+def _template_bank(cfg: ReaderConfig):
+    """(n_chips, C*L) static basis: column c*L+k is the matched-filtered
+    response at window sample k of a unit chip, for timing hypothesis c =
+    (shift s, ADC phase phi).
+
+    Chip hb occupies ADC [phi + s*decim + hb*chip_adc, +chip_adc) relative
+    to the slice start; window sample k integrates ADC
+    (k*decim - (t-1) .. k*decim] (the GNU Radio history convention of
+    filters.matched_filter_decimate).  Edges land on integer ADC samples
+    (sim.tag.superpose_reply rounds), so one phase hypothesis reproduces
+    the waveform exactly at nominal BLF.
+    """
+    assert cfg.miller_m == 1 and cfg.trext == 0, "FM0 RN16 SIC only"
+    decim = cfg.decim
+    t = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6)     # MF taps
+    chip_adc = t                                          # half-bit length
+    n_chips = 2 * cfg.tag_preamble_bits + 2 * cfg.rn16_bits
+    # All hypotheses are placed at non-negative ADC offsets of the slice
+    # (the slice itself is anchored at sync_peak + SHIFT0, so shifts cover
+    # sync_peak-7 .. sync_peak-1); no template row is ever truncated.
+    a_max = (N_SHIFTS - 1) * decim + (decim - 1) + n_chips * chip_adc
+    l_win = (a_max + t - 1) // decim + 2
+    c_hyp = N_SHIFTS * decim
+    p = np.zeros((n_chips, c_hyp, l_win), dtype=np.float32)
+    for s in range(N_SHIFTS):
+        for phi in range(decim):
+            a_base = phi + s * decim
+            for hb in range(n_chips):
+                a0 = a_base + hb * chip_adc
+                a1 = a0 + chip_adc
+                k0 = max(a0 // decim, 0)
+                k1 = min((a1 + t - 1) // decim + 1, l_win - 1)
+                for k in range(k0, k1 + 1):
+                    lo = k * decim - (t - 1)
+                    ov = min(k * decim + 1, a1) - max(lo, a0)
+                    if ov > 0:
+                        p[hb, s * decim + phi, k] = ov
+    return p.reshape(n_chips, c_hyp * l_win), c_hyp, l_win
+
+
+def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
+    """Recover two superposed RN16 replies from one decode window.
+
+    frame: (W,) complex64, DC-corrected (CW mean removed, so the window is
+    tag backscatter only).  Pass 1 decodes the dominant tag; the LS-fitted
+    template is subtracted; pass 2 decodes the residual.
+    """
+    p_np, c_hyp, l_win = _template_bank(cfg)
+    w = frame.shape[0]
+    half = cfg.n_samples_tag_bit / 2.0
+    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+    hi = jax.lax.Precision.HIGHEST
+
+    idx1, h1c = sync.tag_sync(frame, cfg)
+    bits1, margin1 = fm0.rn16_detect_soft(frame, idx1, h1c, cfg)
+
+    # Template bank for THESE bits: (46,) x (46, C*L) matmul.
+    chips = fm0_chip_train(bits1, cfg).astype(jnp.float32)
+    bank = jnp.matmul(chips, jnp.asarray(p_np), precision=hi).reshape(
+        c_hyp, l_win)
+
+    # Window slice anchored at sync peak + SHIFT0; the bank's shift
+    # hypotheses then cover peak-7 .. peak-1 (the correlation peaks ~t/decim
+    # samples after the true preamble start, since its per-chip samples
+    # integrate a full MF window inside each chip).
+    m1 = idx1 - jnp.int32(b0)
+    start = jnp.clip(m1 + SHIFT0, 0, w - l_win)
+    xw = jax.lax.dynamic_slice(frame, (start,), (l_win,))
+    xr, xi_ = jnp.real(xw), jnp.imag(xw)
+
+    # LS amplitude per hypothesis: alpha_c = <x, tpl_c> / <tpl_c, tpl_c>.
+    pr = jnp.matmul(bank, xr, precision=hi)              # (C,)
+    pi = jnp.matmul(bank, xi_, precision=hi)
+    tt = jnp.maximum(jnp.sum(bank * bank, axis=1), 1e-20)
+    score = (pr ** 2 + pi ** 2) / tt                     # explained energy
+    best = jnp.argmax(score)
+    tpl = bank[best]
+    a_re = pr[best] / tt[best]
+    a_im = pi[best] / tt[best]
+
+    res = jax.lax.complex(xr - a_re * tpl, xi_ - a_im * tpl)
+    r = jax.lax.dynamic_update_slice(frame, res, (start,))
+
+    e_before = jnp.sum(xr ** 2 + xi_ ** 2)
+    e_after = jnp.sum(jnp.real(res) ** 2 + jnp.imag(res) ** 2)
+    cancel_ratio = 1.0 - e_after / jnp.maximum(e_before, 1e-20)
+
+    idx2, h2c = sync.tag_sync(r, cfg)
+    bits2, margin2 = fm0.rn16_detect_soft(r, idx2, h2c, cfg)
+
+    return SicResult(
+        bits1=bits1,
+        bits2=bits2,
+        h1=jax.lax.complex(a_re, a_im),
+        h1_sync=h1c,
+        h2=h2c,
+        margin1=margin1,
+        margin2=margin2,
+        cancel_ratio=cancel_ratio,
+    )
+
+
+rn16_sic_batch = jax.vmap(rn16_sic, in_axes=(0, None))

@@ -77,6 +77,9 @@ class LiveStats:
     n_collision_slots: int = 0
     n_qadjust: int = 0
     n_nak: int = 0
+    n_sic_recovered: int = 0   # collided slots whose EPC was still read
+    # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
+    sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
     slot_latency_s: List[float] = dataclasses.field(default_factory=list)
 
@@ -103,12 +106,20 @@ class _RnResult:
     margin: float
     h2: float
     noise_var: float
+    # SIC mode (mode="sic"): the residual's second decoded RN16 + quality.
+    bits2: Optional[np.ndarray] = None
+    margin2: float = 0.0
+    cancel_ratio: float = 0.0
 
 
 @functools.lru_cache(maxsize=None)
-def _window_decoder(cfg: ReaderConfig, want_epc: bool):
+def _window_decoder(cfg: ReaderConfig, mode: str):
     """Jitted per-slot window decode (FIR -> gate -> newest-event frame ->
     sync/FM0-or-Miller -> bits + soft stats), fixed output shapes.
+
+    mode: "rn16" | "epc" | "sic" (RN16 window with successive interference
+    cancellation: dsp/collision.py - pass 1 equals the plain decode, so the
+    SIC decoder transparently replaces "rn16" when capture is enabled).
 
     The live loop re-enters this at a handful of stable block shapes (one
     per command kind), so after warmup every slot is a single compiled
@@ -124,6 +135,7 @@ def _window_decoder(cfg: ReaderConfig, want_epc: bool):
     from .inventory import check_epc_crc_batch, matched_taps
 
     ev_cfg = dataclasses.replace(cfg, max_events=8)
+    want_epc = mode == "epc"
     w = cfg.epc_window if want_epc else cfg.rn16_window
 
     @jax.jit
@@ -140,6 +152,15 @@ def _window_decoder(cfg: ReaderConfig, want_epc: bool):
         fits = found & (idx + w <= y.shape[0])
         start = jnp.minimum(idx, jnp.int32(y.shape[0] - w))
         frame = jax.lax.dynamic_slice(y, (start,), (w,)) - ev.dc[pos]
+        if mode == "sic":
+            from ..dsp.collision import rn16_sic
+
+            r = rn16_sic(frame, cfg)
+            energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
+            # Post-MF-scale channel power (the classifier's normalization).
+            h1sq = jnp.real(r.h1_sync) ** 2 + jnp.imag(r.h1_sync) ** 2
+            return (fits, r.bits1, r.margin1, energy, h1sq,
+                    ev.noise_var[pos], r.bits2, r.margin2, r.cancel_ratio)
         if cfg.miller_m == 1:
             di, h = sync.tag_sync(frame, cfg)
             if want_epc:
@@ -182,11 +203,17 @@ class LiveReader:
         q_c: float = 0.35,
         nak_on_fail: bool = False,
         power_down_every: int = 0,
+        sic: bool = False,
     ):
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
         self.adaptive = adaptive
+        # Capture-style collision recovery (dsp/collision.py, FM0 only):
+        # the SIC decoder's pass 1 equals the plain RN16 decode, so on a
+        # collided slot the ACK carries the dominant tag's exact RN16 and
+        # its EPC is read instead of the slot being lost.
+        self.sic = sic and cfg.miller_m == 1 and cfg.trext == 0
         self.q = cfg.fixed_q if q_init is None else q_init
         self.qfp = float(self.q)
         self.q_c = q_c
@@ -205,22 +232,27 @@ class LiveReader:
         power-down resets, so no recompiles occur mid-inventory."""
         self._ctx = np.zeros(self._ctx_len, np.complex64)
 
-    def _decode_window(self, rx: np.ndarray, want_epc: bool):
+    def _decode_window(self, rx: np.ndarray, mode: str):
         block = np.concatenate([self._ctx, rx])
         self._ctx = block[-self._ctx_len:]
         block2 = np.stack([block.real, block.imag]).astype(np.float32)
-        out = _window_decoder(self.cfg, want_epc)(block2)
+        out = _window_decoder(self.cfg, mode)(block2)
         if not bool(out[0]):
             return None
-        if want_epc:
+        if mode == "epc":
             return np.asarray(out[1]), bool(out[2])
-        return _RnResult(
+        r = _RnResult(
             bits=np.asarray(out[1]),
             energy=float(out[3]),
             margin=float(out[2]),
             h2=float(out[4]),
             noise_var=float(out[5]),
         )
+        if mode == "sic":
+            r.bits2 = np.asarray(out[6])
+            r.margin2 = float(out[7])
+            r.cancel_ratio = float(out[8])
+        return r
 
     def _classify(self, rn: Optional[_RnResult]) -> int:
         """Live slot state via the batch classifier's thresholds
@@ -293,7 +325,7 @@ class LiveReader:
             st.n_queries += 1
 
             # ---- RN16 decode + slot classification ----
-            rn = self._decode_window(rx, want_epc=False)
+            rn = self._decode_window(rx, "sic" if self.sic else "rn16")
             from .inventory import SLOT_COLLISION, SLOT_EMPTY
 
             slot_state = self._classify(rn)
@@ -306,6 +338,8 @@ class LiveReader:
                 st.n_empty_slots += 1
             elif slot_state == SLOT_COLLISION:
                 st.n_collision_slots += 1
+                if self.sic and rn is not None and rn.bits2 is not None:
+                    st.sic_rn16_pairs.append((rn.bits, rn.bits2))
             else:
                 st.n_single_slots += 1
 
@@ -314,7 +348,7 @@ class LiveReader:
             _log.debug("SEND ACK | rn16=%s", "".join(map(str, rn16)))
             ack = gen2.ack_bits(np.asarray(rn16))
             rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
-            out = self._decode_window(rx2, want_epc=True)
+            out = self._decode_window(rx2, "epc")
             epc_ok = False
             if out is not None:
                 epc_bits, epc_ok = out
@@ -323,6 +357,8 @@ class LiveReader:
                     tid = int("".join(map(str, epc_bits[104:112])), 2)
                     st.tag_reads[tid] += 1
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
+                    if slot_state == SLOT_COLLISION and self.sic:
+                        st.n_sic_recovered += 1
             if not epc_ok and self.nak_on_fail and slot_state != SLOT_EMPTY:
                 # SEND_NAK_QR/Q: NAK + CW before the next Query/QueryRep
                 # (reader_impl.cc:233-249).
