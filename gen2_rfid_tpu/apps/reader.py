@@ -135,13 +135,16 @@ def cmd_live(args) -> int:
         from ..sim.channel import SimTagChannel
         from ..sim.tag import Tag
 
+        # Distinct magnitudes and phases per tag (distinct ranges - also
+        # what makes collided slots separable for --sic).
         tags = [
-            Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+            Tag.with_id(t, seed=i,
+                        backscatter=0.08 * 0.75 ** i * np.exp(1.1j * i))
             for i, t in enumerate(args.tags)
         ]
         channel = SimTagChannel(cfg, tags, seed=args.seed)
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
-                    nak_on_fail=args.nak)
+                    nak_on_fail=args.nak, sic=args.sic)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -161,6 +164,8 @@ def cmd_live(args) -> int:
     if lat:
         print(f"| Slot latency: {lat['p50_ms']:.1f} ms p50 / "
               f"{lat['p95_ms']:.1f} ms p95 over {lat['n_slots']} slots")
+    if st.n_sic_recovered:
+        print(f"| Collided slots recovered via SIC: {st.n_sic_recovered}")
     if st.n_qadjust:
         print(f"| QueryAdjust sent: {st.n_qadjust}  (Q trace: "
               f"{' '.join(map(str, st.q_trace))})")
@@ -232,6 +237,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Annex-D adaptive Q (QueryAdjust)")
     lv.add_argument("--nak", action="store_true",
                     help="transmit NAK on failed EPC CRC")
+    lv.add_argument("--sic", action="store_true",
+                    help="collision recovery: ACK the dominant collider "
+                         "(successive interference cancellation, FM0)")
     lv.add_argument("--seed", type=int, default=99)
     lv.set_defaults(fn=cmd_live)
     return p
