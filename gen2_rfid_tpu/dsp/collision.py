@@ -39,6 +39,7 @@ import numpy as np
 
 from ..config import TAG_PREAMBLE_BITS_PATTERN, ReaderConfig
 from . import fm0, sync
+from .fm0 import SEL_PRECISION
 
 N_SHIFTS = 7          # integer decim-sample alignment hypotheses
 # The sync correlation peaks ~(taps/decim) samples AFTER the preamble start
@@ -130,7 +131,7 @@ def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
     w = frame.shape[0]
     half = cfg.n_samples_tag_bit / 2.0
     b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
 
     idx1, h1c = sync.tag_sync(frame, cfg)
     bits1, margin1 = fm0.rn16_detect_soft(frame, idx1, h1c, cfg)

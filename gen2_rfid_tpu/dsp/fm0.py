@@ -19,6 +19,14 @@ import numpy as np
 
 from ..config import ReaderConfig
 
+# Matmul precision for the 0/+-1 selection contractions.  "high" (bf16x3)
+# is bit-exact f32 for such weights - three bf16 splits carry a full 24-bit
+# mantissa and products with +-1 are exact - at half the MXU passes of
+# "highest" (bf16x6).  Exactness VERIFIED on v5e hardware
+# (tools/tpu_prec_avg_experiment.py: identical decode counts, ~12% faster
+# end-to-end).
+SEL_PRECISION = "high"
+
 
 def _diff_decode(signs: jnp.ndarray) -> jnp.ndarray:
     """FM0 differential rule (tag_decoder_impl.cc:121-140): 0 on repeat,
@@ -51,7 +59,7 @@ def rn16_detect_soft(
     start = jnp.minimum(index, frame.shape[0] - span)
     sl = jax.lax.dynamic_slice(frame, (start,), (span,))
     dj = jnp.asarray(sel_d)
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     d = jax.lax.complex(
         jnp.matmul(jnp.real(sl), dj, precision=hi),
         jnp.matmul(jnp.imag(sl), dj, precision=hi),
@@ -204,7 +212,7 @@ def epc_detect(
     cand, n_probe = epc_period_grid(cfg)
     candj = jnp.asarray(cand)
     w = magn2.shape[0]
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     # Energy grid as a matmul (tag_decoder_impl.cc:157-164 semantics: sum
     # of |frame|^2 at floor(i*T_t) past the sync index, i < 256).  The
     # offset-folded form computes all sync offsets as extra columns of one
@@ -235,7 +243,7 @@ def epc_detect(
     sl_start = jnp.minimum(index, w - span)
     sl = jax.lax.dynamic_slice(frame, (sl_start,), (span,))
     dj = jnp.asarray(sel_d)
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     d_re = jnp.matmul(jnp.real(sl), dj, precision=hi).reshape(steps, nb)
     d_im = jnp.matmul(jnp.imag(sl), dj, precision=hi).reshape(steps, nb)
     d = jax.lax.complex(d_re[t_sel], d_im[t_sel])

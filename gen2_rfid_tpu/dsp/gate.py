@@ -171,7 +171,16 @@ def gate_detect(
         amp = jnp.abs(y).astype(jnp.float32)
     if avg is None:
         # Moving average including the current sample (gate_impl.cc:131-133).
-        avg = moving_sum(amp, cfg.win_length) / jnp.float32(cfg.win_length)
+        # Compat pins the reference's blocked-cumsum summation order; native
+        # uses the dyadic windowed sum (fewer passes, different f32 order -
+        # decode-count-verified on hardware, tools/tpu_prec_avg_experiment).
+        if cfg.mode == "compat":
+            msum = moving_sum(amp, cfg.win_length)
+        else:
+            from .filters import run_sum
+
+            msum = run_sum(amp, cfg.win_length)
+        avg = msum / jnp.float32(cfg.win_length)
     thresh = avg * jnp.float32(cfg.thresh_fraction)
 
     pw_half = cfg.n_samples_pw // 2

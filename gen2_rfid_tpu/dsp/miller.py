@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import ReaderConfig
 from ..sim.tag import miller_chips
+from .fm0 import SEL_PRECISION
 
 
 def _preamble_pm(m: int, trext: int = 0) -> np.ndarray:
@@ -66,7 +67,7 @@ def miller_sync(
     s_np, sh_np, span, dshift = _miller_sync_selection(cfg)
     x = jax.lax.slice(frame, (0,), (span,))
     xr, xi = jnp.real(x), jnp.imag(x)
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     s = jnp.asarray(s_np)
     cr = jnp.matmul(xr, s, precision=hi)
     ci = jnp.matmul(xi, s, precision=hi)
@@ -142,7 +143,7 @@ def miller_detect(
     """
     m = cfg.miller_m
     tables = _miller_segment_selection(cfg, n_bits, seg_bits, n_offsets)
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     w = frame.shape[0]
     fr, fi = jnp.real(frame), jnp.imag(frame)
     q_segs = []

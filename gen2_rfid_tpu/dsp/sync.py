@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TAG_PREAMBLE_BITS_PATTERN, ReaderConfig
+from .fm0 import SEL_PRECISION
 
 # +-1 correlation template (tag_decoder_impl.cc:102).
 _PREAMBLE_PM = np.array(TAG_PREAMBLE_BITS_PATTERN, dtype=np.float32) * 2.0 - 1.0
@@ -58,7 +59,7 @@ def tag_sync(frame: jnp.ndarray, cfg: ReaderConfig) -> Tuple[jnp.ndarray, jnp.nd
     half = cfg.n_samples_tag_bit / 2.0                      # float, ref semantics
     s_np, sh_np, span = _sync_selection(cfg)
     x = jax.lax.slice(frame, (0,), (span,))
-    hi = jax.lax.Precision.HIGHEST
+    hi = SEL_PRECISION
     s = jnp.asarray(s_np)
     sh = jnp.asarray(sh_np)
     xr, xi = jnp.real(x), jnp.imag(x)
