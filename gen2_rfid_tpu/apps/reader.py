@@ -66,8 +66,8 @@ def cmd_decode(args) -> int:
             total += done
         else:
             iq = read_trace(path)
-            stats, _ = decode_capture(jnp.asarray(iq), cfg,
-                                      exact_gate=args.exact_gate)
+            stats, last_dec = decode_capture(jnp.asarray(iq), cfg,
+                                             exact_gate=args.exact_gate)
             total += n
         per_capture.append(stats)
     # Multi-capture sessions aggregate with merge_stats: each capture's
@@ -85,6 +85,14 @@ def cmd_decode(args) -> int:
               f"{int(stats.n_slot_collision)} collision")
         print(f"| Commands: {cc[0]} Query, {cc[1]} QueryRep, {cc[2]} ACK, "
               f"{cc[3]} QueryAdjust, {cc[4]} NAK, {cc[5]} unknown")
+        if not args.chunked and len(args.capture) == 1:
+            from ..runtime.stats import tag_signal_report
+
+            for t, r in sorted(tag_signal_report(last_dec).items()):
+                print(f"| Tag {t:#04x}: RSSI {r['rssi_dbfs']:+.1f} dBfs, "
+                      f"phase {np.degrees(r['phase_rad']):+.1f} deg "
+                      f"(spread {np.degrees(r['phase_spread_rad']):.2f} deg, "
+                      f"{r['n_reads']} reads)")
     print(f"| Decoded {total} samples in {dt:.2f} s "
           f"({total / dt / 1e6:.1f} Msamples/s)")
     return 0

@@ -86,3 +86,38 @@ def format_results(stats: InventoryStats) -> str:
 
 def print_results(stats: InventoryStats) -> None:
     print(format_results(stats))
+
+
+def tag_signal_report(dec) -> dict:
+    """Per-tag RSSI / phase from the per-read channel estimates.
+
+    New capability (commercial readers report per-read RSSI and phase for
+    ranging/localization; the reference computes ``h_est`` per frame,
+    tag_decoder_impl.cc:103, but never surfaces it).  For each tag id with
+    CRC-passing EPC reads, reports
+
+    * ``rssi_dbfs``: 10*log10(mean |h|^2) of the post-matched-filter
+      channel estimate (dB full-scale: with a unit-amplitude backscatter
+      chip and T boxcar taps, |h| = T);
+    * ``phase_rad``: circular mean of angle(h) - the backscatter phase;
+    * ``phase_spread_rad``: circular std (1 - |mean unit vector|, mapped
+      through sqrt(-2 ln R)) - small for a static tag, grows with motion;
+    * ``n_reads``.
+    """
+    valid = np.asarray(dec.valid) & np.asarray(dec.epc_pass)
+    h = np.asarray(dec.h_est)[valid]
+    tid = np.asarray(dec.tag_id)[valid]
+    out = {}
+    for t in np.unique(tid):
+        hs = h[tid == t]
+        z = hs[:, 0] + 1j * hs[:, 1]
+        power = float(np.mean(np.abs(z) ** 2))
+        unit = z / np.maximum(np.abs(z), 1e-20)
+        r = np.abs(unit.mean())
+        out[int(t)] = {
+            "rssi_dbfs": 10.0 * float(np.log10(max(power, 1e-30))),
+            "phase_rad": float(np.angle(unit.mean())),
+            "phase_spread_rad": float(np.sqrt(max(-2.0 * np.log(max(r, 1e-12)), 0.0))),
+            "n_reads": int(hs.shape[0]),
+        }
+    return out

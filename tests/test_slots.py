@@ -73,3 +73,32 @@ def test_classifier_envelope_regression():
         for cls, lo in bounds.items():
             acc = accuracy(conf, cls)
             assert acc >= lo, (noise, dphi, cls, acc)
+
+
+def test_tag_signal_report_rssi_phase():
+    """Per-tag RSSI/phase report (runtime.stats.tag_signal_report): the
+    post-MF channel estimate of a clean simulated tag is backscatter x
+    n_taps, so RSSI ~ 20 log10(25 |bs|) dBfs and the circular-mean phase
+    ~ angle(bs), with near-zero spread for a static tag."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.stats import tag_signal_report
+    from gen2_rfid_tpu.sim.tag import Tag
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg = ReaderConfig(max_events=64)
+    bs = 0.07 * np.exp(0.6j)
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7, backscatter=bs)],
+                              n_rounds=5, seed=3)
+    _, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    rep = tag_signal_report(dec)
+    assert set(rep) == {27}
+    r = rep[27]
+    assert r["n_reads"] == 5
+    want_rssi = 20.0 * np.log10(25 * abs(bs))
+    assert abs(r["rssi_dbfs"] - want_rssi) < 1.0, (r, want_rssi)
+    assert abs(r["phase_rad"] - 0.6) < 0.05, r
+    assert r["phase_spread_rad"] < 0.05, r
