@@ -120,13 +120,10 @@ def _template_bank(cfg: ReaderConfig):
     return p.reshape(n_chips, c_hyp * l_win), c_hyp, l_win
 
 
-def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
-    """Recover two superposed RN16 replies from one decode window.
-
-    frame: (W,) complex64, DC-corrected (CW mean removed, so the window is
-    tag backscatter only).  Pass 1 decodes the dominant tag; the LS-fitted
-    template is subtracted; pass 2 decodes the residual.
-    """
+def _sic_pass(frame: jnp.ndarray, cfg: ReaderConfig):
+    """One decode-and-cancel pass: sync, slice, LS-fit + subtract the
+    re-synthesized dominant reply.  Returns (bits, margin, h_sync, alpha,
+    cancel_ratio, residual_frame)."""
     p_np, c_hyp, l_win = _template_bank(cfg)
     w = frame.shape[0]
     half = cfg.n_samples_tag_bit / 2.0
@@ -166,20 +163,98 @@ def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
     e_before = jnp.sum(xr ** 2 + xi_ ** 2)
     e_after = jnp.sum(jnp.real(res) ** 2 + jnp.imag(res) ** 2)
     cancel_ratio = 1.0 - e_after / jnp.maximum(e_before, 1e-20)
+    return (bits1, margin1, h1c, jax.lax.complex(a_re, a_im),
+            cancel_ratio, r)
 
+
+def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
+    """Recover two superposed RN16 replies from one decode window.
+
+    frame: (W,) complex64, DC-corrected (CW mean removed, so the window is
+    tag backscatter only).  Pass 1 decodes the dominant tag; the LS-fitted
+    template is subtracted; pass 2 decodes the residual.
+    """
+    bits1, margin1, h1c, alpha, cancel_ratio, r = _sic_pass(frame, cfg)
     idx2, h2c = sync.tag_sync(r, cfg)
     bits2, margin2 = fm0.rn16_detect_soft(r, idx2, h2c, cfg)
 
     return SicResult(
         bits1=bits1,
         bits2=bits2,
-        h1=jax.lax.complex(a_re, a_im),
+        h1=alpha,
         h1_sync=h1c,
         h2=h2c,
         margin1=margin1,
         margin2=margin2,
         cancel_ratio=cancel_ratio,
     )
+
+
+def _sic_detect_template(frame: jnp.ndarray, cfg: ReaderConfig):
+    """Detect the dominant reply in ``frame`` and return (bits, margin,
+    h_sync, template-in-frame-coordinates (W,) f32)."""
+    p_np, c_hyp, l_win = _template_bank(cfg)
+    w = frame.shape[0]
+    half = cfg.n_samples_tag_bit / 2.0
+    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+    hi = SEL_PRECISION
+
+    idx1, h1c = sync.tag_sync(frame, cfg)
+    bits1, margin1 = fm0.rn16_detect_soft(frame, idx1, h1c, cfg)
+    chips = fm0_chip_train(bits1, cfg).astype(jnp.float32)
+    bank = jnp.matmul(chips, jnp.asarray(p_np), precision=hi).reshape(
+        c_hyp, l_win)
+    m1 = idx1 - jnp.int32(b0)
+    start = jnp.clip(m1 + SHIFT0, 0, w - l_win)
+    xw = jax.lax.dynamic_slice(frame, (start,), (l_win,))
+    pr = jnp.matmul(bank, jnp.real(xw), precision=hi)
+    pi = jnp.matmul(bank, jnp.imag(xw), precision=hi)
+    tt = jnp.maximum(jnp.sum(bank * bank, axis=1), 1e-20)
+    best = jnp.argmax((pr ** 2 + pi ** 2) / tt)
+    tpl_full = jax.lax.dynamic_update_slice(
+        jnp.zeros((w,), jnp.float32), bank[best], (start,))
+    return bits1, margin1, h1c, tpl_full
+
+
+def rn16_sic_n(frame: jnp.ndarray, cfg: ReaderConfig, n_tags: int = 3):
+    """Iterative N-way separation with joint amplitude re-fit.
+
+    Each round detects the dominant reply in the current residual, adds its
+    re-synthesized template (in frame coordinates), then re-fits the
+    complex amplitudes of ALL templates found so far by joint least squares
+    against the ORIGINAL window - so the early templates' fits improve as
+    later interferers are discovered (naive sequential subtraction
+    accumulates fit bias and fails beyond 2 tags).
+
+    Returns (bits (n_tags, 16), h_sync (n_tags,) complex, margin (n_tags,),
+    cancel (n_tags,)) in detection order; cancel[k] is the fraction of the
+    original window energy removed after k+1 joint-fitted templates.
+    Callers judge per-pass validity from margin / cancel deltas - trailing
+    passes on an exhausted window decode noise.
+    """
+    w = frame.shape[0]
+    xr0, xi0 = jnp.real(frame), jnp.imag(frame)
+    e0 = jnp.maximum(jnp.sum(xr0 ** 2 + xi0 ** 2), 1e-20)
+
+    bits_all, h_all, margin_all, cancel_all = [], [], [], []
+    templates = []
+    r = frame
+    for k in range(n_tags):
+        bits, margin, h_sync, tpl = _sic_detect_template(r, cfg)
+        templates.append(tpl)
+        t = jnp.stack(templates)                       # (k+1, W)
+        g = t @ t.T + 1e-12 * jnp.eye(k + 1)           # (k+1, k+1)
+        a_re = jnp.linalg.solve(g, t @ xr0)
+        a_im = jnp.linalg.solve(g, t @ xi0)
+        rr = xr0 - a_re @ t
+        ri = xi0 - a_im @ t
+        r = jax.lax.complex(rr, ri)
+        bits_all.append(bits)
+        h_all.append(h_sync)
+        margin_all.append(margin)
+        cancel_all.append(1.0 - jnp.sum(rr ** 2 + ri ** 2) / e0)
+    return (jnp.stack(bits_all), jnp.stack(h_all), jnp.stack(margin_all),
+            jnp.stack(cancel_all))
 
 
 rn16_sic_batch = jax.vmap(rn16_sic, in_axes=(0, None))

@@ -150,3 +150,24 @@ def test_live_sic_capture_inventory():
             (tuple(int(x) for x in acked), tuple(int(x) for x in second)))
         assert got in want
         want.remove(got)
+
+
+def test_three_tag_joint_sic():
+    """rn16_sic_n with joint amplitude re-fit separates THREE superposed
+    replies (naive sequential subtraction accumulates template-fit bias
+    and fails beyond two): all three RN16s recover exactly across seeds."""
+    from gen2_rfid_tpu.dsp.collision import rn16_sic_n
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        b = [rng.integers(0, 2, 16) for _ in range(3)]
+        win = _window(
+            [(b[0], 0.08 + 0.03j, 252.5),
+             (b[1], 0.0854 * 0.5 * np.exp(-1.0j), 255.0),
+             (b[2], 0.0854 * 0.25 * np.exp(1.9j), 258.0)],
+            noise=0.004, seed=200 + seed)
+        bits, h, margin, cancel = rn16_sic_n(win, CFG, 3)
+        got = {tuple(int(x) for x in r) for r in np.asarray(bits)}
+        want = {tuple(int(x) for x in t) for t in b}
+        assert want <= got, (seed, got, want)
+        assert float(cancel[-1]) > 0.95
