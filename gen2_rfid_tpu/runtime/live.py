@@ -223,6 +223,7 @@ class LiveReader:
         # and DC state are warm when each reply window arrives.
         n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
         self._ctx_len = (cfg.win_length + cfg.n_samples_t1 + 64) * cfg.decim + n_taps
+        self._block_shapes = set()   # distinct (len, mode) decode shapes
         self._reset_ctx()
 
     # ---- per-block decode (jitted; one stable shape per command kind) ----
@@ -232,10 +233,21 @@ class LiveReader:
         power-down resets, so no recompiles occur mid-inventory."""
         self._ctx = np.zeros(self._ctx_len, np.complex64)
 
+    # ADC samples per live block-shape bucket: PIE command waveforms vary
+    # with the bit values (data-1 is 2x data-0, reader_impl.cc:55-56), so
+    # un-bucketed blocks get a fresh shape - and a fresh XLA compile -
+    # almost every ACK.  Zero-padding up to the bucket keeps the handful of
+    # shapes stable after warmup (trailing zeros sit after the reply window
+    # and decode as silence).
+    BLOCK_BUCKET = 512
+
     def _decode_window(self, rx: np.ndarray, mode: str):
         block = np.concatenate([self._ctx, rx])
         self._ctx = block[-self._ctx_len:]
-        block2 = np.stack([block.real, block.imag]).astype(np.float32)
+        pad = -len(block) % self.BLOCK_BUCKET
+        padded = np.concatenate([block, np.zeros(pad, block.dtype)])
+        self._block_shapes.add((len(padded), mode))
+        block2 = np.stack([padded.real, padded.imag]).astype(np.float32)
         out = _window_decoder(self.cfg, mode)(block2)
         if not bool(out[0]):
             return None

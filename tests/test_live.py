@@ -137,3 +137,16 @@ def test_live_slot_latency_recorded():
     lat = st.latency_summary()
     assert lat["n_slots"] == 4
     assert 0 < lat["p50_ms"] and lat["p50_ms"] <= lat["p95_ms"]
+
+
+def test_live_block_shapes_bucketed():
+    """PIE command waveforms vary with bit values (data-1 = 2x data-0), so
+    un-bucketed decode blocks would get a fresh XLA compile almost every
+    ACK (multi-second p95 slot latency).  The 512-sample bucket keeps the
+    shape set tiny regardless of inventory length."""
+    cfg = ReaderConfig()
+    rd = LiveReader(cfg)
+    st = rd.run_inventory(
+        SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1), 12)
+    assert st.n_epc_correct == 12
+    assert len(rd._block_shapes) <= 4, sorted(rd._block_shapes)
