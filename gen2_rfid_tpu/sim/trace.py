@@ -37,6 +37,8 @@ class TraceEvent:
     reply_tag: Optional[int]  # index into tags, None if no/collided reply
     reply_bits: Optional[np.ndarray]
     collided: bool = False
+    # Ground truth for collided slots: [(tag index, drawn RN16), ...]
+    collider_bits: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -169,6 +171,7 @@ def synthesize_inventory(
             c1 = w.n
 
             # RN16 reply during cw_query.
+            colliders = None
             if single:
                 rn16 = tags[tag_i].draw_rn16()
                 reply = reply_chips(cfg, rn16)
@@ -185,10 +188,13 @@ def synthesize_inventory(
                 # Collision: write CW then add each tag's chips.
                 w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
                 seg = w.parts[-1]
+                colliders = []  # ground truth for this collided slot
                 for i in responders:
                     t = tags[i]
-                    r = reply_chips(cfg, t.draw_rn16())
-                    w.add_reply(seg, r, tag_t1_us + rng.uniform(0, 5),
+                    drawn = t.draw_rn16()
+                    colliders.append((i, drawn))
+                    w.add_reply(seg, reply_chips(cfg, drawn),
+                                tag_t1_us + rng.uniform(0, 5),
                                 t.backscatter, t.chip_us(cfg), t.cfo_hz,
                                 t.amp_ramp)
             else:
@@ -201,7 +207,8 @@ def synthesize_inventory(
                 )
             events.append(
                 TraceEvent(kind, c0, c1, tag_i, rn16 if single else None,
-                           collided=len(responders) > 1)
+                           collided=len(responders) > 1,
+                           collider_bits=colliders)
             )
 
             # ---- ACK + EPC reply during cw_ack ----

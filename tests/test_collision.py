@@ -171,3 +171,55 @@ def test_three_tag_joint_sic():
         want = {tuple(int(x) for x in t) for t in b}
         assert want <= got, (seed, got, want)
         assert float(cancel[-1]) > 0.95
+
+
+def test_batch_pipeline_collision_separation():
+    """End-to-end: a synthesized multi-tag inventory's collided slots,
+    extracted by the real gate + window pipeline, separate into the exact
+    drawn RN16 pairs recorded by the simulator (TraceEvent.collider_bits)."""
+    from gen2_rfid_tpu.runtime.inventory import (
+        CMD_QREP, CMD_QUERY, decode_capture)
+    from gen2_rfid_tpu.runtime.frames import gather_aligned_windows
+    from gen2_rfid_tpu.dsp.filters import matched_filter_decimate
+    from gen2_rfid_tpu.runtime.inventory import matched_taps
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg = ReaderConfig(max_events=64)
+    tags = [Tag.with_id(27, seed=7, backscatter=0.08 + 0.03j),
+            Tag.with_id(9, seed=3, backscatter=0.04 - 0.03j)]
+    tr = synthesize_inventory(cfg, tags, n_rounds=6, seed=11)
+    collided = [e for e in tr.events if e.collided]
+    assert len(collided) == 6 and all(e.collider_bits for e in collided)
+
+    _, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    # The i-th query-like decoded event is the i-th query/query_rep trace
+    # event (the gate finds every command); select those the ground truth
+    # marks collided.  (The slot classifier flags only a subset - jittered
+    # near-equal collisions can pass as "single", docs/CLASSIFIER.md - but
+    # SIC separation does not depend on the classifier verdict.)
+    y = matched_filter_decimate(jnp.asarray(tr.iq), matched_taps(cfg),
+                                cfg.decim)
+    m = (np.asarray(dec.valid)
+         & np.isin(np.asarray(dec.cmd_type), [CMD_QUERY, CMD_QREP]))
+    q_starts = np.asarray(dec.index)[m]
+    q_trace = [e for e in tr.events if e.kind in ("query", "query_rep")]
+    assert q_starts.size == len(q_trace)
+    starts = [int(s) for s, e in zip(q_starts, q_trace) if e.collided]
+    assert len(starts) == len(collided)
+    frames = []
+    from gen2_rfid_tpu.dsp.gate import gate_detect
+    ev = gate_detect(y, cfg)
+    dc = np.asarray(ev.dc)[np.asarray(ev.valid)]
+    idx = np.asarray(ev.index)[np.asarray(ev.valid)]
+    dc_at = {int(i): complex(d) for i, d in zip(idx, dc)}
+    for s0 in starts:
+        fr = gather_aligned_windows(y, jnp.asarray([int(s0)]),
+                                    cfg.rn16_window)[0]
+        frames.append(fr - dc_at[int(s0)])
+    r = rn16_sic_batch(jnp.stack(frames), cfg)
+    b1 = np.asarray(r.bits1)
+    b2 = np.asarray(r.bits2)
+    for k, e in enumerate(collided):
+        got = {tuple(int(x) for x in b1[k]), tuple(int(x) for x in b2[k])}
+        want = {tuple(int(x) for x in bits) for _, bits in e.collider_bits}
+        assert got == want, (k, got, want)

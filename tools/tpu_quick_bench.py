@@ -33,7 +33,7 @@ def main():
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
-    cfg = ReaderConfig(max_events=2048)
+    cfg = ReaderConfig(max_events=1536)
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=80,
                               seed=2)
     iq2 = to_planar(np.concatenate([tr.iq] * 8))
