@@ -42,11 +42,8 @@ from . import fm0, sync
 from .fm0 import SEL_PRECISION
 
 N_SHIFTS = 7          # integer decim-sample alignment hypotheses
-# The sync correlation peaks ~(taps/decim) samples AFTER the preamble start
-# (its per-chip samples integrate a full MF window inside each chip), so
-# the true start lies a few samples below the peak; hypotheses cover
-# peak-7 .. peak-1.
-SHIFT0 = -7
+# The slice anchor (shift0) is config-derived in _template_bank: the sync
+# correlation peaks ~(taps/decim) samples AFTER the reply start.
 
 
 class SicResult(NamedTuple):
@@ -79,37 +76,82 @@ def fm0_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
     return jnp.concatenate([pre, data])
 
 
+def miller_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
+    """Preamble + Miller-M chips (0/1) for a 16-bit RN16 + dummy-1.
+
+    Closed form of ``sim.tag.miller_chips``'s phase recursion: the baseband
+    phase of bit i is (-1)^(#data-1 bits before i + #00-boundaries up to i)
+    — both cumulative sums — times the M-cycle subcarrier, with the second
+    half-bit of every data-1 inverted.  Verified equal in tests.
+    """
+    m = cfg.miller_m
+    n_spin = 16 if cfg.trext else 4
+    pre = jnp.asarray(
+        np.array([0] * n_spin + [0, 1, 0, 1, 1, 1], np.int32))
+    seq = jnp.concatenate(
+        [pre, bits16.astype(jnp.int32), jnp.ones((1,), jnp.int32)])
+    prev = jnp.concatenate([jnp.ones((1,), jnp.int32), seq[:-1]])
+    inv = ((seq == 0) & (prev == 0)).astype(jnp.int32)
+    ones_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seq)[:-1]])
+    flips = (jnp.cumsum(inv) + ones_before) % 2
+    phase = 1 - 2 * flips                                # (n_bits,) +-1
+    sub = jnp.asarray(np.tile([1, -1], m).astype(np.int32))
+    chips_pm = phase[:, None] * sub[None, :]             # (n_bits, 2m)
+    halfflip = jnp.where(
+        (seq == 1)[:, None]
+        & (jnp.arange(2 * m, dtype=jnp.int32) >= m)[None, :], -1, 1)
+    return ((chips_pm * halfflip).reshape(-1) + 1) // 2
+
+
+def chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
+    return (fm0_chip_train(bits16, cfg) if cfg.miller_m == 1
+            else miller_chip_train(bits16, cfg))
+
+
 @functools.lru_cache(maxsize=8)
 def _template_bank(cfg: ReaderConfig):
     """(n_chips, C*L) static basis: column c*L+k is the matched-filtered
     response at window sample k of a unit chip, for timing hypothesis c =
     (shift s, ADC phase phi).
 
-    Chip hb occupies ADC [phi + s*decim + hb*chip_adc, +chip_adc) relative
-    to the slice start; window sample k integrates ADC
-    (k*decim - (t-1) .. k*decim] (the GNU Radio history convention of
-    filters.matched_filter_decimate).  Edges land on integer ADC samples
-    (sim.tag.superpose_reply rounds), so one phase hypothesis reproduces
-    the waveform exactly at nominal BLF.
+    Chip hb occupies ADC [round(phi + s*decim + hb*chip_adc) ..
+    round(.. + (hb+1)*chip_adc)) relative to the slice start — the same
+    per-edge rounding as ``sim.tag.superpose_reply`` — and window sample k
+    integrates ADC (k*decim - (t-1) .. k*decim] (the GNU Radio history
+    convention of filters.matched_filter_decimate).  Reply starts land on
+    integer ADC samples, so one phase hypothesis reproduces the waveform
+    exactly at nominal BLF.  Works for FM0 (chip = half bit) and Miller-M
+    (chip = subcarrier half-cycle).
+
+    Returns (basis, c_hyp, l_win, shift0): the slice anchor offset is
+    sync_peak + shift0, with shift0 = -(round(taps/decim) + 3) because the
+    sync correlation peaks ~taps/decim samples after the true reply start
+    (its per-chip samples integrate a full MF window inside each chip);
+    the 7 shift hypotheses then bracket the true start.
     """
-    assert cfg.miller_m == 1 and cfg.trext == 0, "FM0 RN16 SIC only"
+    assert cfg.trext == 0, "SIC: TRext pilot not modeled"
     decim = cfg.decim
-    t = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6)     # MF taps
-    chip_adc = t                                          # half-bit length
-    n_chips = 2 * cfg.tag_preamble_bits + 2 * cfg.rn16_bits
-    # All hypotheses are placed at non-negative ADC offsets of the slice
-    # (the slice itself is anchored at sync_peak + SHIFT0, so shifts cover
-    # sync_peak-7 .. sync_peak-1); no template row is ever truncated.
-    a_max = (N_SHIFTS - 1) * decim + (decim - 1) + n_chips * chip_adc
+    m = cfg.miller_m
+    t = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / m)  # MF taps
+    chip_adc = cfg.tag_bit_us / (2 * m) * cfg.adc_rate / 1e6  # float
+    if m == 1:
+        n_chips = 2 * cfg.tag_preamble_bits + 2 * cfg.rn16_bits
+    else:
+        n_chips = (4 + 6 + cfg.rn16_bits) * 2 * m
+    shift0 = -(max(int(round(t / decim)), 1) + 3)
+    a_hyp_max = (N_SHIFTS - 1) * decim + (decim - 1)
+    a_max = a_hyp_max + int(round(n_chips * chip_adc)) + 1
     l_win = (a_max + t - 1) // decim + 2
     c_hyp = N_SHIFTS * decim
     p = np.zeros((n_chips, c_hyp, l_win), dtype=np.float32)
+    k_idx = np.arange(n_chips + 1, dtype=np.float64)
     for s in range(N_SHIFTS):
         for phi in range(decim):
             a_base = phi + s * decim
+            edges = np.round(a_base + k_idx * chip_adc).astype(np.int64)
             for hb in range(n_chips):
-                a0 = a_base + hb * chip_adc
-                a1 = a0 + chip_adc
+                a0, a1 = int(edges[hb]), int(edges[hb + 1])
                 k0 = max(a0 // decim, 0)
                 k1 = min((a1 + t - 1) // decim + 1, l_win - 1)
                 for k in range(k0, k1 + 1):
@@ -117,33 +159,44 @@ def _template_bank(cfg: ReaderConfig):
                     ov = min(k * decim + 1, a1) - max(lo, a0)
                     if ov > 0:
                         p[hb, s * decim + phi, k] = ov
-    return p.reshape(n_chips, c_hyp * l_win), c_hyp, l_win
+    return p.reshape(n_chips, c_hyp * l_win), c_hyp, l_win, shift0
+
+
+def _sync_rn16(frame: jnp.ndarray, cfg: ReaderConfig):
+    """Encoding dispatch: (data_index, h_est, bits, margin, b0) where b0 is
+    the preamble span the sync index includes (anchor = index - b0)."""
+    if cfg.miller_m == 1:
+        idx, h = sync.tag_sync(frame, cfg)
+        bits, margin = fm0.rn16_detect_soft(frame, idx, h, cfg)
+        half = cfg.n_samples_tag_bit / 2.0
+        b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+    else:
+        from . import miller
+
+        idx, h = miller.miller_sync(frame, cfg)
+        bits, margin = miller.miller_rn16_soft(frame, idx, h, cfg)
+        b0 = miller._miller_sync_selection(cfg)[3]
+    return idx, h, bits, margin, b0
 
 
 def _sic_pass(frame: jnp.ndarray, cfg: ReaderConfig):
     """One decode-and-cancel pass: sync, slice, LS-fit + subtract the
     re-synthesized dominant reply.  Returns (bits, margin, h_sync, alpha,
     cancel_ratio, residual_frame)."""
-    p_np, c_hyp, l_win = _template_bank(cfg)
+    p_np, c_hyp, l_win, shift0 = _template_bank(cfg)
     w = frame.shape[0]
-    half = cfg.n_samples_tag_bit / 2.0
-    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
     hi = SEL_PRECISION
 
-    idx1, h1c = sync.tag_sync(frame, cfg)
-    bits1, margin1 = fm0.rn16_detect_soft(frame, idx1, h1c, cfg)
+    idx1, h1c, bits1, margin1, b0 = _sync_rn16(frame, cfg)
 
-    # Template bank for THESE bits: (46,) x (46, C*L) matmul.
-    chips = fm0_chip_train(bits1, cfg).astype(jnp.float32)
+    # Template bank for THESE bits: (n_chips,) x (n_chips, C*L) matmul.
+    chips = chip_train(bits1, cfg).astype(jnp.float32)
     bank = jnp.matmul(chips, jnp.asarray(p_np), precision=hi).reshape(
         c_hyp, l_win)
 
-    # Window slice anchored at sync peak + SHIFT0; the bank's shift
-    # hypotheses then cover peak-7 .. peak-1 (the correlation peaks ~t/decim
-    # samples after the true preamble start, since its per-chip samples
-    # integrate a full MF window inside each chip).
+    # Window slice anchored at sync peak + shift0 (see _template_bank).
     m1 = idx1 - jnp.int32(b0)
-    start = jnp.clip(m1 + SHIFT0, 0, w - l_win)
+    start = jnp.clip(m1 + jnp.int32(shift0), 0, w - l_win)
     xw = jax.lax.dynamic_slice(frame, (start,), (l_win,))
     xr, xi_ = jnp.real(xw), jnp.imag(xw)
 
@@ -175,8 +228,7 @@ def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
     template is subtracted; pass 2 decodes the residual.
     """
     bits1, margin1, h1c, alpha, cancel_ratio, r = _sic_pass(frame, cfg)
-    idx2, h2c = sync.tag_sync(r, cfg)
-    bits2, margin2 = fm0.rn16_detect_soft(r, idx2, h2c, cfg)
+    idx2, h2c, bits2, margin2, _ = _sync_rn16(r, cfg)
 
     return SicResult(
         bits1=bits1,
@@ -193,19 +245,16 @@ def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
 def _sic_detect_template(frame: jnp.ndarray, cfg: ReaderConfig):
     """Detect the dominant reply in ``frame`` and return (bits, margin,
     h_sync, template-in-frame-coordinates (W,) f32)."""
-    p_np, c_hyp, l_win = _template_bank(cfg)
+    p_np, c_hyp, l_win, shift0 = _template_bank(cfg)
     w = frame.shape[0]
-    half = cfg.n_samples_tag_bit / 2.0
-    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
     hi = SEL_PRECISION
 
-    idx1, h1c = sync.tag_sync(frame, cfg)
-    bits1, margin1 = fm0.rn16_detect_soft(frame, idx1, h1c, cfg)
-    chips = fm0_chip_train(bits1, cfg).astype(jnp.float32)
+    idx1, h1c, bits1, margin1, b0 = _sync_rn16(frame, cfg)
+    chips = chip_train(bits1, cfg).astype(jnp.float32)
     bank = jnp.matmul(chips, jnp.asarray(p_np), precision=hi).reshape(
         c_hyp, l_win)
     m1 = idx1 - jnp.int32(b0)
-    start = jnp.clip(m1 + SHIFT0, 0, w - l_win)
+    start = jnp.clip(m1 + jnp.int32(shift0), 0, w - l_win)
     xw = jax.lax.dynamic_slice(frame, (start,), (l_win,))
     pr = jnp.matmul(bank, jnp.real(xw), precision=hi)
     pi = jnp.matmul(bank, jnp.imag(xw), precision=hi)

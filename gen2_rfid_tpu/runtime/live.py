@@ -209,11 +209,12 @@ class LiveReader:
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
         self.adaptive = adaptive
-        # Capture-style collision recovery (dsp/collision.py, FM0 only):
-        # the SIC decoder's pass 1 equals the plain RN16 decode, so on a
-        # collided slot the ACK carries the dominant tag's exact RN16 and
-        # its EPC is read instead of the slot being lost.
-        self.sic = sic and cfg.miller_m == 1 and cfg.trext == 0
+        # Capture-style collision recovery (dsp/collision.py, FM0 and
+        # Miller-M; TRext pilot not modeled): the SIC decoder's pass 1
+        # equals the plain RN16 decode, so on a collided slot the ACK
+        # carries the dominant tag's exact RN16 and its EPC is read
+        # instead of the slot being lost.
+        self.sic = sic and cfg.trext == 0
         self.q = cfg.fixed_q if q_init is None else q_init
         self.qfp = float(self.q)
         self.q_c = q_c
