@@ -38,6 +38,7 @@ def cmd_decode(args) -> int:
     import logging
 
     import jax.numpy as jnp
+    import numpy as np
 
     from ..io.tracefile import read_trace, trace_num_samples
     from ..runtime.inventory import decode_capture
@@ -47,6 +48,29 @@ def cmd_decode(args) -> int:
     log = logging.getLogger("gen2_rfid_tpu.apps")
     cfg = _cfg_from_args(args)
     t0 = time.perf_counter()
+    if getattr(args, "mrc", False):
+        # Treat the captures as time-aligned RX channels of ONE air
+        # interface (antenna diversity) instead of consecutive segments.
+        from ..runtime.diversity import decode_capture_mrc
+
+        chans = [read_trace(p_) for p_ in args.capture]
+        n0 = chans[0].shape[0]
+        assert all(c.shape[0] == n0 for c in chans), \
+            "--mrc channels must be equal length (time-aligned)"
+        stats, last_dec = decode_capture_mrc(chans, cfg)
+        total = n0 * len(chans)
+        dt = time.perf_counter() - t0
+        print_results(stats)
+        if args.verbose:
+            from ..runtime.stats import tag_signal_report
+
+            for t, r in sorted(tag_signal_report(last_dec).items()):
+                print(f"| Tag {t:#04x}: RSSI {r['rssi_dbfs']:+.1f} dBfs "
+                      f"(ch0), phase {np.degrees(r['phase_rad']):+.1f} deg, "
+                      f"{r['n_reads']} reads over {len(chans)} channels")
+        print(f"| Decoded {total} samples in {dt:.2f} s "
+              f"({total / dt / 1e6:.1f} Msamples/s)")
+        return 0
     per_capture = []
     total = 0
     for path in args.capture:
@@ -76,8 +100,8 @@ def cmd_decode(args) -> int:
     stats = functools.reduce(merge_stats, per_capture)
     dt = time.perf_counter() - t0
     print_results(stats)
+    import numpy as np
     if args.verbose:
-        import numpy as np
 
         cc = np.asarray(stats.cmd_counts)
         print(f"| Slots: {int(stats.n_slot_single)} single / "
@@ -201,6 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("decode", help="decode I/Q capture file(s); several "
                        "files aggregate into one session report")
     d.add_argument("capture", nargs="+")
+    d.add_argument("--mrc", action="store_true",
+                   help="treat the captures as time-aligned RX channels "
+                        "(antenna-diversity MRC) instead of segments")
     d.add_argument("--chunked", action="store_true",
                    help="stream in chunks (long captures)")
     d.add_argument("--exact-gate", action="store_true",
