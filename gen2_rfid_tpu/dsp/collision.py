@@ -1,4 +1,4 @@
-"""Two-tag RN16 collision recovery by successive interference cancellation.
+"""Collision recovery by successive interference cancellation (SIC).
 
 New capability with no reference analogue: the reference loses every
 collided slot (it only ever learns about the collision when the EPC CRC
@@ -26,6 +26,12 @@ TPU shape: everything is selection/matmul algebra — the chip train is a
 cumxor, the template bank is one (E, 46) x (46, C*L) matmul, hypothesis
 scoring is a (C, L) x (L,) contraction per frame, and the only per-frame
 dynamic ops are two dynamic slices and one dynamic-update-slice.
+
+The same machinery generalizes to the **EPC window** (``epc_sic``): when
+two tags happen to draw the same RN16 (or a mis-framed ACK matches both),
+both backscatter their EPC frames superposed during cw_ack.  The template
+bank is just longer (129-bit frames instead of 17), and the CRC-16 gives a
+per-recovered-frame validity check the RN16 window never had.
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ class SicResult(NamedTuple):
 
 
 def fm0_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
-    """Preamble + FM0 half-bit chips (0/1) for a 16-bit RN16 + dummy-1.
+    """Preamble + FM0 half-bit chips (0/1) for a payload + dummy-1 (any
+    length: 16-bit RN16 or 128-bit EPC frame).
 
     Closed form of the sequential level recursion in ``sim.tag.fm0_chips``
     (first_i = cumxor_{<i}, second_i = 1 - cumxor_{<=i}, starting from the
@@ -77,7 +84,7 @@ def fm0_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
 
 
 def miller_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
-    """Preamble + Miller-M chips (0/1) for a 16-bit RN16 + dummy-1.
+    """Preamble + Miller-M chips (0/1) for a payload + dummy-1 (any length).
 
     Closed form of ``sim.tag.miller_chips``'s phase recursion: the baseband
     phase of bit i is (-1)^(#data-1 bits before i + #00-boundaries up to i)
@@ -110,7 +117,7 @@ def chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _template_bank(cfg: ReaderConfig):
+def _template_bank(cfg: ReaderConfig, n_bits: int = 16):
     """(n_chips, C*L) static basis: column c*L+k is the matched-filtered
     response at window sample k of a unit chip, for timing hypothesis c =
     (shift s, ADC phase phi).
@@ -136,9 +143,9 @@ def _template_bank(cfg: ReaderConfig):
     t = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / m)  # MF taps
     chip_adc = cfg.tag_bit_us / (2 * m) * cfg.adc_rate / 1e6  # float
     if m == 1:
-        n_chips = 2 * cfg.tag_preamble_bits + 2 * cfg.rn16_bits
+        n_chips = 2 * cfg.tag_preamble_bits + 2 * (n_bits + 1)
     else:
-        n_chips = (4 + 6 + cfg.rn16_bits) * 2 * m
+        n_chips = (4 + 6 + n_bits + 1) * 2 * m
     shift0 = -(max(int(round(t / decim)), 1) + 3)
     a_hyp_max = (N_SHIFTS - 1) * decim + (decim - 1)
     a_max = a_hyp_max + int(round(n_chips * chip_adc)) + 1
@@ -242,14 +249,45 @@ def rn16_sic(frame: jnp.ndarray, cfg: ReaderConfig) -> SicResult:
     )
 
 
-def _sic_detect_template(frame: jnp.ndarray, cfg: ReaderConfig):
+def _sync_epc(frame: jnp.ndarray, cfg: ReaderConfig):
+    """EPC-window encoding dispatch: (data_index, h_est, bits (128,), b0).
+
+    Same structure as ``_sync_rn16`` but decoding the 128-bit EPC payload
+    (period-grid estimation included for FM0, per tag_decoder_impl.cc:
+    145-193; segment re-alignment for Miller)."""
+    if cfg.miller_m == 1:
+        idx, h = sync.tag_sync(frame, cfg)
+        m2 = (jnp.real(frame) ** 2 + jnp.imag(frame) ** 2).astype(
+            jnp.float32)
+        bits, _ = fm0.epc_detect(frame, m2, idx, h, cfg)
+        half = cfg.n_samples_tag_bit / 2.0
+        b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+    else:
+        from . import miller
+
+        idx, h = miller.miller_sync(frame, cfg)
+        bits, _ = miller.miller_epc(frame, idx, h, cfg)
+        b0 = miller._miller_sync_selection(cfg)[3]
+    return idx, h, bits, b0
+
+
+def _sic_detect_template(frame: jnp.ndarray, cfg: ReaderConfig,
+                         kind: str = "rn16"):
     """Detect the dominant reply in ``frame`` and return (bits, margin,
-    h_sync, template-in-frame-coordinates (W,) f32)."""
-    p_np, c_hyp, l_win, shift0 = _template_bank(cfg)
+    h_sync, template-in-frame-coordinates (W,) f32).
+
+    kind: "rn16" (16-bit payload) or "epc" (128-bit payload; margin is 0 —
+    EPC validity is judged by the CRC instead)."""
+    n_bits = cfg.epc_data_bits if kind == "epc" else 16
+    p_np, c_hyp, l_win, shift0 = _template_bank(cfg, n_bits)
     w = frame.shape[0]
     hi = SEL_PRECISION
 
-    idx1, h1c, bits1, margin1, b0 = _sync_rn16(frame, cfg)
+    if kind == "epc":
+        idx1, h1c, bits1, b0 = _sync_epc(frame, cfg)
+        margin1 = jnp.float32(0.0)
+    else:
+        idx1, h1c, bits1, margin1, b0 = _sync_rn16(frame, cfg)
     chips = chip_train(bits1, cfg).astype(jnp.float32)
     bank = jnp.matmul(chips, jnp.asarray(p_np), precision=hi).reshape(
         c_hyp, l_win)
@@ -306,4 +344,62 @@ def rn16_sic_n(frame: jnp.ndarray, cfg: ReaderConfig, n_tags: int = 3):
             jnp.stack(cancel_all))
 
 
+class EpcSicResult(NamedTuple):
+    bits: jnp.ndarray     # (n_tags, 128) recovered EPC frames, detect order
+    crc_ok: jnp.ndarray   # (n_tags,) bool CRC-16 verdict per frame
+    h_sync: jnp.ndarray   # (n_tags,) complex preamble channel estimates
+    cancel: jnp.ndarray   # (n_tags,) f32 cumulative energy removed
+
+
+def epc_sic(frame: jnp.ndarray, cfg: ReaderConfig,
+            n_tags: int = 2) -> EpcSicResult:
+    """Recover superposed EPC replies from one ACK decode window.
+
+    Gen2 tags that drew the *same* RN16 in a slot both match the ACK and
+    both backscatter their EPC frames (the reference's decode garbles and
+    the CRC rejects, tag_decoder_impl.cc:366-387; the slot is lost).  The
+    RN16 SIC machinery applies unchanged — only the template is longer
+    (129-bit frame) — with two EPC-specific twists:
+
+    * joint amplitude re-fit (as ``rn16_sic_n``): over a 3.4 ms frame the
+      sequential-subtraction fit bias compounds, so every pass re-solves
+      all templates' complex amplitudes against the original window;
+    * per-frame CRC-16 validity: unlike RN16s, each recovered EPC frame
+      self-validates, so callers take exactly the passes whose CRC checks
+      (a noise-only residual passes with probability 2^-16).
+
+    Pass 1 on the original window is identical to the plain EPC decode, so
+    using this in place of ``epc_detect`` never changes single-tag results.
+    """
+    from ..runtime.inventory import check_epc_crc_batch
+
+    xr0, xi0 = jnp.real(frame), jnp.imag(frame)
+    e0 = jnp.maximum(jnp.sum(xr0 ** 2 + xi0 ** 2), 1e-20)
+
+    bits_all, h_all, cancel_all = [], [], []
+    templates = []
+    r = frame
+    for k in range(n_tags):
+        bits, _, h_sync, tpl = _sic_detect_template(r, cfg, kind="epc")
+        templates.append(tpl)
+        t = jnp.stack(templates)                       # (k+1, W)
+        g = t @ t.T + 1e-12 * jnp.eye(k + 1)           # (k+1, k+1)
+        a_re = jnp.linalg.solve(g, t @ xr0)
+        a_im = jnp.linalg.solve(g, t @ xi0)
+        rr = xr0 - a_re @ t
+        ri = xi0 - a_im @ t
+        r = jax.lax.complex(rr, ri)
+        bits_all.append(bits)
+        h_all.append(h_sync)
+        cancel_all.append(1.0 - jnp.sum(rr ** 2 + ri ** 2) / e0)
+    bits = jnp.stack(bits_all)
+    return EpcSicResult(
+        bits=bits,
+        crc_ok=check_epc_crc_batch(bits),
+        h_sync=jnp.stack(h_all),
+        cancel=jnp.stack(cancel_all),
+    )
+
+
 rn16_sic_batch = jax.vmap(rn16_sic, in_axes=(0, None))
+epc_sic_batch = jax.vmap(epc_sic, in_axes=(0, None))

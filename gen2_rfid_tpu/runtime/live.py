@@ -78,6 +78,7 @@ class LiveStats:
     n_qadjust: int = 0
     n_nak: int = 0
     n_sic_recovered: int = 0   # collided slots whose EPC was still read
+    n_epc_sic_second: int = 0  # extra EPCs read from the EPC-window residual
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
     sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
@@ -119,7 +120,10 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
 
     mode: "rn16" | "epc" | "sic" (RN16 window with successive interference
     cancellation: dsp/collision.py - pass 1 equals the plain decode, so the
-    SIC decoder transparently replaces "rn16" when capture is enabled).
+    SIC decoder transparently replaces "rn16" when capture is enabled) |
+    "epc_sic" (EPC window with SIC: recovers BOTH EPC frames when two tags
+    that drew the same RN16 answer the ACK superposed; pass 1 equals the
+    plain EPC decode, each recovered frame self-validates via CRC-16).
 
     The live loop re-enters this at a handful of stable block shapes (one
     per command kind), so after warmup every slot is a single compiled
@@ -135,7 +139,7 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     from .inventory import check_epc_crc_batch, matched_taps
 
     ev_cfg = dataclasses.replace(cfg, max_events=8)
-    want_epc = mode == "epc"
+    want_epc = mode in ("epc", "epc_sic")
     w = cfg.epc_window if want_epc else cfg.rn16_window
 
     @jax.jit
@@ -152,6 +156,11 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
         fits = found & (idx + w <= y.shape[0])
         start = jnp.minimum(idx, jnp.int32(y.shape[0] - w))
         frame = jax.lax.dynamic_slice(y, (start,), (w,)) - ev.dc[pos]
+        if mode == "epc_sic":
+            from ..dsp.collision import epc_sic
+
+            r = epc_sic(frame, cfg, n_tags=2)
+            return (fits, r.bits[0], r.crc_ok[0], r.bits[1], r.crc_ok[1])
         if mode == "sic":
             from ..dsp.collision import rn16_sic
 
@@ -254,6 +263,9 @@ class LiveReader:
             return None
         if mode == "epc":
             return np.asarray(out[1]), bool(out[2])
+        if mode == "epc_sic":
+            return (np.asarray(out[1]), bool(out[2]),
+                    np.asarray(out[3]), bool(out[4]))
         r = _RnResult(
             bits=np.asarray(out[1]),
             energy=float(out[3]),
@@ -361,10 +373,15 @@ class LiveReader:
             _log.debug("SEND ACK | rn16=%s", "".join(map(str, rn16)))
             ack = gen2.ack_bits(np.asarray(rn16))
             rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
-            out = self._decode_window(rx2, "epc")
+            out = self._decode_window(
+                rx2, "epc_sic" if self.sic else "epc")
             epc_ok = False
             if out is not None:
-                epc_bits, epc_ok = out
+                if self.sic:
+                    epc_bits, epc_ok, epc_bits2, epc_ok2 = out
+                else:
+                    epc_bits, epc_ok = out
+                    epc_bits2, epc_ok2 = None, False
                 if epc_ok:
                     st.n_epc_correct += 1
                     tid = int("".join(map(str, epc_bits[104:112])), 2)
@@ -372,6 +389,18 @@ class LiveReader:
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:
                         st.n_sic_recovered += 1
+                # EPC-window SIC: two tags that drew the SAME RN16 both
+                # match the ACK and answer superposed; the residual's frame
+                # self-validates via CRC-16 (dsp/collision.py::epc_sic).
+                if (epc_ok2 and epc_bits2 is not None
+                        and (not epc_ok
+                             or not np.array_equal(epc_bits2, epc_bits))):
+                    st.n_epc_correct += 1
+                    st.n_epc_sic_second += 1
+                    tid2 = int("".join(map(str, epc_bits2[104:112])), 2)
+                    st.tag_reads[tid2] += 1
+                    _log.debug("EPC (SIC residual) DECODED | tag %#x", tid2)
+                    epc_ok = True
             if not epc_ok and self.nak_on_fail and slot_state != SLOT_EMPTY:
                 # SEND_NAK_QR/Q: NAK + CW before the next Query/QueryRep
                 # (reader_impl.cc:233-249).

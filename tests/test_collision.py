@@ -225,6 +225,94 @@ def test_batch_pipeline_collision_separation():
         assert got == want, (k, got, want)
 
 
+def _epc_window(tags, noise=0.004, seed=3):
+    """A DC-corrected EPC decode window (ACK reply window) with the given
+    (Tag, t1_us) replies superposed — the same synthesis path as _window."""
+    rng = np.random.default_rng(seed)
+    sp_us = CFG.adc_rate / 1e6
+    n = int(round((3 * CFG.t1_us + CFG.t2_us + CFG.epc_us) * sp_us)) + 4000
+    seg = np.full(n, 1.0, dtype=np.complex64)
+    for tag, t1 in tags:
+        superpose_reply(seg, fm0_chips(tag.epc_frame_bits()), t1,
+                        tag.backscatter, CFG.tag_bit_us / 2, sp_us,
+                        CFG.adc_rate)
+    x = np.concatenate([np.full(2000, 1.0, np.complex64), seg])
+    x = x + (rng.normal(0, noise / 2 ** 0.5, x.size)
+             + 1j * rng.normal(0, noise / 2 ** 0.5, x.size)
+             ).astype(np.complex64)
+    y = np.asarray(matched_filter_decimate(jnp.asarray(x), boxcar_taps(25),
+                                           CFG.decim))
+    dc = y[300:348].mean()
+    start = 400 + int(round(252.5 * sp_us)) // 5 - 4
+    return jnp.asarray(y[start:start + CFG.epc_window + 8] - dc)
+
+
+def _rand_tag(rng, tid, bs):
+    epc = rng.integers(0, 2, 96)
+    for k in range(8):
+        epc[88 + k] = (tid >> (7 - k)) & 1
+    return Tag(epc96=epc, backscatter=bs)
+
+
+def test_epc_sic_single_tag():
+    """On a single-tag EPC window pass 1 decodes exactly (it IS the plain
+    EPC decode) and the residual pass's CRC rejects - no false seconds."""
+    from gen2_rfid_tpu.dsp.collision import epc_sic
+
+    rng = np.random.default_rng(21)
+    t1 = _rand_tag(rng, 0x31, 0.09 + 0.02j)
+    r = epc_sic(_epc_window([(t1, 252.5)]), CFG)
+    ok = np.asarray(r.crc_ok)
+    assert ok[0] and not ok[1]
+    np.testing.assert_array_equal(np.asarray(r.bits[0]), t1.epc_frame_bits())
+    assert float(r.cancel[0]) > 0.99
+
+
+@pytest.mark.parametrize("t1b", [252.5, 255.0])
+@pytest.mark.parametrize("ratio", [0.7, 0.4, 0.15])
+def test_epc_sic_two_frames(ratio, t1b):
+    """Both superposed EPC frames recover exactly (CRC-validated) across
+    amplitude ratios down to ~7:1, aligned or offset T1 - the same-RN16
+    collision case where the reference always loses the slot."""
+    from gen2_rfid_tpu.dsp.collision import epc_sic
+
+    rng = np.random.default_rng(22)
+    bs1 = 0.09 + 0.02j
+    bs2 = (0.05 - 0.04j) / abs(0.05 - 0.04j) * abs(bs1) * ratio
+    t1 = _rand_tag(rng, 0x31, bs1)
+    t2 = _rand_tag(rng, 0x57, bs2)
+    r = epc_sic(_epc_window([(t1, 252.5), (t2, t1b)]), CFG)
+    assert np.asarray(r.crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(r.bits[0]), t1.epc_frame_bits())
+    np.testing.assert_array_equal(np.asarray(r.bits[1]), t2.epc_frame_bits())
+
+
+def test_live_epc_window_sic_same_rn16():
+    """Live closed loop: two tags with identical RN16/slot draws (same
+    seed) both match every ACK and answer superposed.  The plain reader
+    reads only the dominant tag; with sic=True the EPC-window residual
+    self-validates and BOTH tags are inventoried every round."""
+    import dataclasses
+
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+
+    rng = np.random.default_rng(23)
+    tags = [dataclasses.replace(_rand_tag(rng, 0x31, 0.09 + 0.02j), seed=5),
+            dataclasses.replace(_rand_tag(rng, 0x57, 0.035 - 0.04j), seed=5)]
+
+    st = LiveReader(CFG, sic=True).run_inventory(
+        SimTagChannel(CFG, tags, seed=1), 3)
+    assert st.n_epc_correct == 6
+    assert st.n_epc_sic_second == 3
+    assert int(st.tag_reads[0x31]) == 3 and int(st.tag_reads[0x57]) == 3
+
+    st2 = LiveReader(CFG, sic=False).run_inventory(
+        SimTagChannel(CFG, tags, seed=1), 3)
+    assert st2.n_epc_correct == 3
+    assert int(st2.tag_reads[0x57]) == 0
+
+
 @pytest.mark.parametrize("m,adc", [(2, 2e6), (4, 4e6)])
 def test_miller_sic_two_tags(m, adc):
     """SIC generalizes to Miller-M: the closed-form chip re-encoder
