@@ -176,7 +176,7 @@ def cmd_live(args) -> int:
         ]
         channel = SimTagChannel(cfg, tags, seed=args.seed)
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
-                    nak_on_fail=args.nak, sic=args.sic)
+                    q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -198,6 +198,9 @@ def cmd_live(args) -> int:
               f"{lat['p95_ms']:.1f} ms p95 over {lat['n_slots']} slots")
     if st.n_sic_recovered:
         print(f"| Collided slots recovered via SIC: {st.n_sic_recovered}")
+    if st.n_epc_sic_second:
+        print("| Extra EPCs from EPC-window SIC residuals: "
+              f"{st.n_epc_sic_second}")
     if st.n_qadjust:
         print(f"| QueryAdjust sent: {st.n_qadjust}  (Q trace: "
               f"{' '.join(map(str, st.q_trace))})")
@@ -269,7 +272,12 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--blf", type=float)
     lv.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
     lv.add_argument("--adaptive", action="store_true",
-                    help="Annex-D adaptive Q (QueryAdjust)")
+                    help="adaptive Q (QueryAdjust); controller per --q-mode")
+    lv.add_argument("--q-mode", choices=["annexd", "backlog"],
+                    default="annexd",
+                    help="Q controller: Annex-D +-C walk, or the "
+                         "backlog-estimating controller (Schoute occupancy "
+                         "+ SIC multiplicity; jumps to log2(n) and locks)")
     lv.add_argument("--nak", action="store_true",
                     help="transmit NAK on failed EPC CRC")
     lv.add_argument("--sic", action="store_true",

@@ -77,6 +77,43 @@ def test_live_adaptive_q_rises_on_collisions():
     assert len(got) >= 3                 # separation actually achieved reads
 
 
+def test_live_backlog_q_converges_and_locks():
+    """Backlog-estimating Q controller (q_mode="backlog"): 16 tags at
+    Q=0.  The Schoute occupancy estimate jumps Q to log2(16)=4 within a
+    few rounds and then LOCKS (round-boundary decisions with a carried
+    estimate), where the Annex-D +-C walk oscillates 3<->4 forever.
+    Deterministic given the tag/channel seeds."""
+    cfg = ReaderConfig()
+    tags = [Tag.with_id(10 + i, seed=50 + i,
+                        backscatter=0.08 * 0.9 ** i * np.exp(1.3j * i))
+            for i in range(16)]
+    rd = LiveReader(cfg, adaptive=True, q_init=0, q_mode="backlog",
+                    sic=True)
+    st = rd.run_inventory(SimTagChannel(cfg, tags, seed=2), n_rounds=12)
+    assert max(st.q_trace[:6]) >= 3          # fast ramp: jumps, not walks
+    assert st.q_trace[-4:] == [4, 4, 4, 4]   # locked at log2(16)
+    assert st.n_qadjust <= 5                 # no oscillation
+    got = {t for t in range(256) if st.tag_reads[t] > 0}
+    assert len(got) >= 14                    # inventory actually covered
+
+    # Same population under Annex-D: Q keeps oscillating (the walk
+    # overshoots/undershoots by design) - the backlog mode's advantage.
+    rd2 = LiveReader(cfg, adaptive=True, q_init=0, q_c=0.35)
+    st2 = rd2.run_inventory(SimTagChannel(cfg, tags, seed=2), n_rounds=12)
+    assert st2.n_qadjust > st.n_qadjust
+
+
+def test_live_backlog_q_falls_when_overprovisioned():
+    """One tag at Q=4 in backlog mode: a round of empties collapses the
+    population estimate and Q drops toward 0 in jumps."""
+    cfg = ReaderConfig()
+    ch = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=4)
+    rd = LiveReader(cfg, adaptive=True, q_init=4, q_mode="backlog")
+    st = rd.run_inventory(ch, n_rounds=8)
+    assert st.q_trace[-1] <= 1
+    assert st.n_epc_correct > 0
+
+
 def test_live_adaptive_q_falls_on_empty_slots():
     """One tag at Q=3: mostly-empty rounds walk Q back down."""
     cfg = ReaderConfig()
