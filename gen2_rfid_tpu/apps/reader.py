@@ -174,9 +174,11 @@ def cmd_live(args) -> int:
                         backscatter=0.08 * 0.75 ** i * np.exp(1.1j * i))
             for i, t in enumerate(args.tags)
         ]
-        channel = SimTagChannel(cfg, tags, seed=args.seed)
+        channel = SimTagChannel(cfg, tags, seed=args.seed,
+                                session_ab=args.session_ab)
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
-                    q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic)
+                    q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
+                    target_ab=args.session_ab)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -204,6 +206,8 @@ def cmd_live(args) -> int:
     if st.n_qadjust:
         print(f"| QueryAdjust sent: {st.n_qadjust}  (Q trace: "
               f"{' '.join(map(str, st.q_trace))})")
+    if st.n_target_flips:
+        print(f"| Inventory target flips (A<->B): {st.n_target_flips}")
     return 0
 
 
@@ -283,6 +287,11 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")
+    lv.add_argument("--session-ab", action="store_true",
+                    help="session inventory: tags toggle inventoried flags "
+                         "when singulated; the reader flips its Query "
+                         "target on an empty round (one read per tag per "
+                         "pass)")
     lv.add_argument("--seed", type=int, default=99)
     lv.set_defaults(fn=cmd_live)
     return p

@@ -25,12 +25,16 @@ from .crc import crc5_append
 _MILLER_CODE = {1: (0, 0), 2: (0, 1), 4: (1, 0), 8: (1, 1)}
 
 
-def query_bits(cfg: ReaderConfig, q: int = None) -> np.ndarray:
+def query_bits(cfg: ReaderConfig, q: int = None,
+               target: int = None) -> np.ndarray:
     """22-bit Query: code+DR+M+TRext+Sel+Session+Target+Q then CRC-5.
 
     Field order follows reader_impl.cc:131-146.  ``q`` overrides the
     config's fixed Q (the adaptive live reader re-issues Query with its
-    current Q; the reference pins FIXED_Q, global_vars.h:72).
+    current Q; the reference pins FIXED_Q, global_vars.h:72); ``target``
+    overrides the config's inventoried-flag target (0=A / 1=B — the
+    reference pins TARGET=0, global_vars.h:121; the live reader's
+    session-inventory mode flips it between passes).
     """
     bits = list(QUERY_CODE)
     bits.append(cfg.dr)
@@ -38,7 +42,7 @@ def query_bits(cfg: ReaderConfig, q: int = None) -> np.ndarray:
     bits.append(cfg.trext)
     bits.extend(cfg.sel)
     bits.extend(cfg.session)
-    bits.append(cfg.target)
+    bits.append(cfg.target if target is None else target)
     bits.extend(Q_VALUE[cfg.fixed_q if q is None else q])
     out = crc5_append(np.array(bits, dtype=np.int64))
     assert out.size == cfg.query_length
@@ -50,6 +54,12 @@ def parse_query_q(bits: np.ndarray) -> int:
     listening tag learns the slot-count, EPC Gen2 spec section 6.3.2.12.1."""
     b = np.asarray(bits, dtype=np.int64)
     return int(b[13] * 8 + b[14] * 4 + b[15] * 2 + b[16])
+
+
+def parse_query_target(bits: np.ndarray) -> int:
+    """Target field of a transmitted Query (bit 12): which inventoried-flag
+    population (0=A / 1=B) shall participate, EPC Gen2 spec 6.3.2.12.1."""
+    return int(np.asarray(bits, dtype=np.int64)[12])
 
 
 def parse_query_adjust_updn(bits: np.ndarray) -> int:

@@ -77,6 +77,7 @@ class LiveStats:
     n_collision_slots: int = 0
     n_qadjust: int = 0
     n_nak: int = 0
+    n_target_flips: int = 0    # A<->B inventoried-flag target flips
     n_sic_recovered: int = 0   # collided slots whose EPC was still read
     n_epc_sic_second: int = 0  # extra EPCs read from the EPC-window residual
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
@@ -222,9 +223,18 @@ class LiveReader:
       misses).
 
     ``nak_on_fail``: transmit a NAK after a failed EPC CRC on an occupied
-    slot (SEND_NAK_QR/Q parity).
+    slot (SEND_NAK_QR/Q parity).  In session inventory a NAK also keeps
+    the failed tag in the current pass: it returns the tag to arbitrate
+    WITHOUT toggling its inventoried flag (Gen2 6.3.2.4).
     ``power_down_every``: emit POWER_DOWN + START CW before every Nth
     Query round (0 = never, the reference's effective behavior).
+    ``target_ab``: session inventory (new capability; the reference pins
+    TARGET=0, global_vars.h:121).  Queries carry the reader's current
+    target flag; singulated tags toggle their inventoried flag and drop
+    out of the pass, and when a full Query round comes back empty the
+    reader flips its target to inventory the other population — each tag
+    is read exactly once per pass instead of once per round.  Requires a
+    channel with session semantics (``SimTagChannel(session_ab=True)``).
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -243,8 +253,11 @@ class LiveReader:
         nak_on_fail: bool = False,
         power_down_every: int = 0,
         sic: bool = False,
+        target_ab: bool = False,
     ):
         assert q_mode in ("annexd", "backlog")
+        self.target_ab = target_ab
+        self.target = int(cfg.target)
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -363,8 +376,9 @@ class LiveReader:
                                          0.0)
                         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
                         self._reset_ctx()
-                    kind, bits = "query", gen2.query_bits(cfg, self.q)
-                    tx = self.enc.query(self.q)
+                    kind, bits = "query", gen2.query_bits(
+                        cfg, self.q, self.target)
+                    tx = self.enc.query(self.q, self.target)
                 else:
                     updn = (+1 if round(self.qfp) > self.q
                             else (-1 if round(self.qfp) < self.q else 0))
@@ -376,6 +390,7 @@ class LiveReader:
                 slot_no = 0
                 self._round_k = 0.0
                 self._round_slots = 0
+                round_occupied = 0
                 st.q_trace.append(self.q)
             else:
                 kind, bits = "query_rep", gen2.query_rep_bits(cfg)
@@ -396,6 +411,8 @@ class LiveReader:
                 rn16 = np.zeros(16, np.int64)
             else:
                 rn16 = rn.bits
+            if slot_state != SLOT_EMPTY:
+                round_occupied += 1
             if slot_state == SLOT_EMPTY:
                 st.n_empty_slots += 1
             elif slot_state == SLOT_COLLISION:
@@ -488,6 +505,13 @@ class LiveReader:
             if self.adaptive and round(self.qfp) != self.q:
                 next_cmd = "query_adjust"
             elif slots_left <= 0:
+                if self.target_ab and round_occupied == 0:
+                    # A full Query round with zero occupied slots: this
+                    # pass's population is exhausted (all inventoried into
+                    # the other flag) - flip the target and read it back.
+                    self.target ^= 1
+                    st.n_target_flips += 1
+                    _log.debug("TARGET FLIP -> %s", "AB"[self.target])
                 next_cmd = "query"
             else:
                 next_cmd = "query_rep"

@@ -25,6 +25,11 @@ class _TagState:
     tag: Tag
     slot: int = -1               # current slot counter (-1 = not participating)
     rn16: Optional[np.ndarray] = None
+    flag_b: bool = False         # session inventoried flag (False=A, True=B)
+    pending_flip: bool = False   # valid ACK received; flag flips at the
+    #                              next non-NAK command (Gen2 6.3.2.4: a NAK
+    #                              returns the tag to arbitrate WITHOUT
+    #                              toggling its inventoried flag)
 
 
 class SimTagChannel:
@@ -39,9 +44,18 @@ class SimTagChannel:
         noise: float = 0.004,
         tag_t1_us: float = 262.5,
         seed: int = 99,
+        session_ab: bool = False,
     ):
         self.cfg = cfg
         self.tags = [_TagState(t) for t in tags]
+        # session_ab=True models real Gen2 inventoried flags: a Query's
+        # Target bit selects which population (A/B) participates, and a
+        # singulated tag toggles its flag - so a pass progressively
+        # silences read tags.  False (default) reproduces the reference's
+        # observed behavior (every round re-reads every tag: 70 reads of
+        # one tag on the golden trace, README.md:52-53; S0 persistence is
+        # short against its ~2 s capture).
+        self.session_ab = session_ab
         self.leak = np.complex64(leak)
         self.noise = noise
         self.tag_t1_us = tag_t1_us
@@ -56,9 +70,19 @@ class SimTagChannel:
 
     # ---- tag protocol reactions ----
 
-    def _on_query(self, q: int):
+    def _commit_flips(self):
+        """Acknowledged tags toggle their inventoried flag at the next
+        command (any command except NAK, which cancels the transition)."""
         for ts in self.tags:
-            ts.slot = ts.tag.draw_slot(q)
+            if ts.pending_flip:
+                ts.flag_b = not ts.flag_b
+                ts.pending_flip = False
+
+    def _on_query(self, q: int, target: int = 0):
+        for ts in self.tags:
+            participates = (not self.session_ab
+                            or ts.flag_b == bool(target))
+            ts.slot = ts.tag.draw_slot(q) if participates else -1
             ts.rn16 = None
 
     def _responders(self) -> List[_TagState]:
@@ -74,13 +98,22 @@ class SimTagChannel:
         cfg = self.cfg
         from ..protocol import gen2
 
+        if kind == "nak":
+            # NAK returns an acknowledged tag to arbitrate WITHOUT toggling
+            # its inventoried flag (Gen2 6.3.2.4) - the reader's tool for
+            # keeping a failed-CRC tag in the current pass.
+            for ts in self.tags:
+                ts.pending_flip = False
+        elif kind != "cw":
+            self._commit_flips()
         if kind == "query":
             self.q = gen2.parse_query_q(bits)
-            self._on_query(self.q)
+            self._target = gen2.parse_query_target(bits)
+            self._on_query(self.q, self._target)
         elif kind == "query_adjust":
             self.q = int(np.clip(
                 self.q + gen2.parse_query_adjust_updn(bits), 0, 15))
-            self._on_query(self.q)
+            self._on_query(self.q, getattr(self, "_target", 0))
         elif kind == "query_rep":
             for ts in self.tags:
                 if ts.slot > 0:
@@ -92,9 +125,9 @@ class SimTagChannel:
             for ts in self.tags:
                 ts.slot = -1
                 ts.rn16 = None
-        # "nak" / "cw": NAK returns an acknowledged-state tag to arbitrate;
-        # in this model a slot is already over after the ACK exchange, so no
-        # state changes - tags simply stay silent.
+                ts.flag_b = False
+                ts.pending_flip = False
+        # "cw": no protocol state changes - tags simply stay silent.
 
         cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
         n_cw = int(round(cw_us * self.sp_us))
@@ -110,6 +143,11 @@ class SimTagChannel:
             for ts in self._responders():
                 if ts.rn16 is not None and np.array_equal(acked, ts.rn16):
                     replies.append((ts, reply_chips(cfg, ts.tag.epc_frame_bits())))
+                    if self.session_ab:
+                        # Valid ACK: flag toggles at the next non-NAK
+                        # command (the tag believes it was read even if the
+                        # reader's EPC CRC later fails).
+                        ts.pending_flip = True
                 # Slot is over either way: acked tags are inventoried,
                 # un-acked (collided / mis-decoded) tags back off to the
                 # next Query round.

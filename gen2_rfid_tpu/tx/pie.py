@@ -65,12 +65,14 @@ class PieEncoder:
 
     # ---- full command waveforms (payloads the reader FSM emits) ----
 
-    def query(self, q: int = None) -> np.ndarray:
+    def query(self, q: int = None, target: int = None) -> np.ndarray:
         """Preamble + 22 Query bits (reader_impl.cc:251-281, without the CW).
 
-        ``q`` overrides the config's fixed Q (adaptive live reader)."""
+        ``q``/``target`` override the config's fixed Q / target flag
+        (adaptive live reader / session-inventory passes)."""
         return np.concatenate(
-            [self.preamble, self.encode_bits(gen2.query_bits(self.cfg, q))])
+            [self.preamble,
+             self.encode_bits(gen2.query_bits(self.cfg, q, target))])
 
     def query_rep(self) -> np.ndarray:
         """Frame-sync + 4 data-0 (reader_impl.cc:109-114)."""
