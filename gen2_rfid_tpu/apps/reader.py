@@ -176,9 +176,15 @@ def cmd_live(args) -> int:
         ]
         channel = SimTagChannel(cfg, tags, seed=args.seed,
                                 session_ab=args.session_ab)
+    select_mask = None
+    if args.select_id is not None:
+        # ID byte = EPC bits 88:96 -> EPC-bank bit address 0x20 + 88.
+        mask = np.array([(args.select_id >> (7 - k)) & 1 for k in range(8)],
+                        dtype=np.int64)
+        select_mask = (mask, 0x20 + 88)
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
-                    target_ab=args.session_ab)
+                    target_ab=args.session_ab, select_mask=select_mask)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -287,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")
+    lv.add_argument("--select-id", type=lambda s: int(s, 0),
+                    help="transmit a Gen2 Select first and inventory only "
+                         "tags whose ID byte (EPC bits 88:96) matches")
     lv.add_argument("--session-ab", action="store_true",
                     help="session inventory: tags toggle inventoried flags "
                          "when singulated; the reader flips its Query "

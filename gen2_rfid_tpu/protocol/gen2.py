@@ -20,13 +20,18 @@ from ..config import (
     Q_VALUE,
     ReaderConfig,
 )
-from .crc import crc5_append
+from .crc import crc5_append, crc16_bits
 
 _MILLER_CODE = {1: (0, 0), 2: (0, 1), 4: (1, 0), 8: (1, 1)}
 
+# Query Sel field (EPC Gen2 6.3.2.12.1): which SL population participates.
+SEL_ALL = (0, 0)
+SEL_NOT_SL = (1, 0)
+SEL_SL = (1, 1)
+
 
 def query_bits(cfg: ReaderConfig, q: int = None,
-               target: int = None) -> np.ndarray:
+               target: int = None, sel=None) -> np.ndarray:
     """22-bit Query: code+DR+M+TRext+Sel+Session+Target+Q then CRC-5.
 
     Field order follows reader_impl.cc:131-146.  ``q`` overrides the
@@ -34,13 +39,15 @@ def query_bits(cfg: ReaderConfig, q: int = None,
     current Q; the reference pins FIXED_Q, global_vars.h:72); ``target``
     overrides the config's inventoried-flag target (0=A / 1=B — the
     reference pins TARGET=0, global_vars.h:121; the live reader's
-    session-inventory mode flips it between passes).
+    session-inventory mode flips it between passes); ``sel`` overrides the
+    Sel field (SEL_ALL / SEL_NOT_SL / SEL_SL — pair with a preceding
+    Select command to inventory a masked sub-population).
     """
     bits = list(QUERY_CODE)
     bits.append(cfg.dr)
     bits.extend(_MILLER_CODE[cfg.miller_m])
     bits.append(cfg.trext)
-    bits.extend(cfg.sel)
+    bits.extend(cfg.sel if sel is None else sel)
     bits.extend(cfg.session)
     bits.append(cfg.target if target is None else target)
     bits.extend(Q_VALUE[cfg.fixed_q if q is None else q])
@@ -54,6 +61,13 @@ def parse_query_q(bits: np.ndarray) -> int:
     listening tag learns the slot-count, EPC Gen2 spec section 6.3.2.12.1."""
     b = np.asarray(bits, dtype=np.int64)
     return int(b[13] * 8 + b[14] * 4 + b[15] * 2 + b[16])
+
+
+def parse_query_sel(bits: np.ndarray):
+    """Sel field of a transmitted Query (bits 8:10 — after code4+DR+M2+
+    TRext): 00/01 all, 10 ~SL, 11 SL (EPC Gen2 spec 6.3.2.12.1)."""
+    b = np.asarray(bits, dtype=np.int64)
+    return (int(b[8]), int(b[9]))
 
 
 def parse_query_target(bits: np.ndarray) -> int:
@@ -93,3 +107,69 @@ def query_adjust_bits(cfg: ReaderConfig, updn: int = 0) -> np.ndarray:
 
 def nak_bits() -> np.ndarray:
     return np.array(NAK_CODE, dtype=np.int64)
+
+
+# Select command (EPC Gen2 6.3.2.12.1.1) - a mandatory Gen2 command the
+# reference does not implement (its reader FSM knows only Query/QueryRep/
+# QueryAdjust/ACK/NAK, reader_impl.cc:200-380).  New capability: mask-based
+# sub-population selection, paired with Query's Sel field.
+SELECT_CODE = (1, 0, 1, 0)
+SELECT_TARGET_SL = (1, 0, 0)      # modify the SL flag
+MEMBANK_EPC = (0, 1)
+
+
+def select_bits(mask: np.ndarray, pointer: int = 0x20,
+                membank=MEMBANK_EPC, target=SELECT_TARGET_SL,
+                action: int = 0, truncate: int = 0) -> np.ndarray:
+    """Select = 1010 + Target(3) + Action(3) + MemBank(2) + Pointer(EBV-8)
+    + Length(8) + Mask + Truncate + CRC-16.
+
+    ``pointer`` is a bit address into the membank (single-byte EBV,
+    pointer < 128; 0x20 = start of the EPC field in the EPC bank);
+    ``action`` 0 = matching tags assert SL / nonmatching deassert.
+    """
+    mask = np.asarray(mask, dtype=np.int64)
+    assert 0 <= pointer < 128, "single-byte EBV pointer"
+    assert mask.size < 256
+    bits = list(SELECT_CODE) + list(target)
+    bits += [(action >> k) & 1 for k in (2, 1, 0)]
+    bits += list(membank)
+    bits += [(pointer >> k) & 1 for k in range(7, -1, -1)]   # EBV-8
+    bits += [(mask.size >> k) & 1 for k in range(7, -1, -1)]
+    bits += [int(b) for b in mask]
+    bits.append(truncate)
+    body = np.array(bits, dtype=np.int64)
+    # CRC-16 over the whole command (Gen2 Select is CRC-16-protected; the
+    # byte-wise oracle needs whole bytes, so pad-left semantics are avoided
+    # by using the bit-serial LFSR form directly).
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def _crc16_any(bits: np.ndarray) -> np.ndarray:
+    """CRC-16/CCITT over an arbitrary-length bit string (the byte-packed
+    oracle in protocol.crc requires whole bytes; Select commands are not
+    byte-aligned)."""
+    crc = 0xFFFF
+    for b in np.asarray(bits, dtype=np.int64):
+        fb = ((crc >> 15) & 1) ^ int(b)
+        crc = ((crc << 1) & 0xFFFF) ^ (0x1021 if fb else 0)
+    crc ^= 0xFFFF
+    return np.array([(crc >> k) & 1 for k in range(15, -1, -1)],
+                    dtype=np.int64)
+
+
+def parse_select(bits: np.ndarray):
+    """Decode a Select command -> (target, action, membank, pointer,
+    mask, truncate, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:4]) == SELECT_CODE
+    target = tuple(int(x) for x in b[4:7])
+    action = int(b[7] * 4 + b[8] * 2 + b[9])
+    membank = (int(b[10]), int(b[11]))
+    pointer = int("".join(map(str, b[12:20])), 2)
+    length = int("".join(map(str, b[20:28])), 2)
+    mask = b[28:28 + length]
+    truncate = int(b[28 + length])
+    body = b[: 29 + length]
+    crc_ok = bool(np.array_equal(_crc16_any(body), b[29 + length:]))
+    return target, action, membank, pointer, mask, truncate, crc_ok

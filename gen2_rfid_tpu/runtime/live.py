@@ -235,6 +235,12 @@ class LiveReader:
     reader flips its target to inventory the other population — each tag
     is read exactly once per pass instead of once per round.  Requires a
     channel with session semantics (``SimTagChannel(session_ab=True)``).
+    ``select_mask``: (mask_bits, pointer) — transmit a Gen2 Select
+    (6.3.2.12.1.1; mandatory in the spec, absent from the reference) at
+    power-up and after every power-down, asserting SL on tags whose EPC
+    bank matches ``mask_bits`` at bit address ``pointer`` (0x20 = EPC
+    field start); Queries then carry Sel=SL so only the masked
+    sub-population is inventoried.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -254,10 +260,13 @@ class LiveReader:
         power_down_every: int = 0,
         sic: bool = False,
         target_ab: bool = False,
+        select_mask=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
         self.target = int(cfg.target)
+        self.select_mask = select_mask
+        self._sel = gen2.SEL_SL if select_mask is not None else None
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -290,6 +299,17 @@ class LiveReader:
         """Zero (not empty) context keeps block shapes stable across
         power-down resets, so no recompiles occur mid-inventory."""
         self._ctx = np.zeros(self._ctx_len, np.complex64)
+
+    def _send_select(self, channel) -> None:
+        """Transmit the configured Select (no reply expected; tags apply
+        the SL action, Gen2 6.3.2.12.1.1)."""
+        if self.select_mask is None:
+            return
+        mask, pointer = self.select_mask
+        sb = gen2.select_bits(np.asarray(mask), pointer)
+        channel.exchange("select", sb, self.enc.select(sb),
+                         float(self.cfg.cw_us))
+        _log.debug("SELECT | ptr=%#x len=%d", pointer, len(mask))
 
     # ADC samples per live block-shape bucket: PIE command waveforms vary
     # with the bit values (data-1 is 2x data-0, reader_impl.cc:55-56), so
@@ -352,6 +372,7 @@ class LiveReader:
 
         # START: power-up CW before the first Query (reader_impl.cc:219-224).
         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
+        self._send_select(channel)
         self._reset_ctx()
 
         rounds_issued = 0
@@ -375,10 +396,12 @@ class LiveReader:
                                          np.zeros(cfg.n_p_down_tx, np.float32),
                                          0.0)
                         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
+                        # SL does not survive power loss: re-select.
+                        self._send_select(channel)
                         self._reset_ctx()
                     kind, bits = "query", gen2.query_bits(
-                        cfg, self.q, self.target)
-                    tx = self.enc.query(self.q, self.target)
+                        cfg, self.q, self.target, self._sel)
+                    tx = self.enc.query(self.q, self.target, self._sel)
                 else:
                     updn = (+1 if round(self.qfp) > self.q
                             else (-1 if round(self.qfp) < self.q else 0))

@@ -26,6 +26,7 @@ class _TagState:
     slot: int = -1               # current slot counter (-1 = not participating)
     rn16: Optional[np.ndarray] = None
     flag_b: bool = False         # session inventoried flag (False=A, True=B)
+    sl: bool = False             # SL flag (asserted/deasserted by Select)
     pending_flip: bool = False   # valid ACK received; flag flips at the
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
@@ -78,10 +79,16 @@ class SimTagChannel:
                 ts.flag_b = not ts.flag_b
                 ts.pending_flip = False
 
-    def _on_query(self, q: int, target: int = 0):
+    def _on_query(self, q: int, target: int = 0, sel=(0, 0)):
+        from ..protocol.gen2 import SEL_NOT_SL, SEL_SL
+
         for ts in self.tags:
             participates = (not self.session_ab
                             or ts.flag_b == bool(target))
+            if sel == SEL_SL:
+                participates = participates and ts.sl
+            elif sel == SEL_NOT_SL:
+                participates = participates and not ts.sl
             ts.slot = ts.tag.draw_slot(q) if participates else -1
             ts.rn16 = None
 
@@ -106,14 +113,29 @@ class SimTagChannel:
                 ts.pending_flip = False
         elif kind != "cw":
             self._commit_flips()
-        if kind == "query":
+        if kind == "select":
+            # Gen2 6.3.2.12.1.1: matching tags apply the action to the
+            # targeted flag.  Modeled: SL target, action 0 (matching assert
+            # SL / non-matching deassert), EPC membank.
+            tgt, action, membank, ptr, mask, _, crc_ok = gen2.parse_select(
+                bits)
+            if (crc_ok and tgt == gen2.SELECT_TARGET_SL
+                    and membank == gen2.MEMBANK_EPC and action == 0):
+                for ts in self.tags:
+                    mem = ts.tag.epc_bank_bits()
+                    seg = mem[ptr: ptr + mask.size]
+                    ts.sl = (seg.size == mask.size
+                             and bool(np.array_equal(seg, mask)))
+        elif kind == "query":
             self.q = gen2.parse_query_q(bits)
             self._target = gen2.parse_query_target(bits)
-            self._on_query(self.q, self._target)
+            self._sel = gen2.parse_query_sel(bits)
+            self._on_query(self.q, self._target, self._sel)
         elif kind == "query_adjust":
             self.q = int(np.clip(
                 self.q + gen2.parse_query_adjust_updn(bits), 0, 15))
-            self._on_query(self.q, getattr(self, "_target", 0))
+            self._on_query(self.q, getattr(self, "_target", 0),
+                           getattr(self, "_sel", (0, 0)))
         elif kind == "query_rep":
             for ts in self.tags:
                 if ts.slot > 0:
@@ -126,6 +148,7 @@ class SimTagChannel:
                 ts.slot = -1
                 ts.rn16 = None
                 ts.flag_b = False
+                ts.sl = False
                 ts.pending_flip = False
         # "cw": no protocol state changes - tags simply stay silent.
 

@@ -152,6 +152,13 @@ class Tag:
         body = np.concatenate([self.pc16, self.epc96])
         return np.concatenate([body, crc16_bits(body)])
 
+    def epc_bank_bits(self) -> np.ndarray:
+        """EPC memory bank (bank 01) layout per Gen2 6.3.2.1: StoredCRC at
+        0x00, PC at 0x10, EPC from 0x20 - the address space Select masks
+        point into."""
+        body = np.concatenate([self.pc16, self.epc96])
+        return np.concatenate([crc16_bits(body), body])
+
     def draw_rn16(self) -> np.ndarray:
         return self._rng.integers(0, 2, size=16).astype(np.int64)
 

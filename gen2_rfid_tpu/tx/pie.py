@@ -65,14 +65,16 @@ class PieEncoder:
 
     # ---- full command waveforms (payloads the reader FSM emits) ----
 
-    def query(self, q: int = None, target: int = None) -> np.ndarray:
+    def query(self, q: int = None, target: int = None,
+              sel=None) -> np.ndarray:
         """Preamble + 22 Query bits (reader_impl.cc:251-281, without the CW).
 
-        ``q``/``target`` override the config's fixed Q / target flag
-        (adaptive live reader / session-inventory passes)."""
+        ``q``/``target``/``sel`` override the config's fixed Q / target
+        flag / Sel field (adaptive live reader / session-inventory passes /
+        Select-gated inventory)."""
         return np.concatenate(
             [self.preamble,
-             self.encode_bits(gen2.query_bits(self.cfg, q, target))])
+             self.encode_bits(gen2.query_bits(self.cfg, q, target, sel))])
 
     def query_rep(self) -> np.ndarray:
         """Frame-sync + 4 data-0 (reader_impl.cc:109-114)."""
@@ -92,6 +94,11 @@ class PieEncoder:
     def nak(self) -> np.ndarray:
         """Frame-sync + NAK code (reader_impl.cc:116-125)."""
         return np.concatenate([self.frame_sync, self.encode_bits(gen2.nak_bits())])
+
+    def select(self, bits: np.ndarray) -> np.ndarray:
+        """Frame-sync + Select command bits (Gen2 6.3.2.12.1.1: Select is
+        preceded by a frame-sync, not the full preamble - no ref analogue)."""
+        return np.concatenate([self.frame_sync, self.encode_bits(bits)])
 
     def tables(self) -> Dict[str, np.ndarray]:
         """All named segments, e.g. for staging to device memory."""

@@ -1,0 +1,103 @@
+"""Gen2 Select command: mask-based sub-population inventory.
+
+New capability: Select is a mandatory Gen2 command (spec 6.3.2.12.1.1)
+the reference never implements (its FSM knows only Query/QueryRep/
+QueryAdjust/ACK/NAK, reader_impl.cc:200-380).  A Select asserts the SL
+flag on tags whose EPC-bank memory matches a bit mask; Queries with
+Sel=SL then inventory only that sub-population.
+"""
+
+import numpy as np
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.protocol import gen2
+from gen2_rfid_tpu.protocol.crc import crc16_bits
+from gen2_rfid_tpu.runtime.live import LiveReader
+from gen2_rfid_tpu.sim.channel import SimTagChannel
+from gen2_rfid_tpu.sim.tag import Tag
+
+CFG = ReaderConfig()
+
+
+def test_select_bits_roundtrip_and_crc():
+    rng = np.random.default_rng(1)
+    for L in (8, 13, 96):
+        mask = rng.integers(0, 2, L)
+        bits = gen2.select_bits(mask, pointer=0x20)
+        tgt, action, bank, ptr, m, trunc, ok = gen2.parse_select(bits)
+        assert ok and tgt == gen2.SELECT_TARGET_SL
+        assert action == 0 and bank == gen2.MEMBANK_EPC
+        assert ptr == 0x20 and trunc == 0
+        np.testing.assert_array_equal(m, mask)
+        # A flipped bit must fail the CRC.
+        bad = bits.copy()
+        bad[5] ^= 1
+        assert not gen2.parse_select(bad)[-1]
+
+
+def test_bitwise_crc16_matches_byte_oracle():
+    """The bit-serial CRC-16 (Select commands are not byte-aligned) must
+    equal the byte-packed oracle on byte-aligned data."""
+    rng = np.random.default_rng(2)
+    for nbytes in (2, 5, 14):
+        d = rng.integers(0, 2, 8 * nbytes)
+        np.testing.assert_array_equal(gen2._crc16_any(d), crc16_bits(d))
+
+
+def test_epc_bank_layout():
+    """EPC bank: StoredCRC @0x00, PC @0x10, EPC @0x20 (Gen2 6.3.2.1)."""
+    t = Tag.with_id(27)
+    mem = t.epc_bank_bits()
+    body = np.concatenate([t.pc16, t.epc96])
+    np.testing.assert_array_equal(mem[:16], crc16_bits(body))
+    np.testing.assert_array_equal(mem[16:32], t.pc16)
+    np.testing.assert_array_equal(mem[32:], t.epc96)
+
+
+def _tags():
+    # Two tags in EPC "family" 0xA (first EPC nibble), two in 0x5.
+    tags = []
+    for i, (nib, tid) in enumerate([(0xA, 1), (0xA, 2), (0x5, 3), (0x5, 4)]):
+        epc = np.zeros(96, dtype=np.int64)
+        epc[:4] = [(nib >> k) & 1 for k in (3, 2, 1, 0)]
+        for k in range(8):
+            epc[88 + k] = (tid >> (7 - k)) & 1
+        tags.append(Tag(epc96=epc, seed=80 + i,
+                        backscatter=0.08 * 0.85 ** i * np.exp(1.2j * i)))
+    return tags
+
+
+def test_live_select_gated_inventory():
+    """LiveReader(select_mask=...) inventories exactly the masked family:
+    the Select asserts SL on EPC-prefix matches, Queries carry Sel=SL, and
+    only matching tags are ever read."""
+    tags = _tags()
+    mask = np.array([1, 0, 1, 0], dtype=np.int64)        # EPC nibble 0xA
+    ch = SimTagChannel(CFG, tags, seed=9)
+    rd = LiveReader(CFG, q_init=1, select_mask=(mask, 0x20))
+    st = rd.run_inventory(ch, 6)
+    reads = {t: int(st.tag_reads[t]) for t in (1, 2, 3, 4)}
+    assert reads[1] > 0 and reads[2] > 0
+    assert reads[3] == 0 and reads[4] == 0
+    assert [ts.sl for ts in ch.tags] == [True, True, False, False]
+
+    # The other family via the complementary mask.
+    ch2 = SimTagChannel(CFG, tags, seed=9)
+    rd2 = LiveReader(CFG, q_init=1,
+                     select_mask=(np.array([0, 1, 0, 1]), 0x20))
+    st2 = rd2.run_inventory(ch2, 6)
+    assert int(st2.tag_reads[1]) == 0 and int(st2.tag_reads[2]) == 0
+    assert int(st2.tag_reads[3]) > 0 and int(st2.tag_reads[4]) > 0
+
+
+def test_select_no_selection_without_command():
+    """Without a Select, Sel=SL queries match nothing; default (SEL_ALL)
+    queries inventory everyone - SL starts deasserted."""
+    tags = _tags()
+    ch = SimTagChannel(CFG, tags, seed=9)
+    bits = gen2.query_bits(CFG, q=0, sel=gen2.SEL_SL)
+    from gen2_rfid_tpu.tx.pie import PieEncoder
+
+    ch.exchange("query", bits, PieEncoder(CFG).query(0, None, gen2.SEL_SL),
+                400.0)
+    assert all(ts.slot == -1 for ts in ch.tags)

@@ -87,7 +87,7 @@ def main():
 
         x = jnp.asarray(amp_h)
         f1, f2 = loop(k1), loop(k2)
-        r = f1(x); _ = np.asarray(r)     # compile+run
+        _ = np.asarray(f1(x)); _ = np.asarray(f2(x))   # compile+run BOTH
         t0 = time.perf_counter(); _ = np.asarray(f1(x)); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); _ = np.asarray(f2(x)); t2 = time.perf_counter() - t0
         per = (t2 - t1) / (k2 - k1) * 1e3
@@ -137,3 +137,35 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def rises_probe():
+    """Isolate _rises_since_reset (the 11-step segmented doubling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.dsp.gate import _rises_since_reset
+
+    n = 9_700_000 // 5
+    rng = np.random.default_rng(1)
+    rise_h = (rng.random(n) < 0.002)
+    reset_h = (rng.random(n) < 0.001)
+
+    def fn(rise, reset):
+        return _rises_since_reset(rise, reset, 1664)[::97].sum()
+
+    def loop(k):
+        @jax.jit
+        def body(a, b):
+            def it(i, carry):
+                return fn(a, b != (carry > 1e30)) + 0.0 * carry
+            return jax.lax.fori_loop(0, k, it, jnp.float32(0))
+        return body
+
+    a, b = jnp.asarray(rise_h), jnp.asarray(reset_h)
+    f1, f2 = loop(4), loop(12)
+    _ = np.asarray(f1(a, b)); _ = np.asarray(f2(a, b))
+    t0 = time.perf_counter(); _ = np.asarray(f1(a, b)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); _ = np.asarray(f2(a, b)); t2 = time.perf_counter() - t0
+    print(f"_rises_since_reset: {(t2 - t1) / 8 * 1e3:.2f} ms/iter "
+          f"(k4 {t1*1e3:.1f} ms, k12 {t2*1e3:.1f} ms)", flush=True)
