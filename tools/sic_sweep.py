@@ -75,3 +75,68 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def epc_sweep():
+    """EPC-window SIC envelope: both-frames-CRC-pass rate over amplitude
+    ratio x T1 offset x SNR (random 96-bit EPC payloads; same-RN16
+    collision scenario).  Run:
+    env -u PYTHONPATH JAX_PLATFORMS=cpu python -c
+    "import sys; sys.path.insert(0,'.');
+     from tools.sic_sweep import epc_sweep; epc_sweep()"
+    """
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.dsp.collision import epc_sic
+    from gen2_rfid_tpu.dsp.filters import boxcar_taps, matched_filter_decimate
+    from gen2_rfid_tpu.sim.tag import Tag, fm0_chips, superpose_reply
+
+    cfg = ReaderConfig()
+    sp_us = cfg.adc_rate / 1e6
+
+    def window(tags, noise, rng):
+        n = int(round((3 * cfg.t1_us + cfg.t2_us + cfg.epc_us) * sp_us)) + 4000
+        seg = np.full(n, 1.0, dtype=np.complex64)
+        for tag, t1 in tags:
+            superpose_reply(seg, fm0_chips(tag.epc_frame_bits()), t1,
+                            tag.backscatter, cfg.tag_bit_us / 2, sp_us,
+                            cfg.adc_rate)
+        x = np.concatenate([np.full(2000, 1.0, np.complex64), seg])
+        x = x + (rng.normal(0, noise / 2 ** 0.5, x.size)
+                 + 1j * rng.normal(0, noise / 2 ** 0.5, x.size)
+                 ).astype(np.complex64)
+        y = np.asarray(matched_filter_decimate(
+            jnp.asarray(x), boxcar_taps(25), cfg.decim))
+        dc = y[300:348].mean()
+        start = 400 + int(round(252.5 * sp_us)) // 5 - 4
+        return jnp.asarray(y[start:start + cfg.epc_window + 8] - dc)
+
+    trials = 8
+    ratios = (1.0, 0.7, 0.4, 0.15)
+    dts = (0.0, 2.5)
+    noises = (0.004, 0.02)
+    print("| |h2|/|h1| | " + " | ".join(
+        f"dT1 {dt} us, noise {nz}" for nz in noises for dt in dts) + " |")
+    print("|---|" + "---|" * (len(dts) * len(noises)))
+    for ratio in ratios:
+        row = [f"| {ratio} "]
+        for nz in noises:
+            for dt in dts:
+                ok = 0
+                for s in range(trials):
+                    rng = np.random.default_rng(1000 + s)
+                    b1 = 0.085 * np.exp(1j * rng.uniform(0, 6.28))
+                    b2 = (0.085 * ratio) * np.exp(1j * rng.uniform(0, 6.28))
+                    t1 = Tag(epc96=rng.integers(0, 2, 96), backscatter=b1)
+                    t2 = Tag(epc96=rng.integers(0, 2, 96), backscatter=b2)
+                    r = epc_sic(window([(t1, 252.5), (t2, 252.5 + dt)],
+                                       nz, rng), cfg)
+                    got = {tuple(int(x) for x in fr)
+                           for fr, o in zip(np.asarray(r.bits),
+                                            np.asarray(r.crc_ok)) if o}
+                    want = {tuple(int(x) for x in t1.epc_frame_bits()),
+                            tuple(int(x) for x in t2.epc_frame_bits())}
+                    ok += want <= got
+                row.append(f"| {ok}/{trials} ")
+        print("".join(row) + "|")

@@ -169,3 +169,61 @@ def rises_probe():
     t0 = time.perf_counter(); _ = np.asarray(f2(a, b)); t2 = time.perf_counter() - t0
     print(f"_rises_since_reset: {(t2 - t1) / 8 * 1e3:.2f} ms/iter "
           f"(k4 {t1*1e3:.1f} ms, k12 {t2*1e3:.1f} ms)", flush=True)
+
+
+def rises_blocked_probe():
+    """Candidate: segmented windowed scan via overlap blocks + ONE cumsum +
+    ONE cummax along the minor axis.
+
+    out[i] = c[i] - max(cummax_{j<=i}(reset_j ? c[j] : -1), 0) with
+    c = within-block inclusive cumsum of rise - exact because c is
+    nondecreasing (the value at the last reset IS the running max of
+    values at resets) and integer-valued f32 (< 2^24).  Lookback is
+    bounded by the protocol's reset-within-span guarantee, so each
+    overlap block of halo >= span computes its samples exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.dsp.filters import _overlap_blocks
+    from gen2_rfid_tpu.dsp.gate import _rises_since_reset
+
+    n = 9_700_000 // 5
+    span = 1664
+    rng = np.random.default_rng(1)
+    rise_h = (rng.random(n) < 0.002)
+    reset_h = (rng.random(n) < 0.001)
+    # Enforce the protocol guarantee for the equality check: a reset at
+    # least every `span` positions.
+    reset_h[::span // 2] = True
+
+    def blocked(rise, reset, block=8192, halo=span):
+        er = _overlap_blocks(rise.astype(jnp.float32), block, halo)
+        es = _overlap_blocks(reset, block, halo)
+        c = jnp.cumsum(er, axis=1)
+        cm = jax.lax.cummax(jnp.where(es, c, -1.0), axis=1)
+        out = c - jnp.maximum(cm, 0.0)
+        return out[:, halo:].reshape(-1)[: rise.shape[0]]
+
+    a, b = jnp.asarray(rise_h), jnp.asarray(reset_h)
+    ref = _rises_since_reset(a, b, span)
+    got = blocked(a, b)
+    print("blocked == dyadic:", bool(jnp.all(ref == got)), flush=True)
+
+    def timed(name, fn):
+        def loop(k):
+            @jax.jit
+            def body(x, y):
+                def it(i, carry):
+                    return fn(x, y != (carry > 1e30))[::97].sum() + 0.0 * carry
+                return jax.lax.fori_loop(0, k, it, jnp.float32(0))
+            return body
+
+        f1, f2 = loop(4), loop(12)
+        _ = np.asarray(f1(a, b)); _ = np.asarray(f2(a, b))
+        t0 = time.perf_counter(); _ = np.asarray(f1(a, b)); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); _ = np.asarray(f2(a, b)); t2 = time.perf_counter() - t0
+        print(f"{name}: {(t2 - t1) / 8 * 1e3:.2f} ms/iter", flush=True)
+
+    timed("dyadic _rises_since_reset", lambda x, y: _rises_since_reset(x, y, span))
+    timed("blocked cumsum+cummax", blocked)
