@@ -182,9 +182,14 @@ def cmd_live(args) -> int:
         mask = np.array([(args.select_id >> (7 - k)) & 1 for k in range(8)],
                         dtype=np.int64)
         select_mask = (mask, 0x20 + 88)
+    access_read = None
+    if args.read:
+        ptr, cnt = args.read.split(":")
+        access_read = (int(ptr, 0), int(cnt, 0))
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
-                    target_ab=args.session_ab, select_mask=select_mask)
+                    target_ab=args.session_ab, select_mask=select_mask,
+                    access_read=access_read)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -214,6 +219,12 @@ def cmd_live(args) -> int:
               f"{' '.join(map(str, st.q_trace))})")
     if st.n_target_flips:
         print(f"| Inventory target flips (A<->B): {st.n_target_flips}")
+    if st.n_req_rn_ok:
+        print(f"| Access: {st.n_req_rn_ok} handles, {st.n_read_ok} Reads OK")
+        for tid, words in sorted(st.read_words.items()):
+            hexw = "".join(f"{int(''.join(map(str, words[k:k+16])), 2):04x} "
+                           for k in range(0, len(words), 16))
+            print(f"| Tag {tid:#x} read data: {hexw.strip()}")
     return 0
 
 
@@ -293,6 +304,10 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")
+    lv.add_argument("--read", metavar="PTR:COUNT",
+                    help="after each correct EPC run the Gen2 access "
+                         "sequence (Req_RN -> handle -> Read) and fetch "
+                         "COUNT words of the EPC bank from word PTR")
     lv.add_argument("--select-id", type=lambda s: int(s, 0),
                     help="transmit a Gen2 Select first and inventory only "
                          "tags whose ID byte (EPC bits 88:96) matches")

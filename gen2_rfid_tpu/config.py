@@ -222,6 +222,17 @@ class ReaderConfig:
         """Half-bits collected for RN16 (tag_decoder_impl.cc:246)."""
         return 2 * (self.rn16_bits - 1)
 
+    def reply_window(self, n_data_bits: int) -> int:
+        """Gate ungate length for an arbitrary n-data-bit tag reply (the
+        rn16_window formula generalized: access-command replies - Req_RN
+        handles, Read data - have other lengths; the reference has only
+        the two hard-coded windows, gate_impl.cc:115,121)."""
+        n_bits = n_data_bits + 1 + self.effective_preamble_bits
+        if self.mode == "compat":
+            return n_bits * self.n_samples_tag_bit_i + self.window_slack
+        return (int(math.ceil(n_bits * self.n_samples_tag_bit))
+                + self.window_slack)
+
     @property
     def epc_data_bits(self) -> int:
         """Decoded EPC payload bits: PC+EPC+CRC (tag_decoder_impl.cc:317)."""

@@ -81,13 +81,37 @@ def rn16_detect(
     return rn16_detect_soft(frame, index, h_est, cfg)[0]
 
 
+def payload_detect(
+    frame: jnp.ndarray, index: jnp.ndarray, h_est: jnp.ndarray,
+    cfg: ReaderConfig, n_bits: int
+) -> jnp.ndarray:
+    """Decode an arbitrary n-bit FM0 payload (the RN16 machinery with a
+    longer selection matrix) - access-command replies: Req_RN handles
+    (32 bits), Read data (33+16w bits).  Plain coherent slicing (the
+    replies are short; no channel tracking)."""
+    sel_d, span = _rn16_selection_matrix(cfg, 2 * n_bits)
+    start = jnp.minimum(index, frame.shape[0] - span)
+    sl = jax.lax.dynamic_slice(frame, (start,), (span,))
+    dj = jnp.asarray(sel_d)
+    hi = SEL_PRECISION
+    d = jax.lax.complex(
+        jnp.matmul(jnp.real(sl), dj, precision=hi),
+        jnp.matmul(jnp.imag(sl), dj, precision=hi),
+    )
+    result = jnp.real(d * jnp.conj(h_est))
+    signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
+    return _diff_decode(signs)
+
+
 @functools.lru_cache(maxsize=32)
-def _rn16_selection_matrix(cfg: ReaderConfig):
-    """(span, 16) +-1 matrix forming the RN16 differential samples
+def _rn16_selection_matrix(cfg: ReaderConfig, n_half: int = None):
+    """(span, n_half/2) +-1 matrix forming the differential samples
     d_j = sl[round(2j*T/2)] - sl[round((2j+1)*T/2)] (tag_decoder_impl.cc:
-    237-253 float-stepping positions, exact at the defaults)."""
+    237-253 float-stepping positions, exact at the defaults).  n_half
+    defaults to the RN16's 32; access-command replies pass other
+    lengths."""
     half = cfg.n_samples_tag_bit / 2.0
-    n_half = cfg.rn16_half_bits
+    n_half = cfg.rn16_half_bits if n_half is None else n_half
     offs = np.round(np.arange(n_half) * half).astype(np.int32)
     span = int(offs[-1]) + 1
     d = np.zeros((span, n_half // 2), dtype=np.float32)

@@ -101,18 +101,23 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
     offsets = (np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
                * d).astype(np.float32)
     sub = ((-1.0) ** np.arange(m)).astype(np.float32)
-    k = np.arange(2 * s * m, dtype=np.float32)
     tables = []
     for g in range(n_seg):
+        # The tail segment covers only the bits that exist: its offset
+        # search must not correlate against post-reply noise/CW (a 65-bit
+        # access reply in 16-bit segments otherwise decodes its last bit
+        # against a mostly-empty segment and misaligns).
+        sg = min(s, n_bits - g * s)
+        k = np.arange(2 * sg * m, dtype=np.float32)
         base = np.float32(g) * np.float32(2.0 * s * m) * d
         pos = (base + offsets[:, None] + k[None, :] * d).astype(np.int32)
         s0 = int(pos.min())
         span = int(pos.max()) - s0 + 1
-        dmat = np.zeros((span, n_offsets * 2 * s), dtype=np.float32)
-        half = (np.arange(2 * s * m) // m)[None, :]
-        cols = np.arange(n_offsets)[:, None] * (2 * s) + half
+        dmat = np.zeros((span, n_offsets * 2 * sg), dtype=np.float32)
+        half = (np.arange(2 * sg * m) // m)[None, :]
+        cols = np.arange(n_offsets)[:, None] * (2 * sg) + half
         np.add.at(dmat, (pos - s0, cols),
-                  np.broadcast_to(sub[None, np.tile(np.arange(m), 2 * s)],
+                  np.broadcast_to(sub[None, np.tile(np.arange(m), 2 * sg)],
                                   pos.shape))
         tables.append((s0, span, dmat))
     return tuple(tables)

@@ -109,6 +109,72 @@ def nak_bits() -> np.ndarray:
     return np.array(NAK_CODE, dtype=np.int64)
 
 
+# Access commands (EPC Gen2 6.3.2.12.3) - the reference stops at inventory
+# (reader_impl.cc:200-380 never leaves the Query/ACK loop).  New capability:
+# Req_RN fetches a 16-bit handle from an acknowledged tag; Read returns
+# memory words.  Replies are CRC-16-protected, Read additionally echoes the
+# handle - both checked by the live reader.
+REQ_RN_CODE = (1, 1, 0, 0, 0, 0, 0, 1)
+READ_CODE = (1, 1, 0, 0, 0, 0, 1, 0)
+
+
+def req_rn_bits(rn16: np.ndarray) -> np.ndarray:
+    """Req_RN = 11000001 + RN16 + CRC-16 (Gen2 6.3.2.12.3.1)."""
+    rn16 = np.asarray(rn16, dtype=np.int64)
+    assert rn16.size == 16
+    body = np.concatenate([np.array(REQ_RN_CODE, dtype=np.int64), rn16])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_req_rn(bits: np.ndarray):
+    """-> (rn16 (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == REQ_RN_CODE
+    return b[8:24], bool(np.array_equal(_crc16_any(b[:24]), b[24:]))
+
+
+def read_bits(handle: np.ndarray, membank=None, wordptr: int = 2,
+              wordcount: int = 1) -> np.ndarray:
+    """Read = 11000010 + MemBank(2) + WordPtr(EBV-8) + WordCount(8) +
+    handle(16) + CRC-16 (Gen2 6.3.2.12.3.2).  Defaults read the EPC bank
+    from word 2 (the EPC field: StoredCRC word 0, PC word 1)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    membank = MEMBANK_EPC if membank is None else membank
+    assert handle.size == 16 and 0 <= wordptr < 128
+    bits = list(READ_CODE) + list(membank)
+    bits += [(wordptr >> k) & 1 for k in range(7, -1, -1)]   # EBV-8
+    bits += [(wordcount >> k) & 1 for k in range(7, -1, -1)]
+    body = np.concatenate([np.array(bits, dtype=np.int64), handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_read(bits: np.ndarray):
+    """-> (membank, wordptr, wordcount, handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == READ_CODE
+    membank = (int(b[8]), int(b[9]))
+    wordptr = int("".join(map(str, b[10:18])), 2)
+    wordcount = int("".join(map(str, b[18:26])), 2)
+    handle = b[26:42]
+    crc_ok = bool(np.array_equal(_crc16_any(b[:42]), b[42:]))
+    return membank, wordptr, wordcount, handle, crc_ok
+
+
+def handle_reply_bits(handle: np.ndarray) -> np.ndarray:
+    """Tag reply to Req_RN: handle + CRC-16 over the handle (32 bits)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    return np.concatenate([handle, _crc16_any(handle)])
+
+
+def read_reply_bits(words: np.ndarray, handle: np.ndarray) -> np.ndarray:
+    """Tag reply to Read: header-0 + data + handle + CRC-16 over
+    header+data+handle (Gen2 6.3.2.12.3.2)."""
+    body = np.concatenate([np.zeros(1, np.int64),
+                           np.asarray(words, dtype=np.int64),
+                           np.asarray(handle, dtype=np.int64)])
+    return np.concatenate([body, _crc16_any(body)])
+
+
 # Select command (EPC Gen2 6.3.2.12.1.1) - a mandatory Gen2 command the
 # reference does not implement (its reader FSM knows only Query/QueryRep/
 # QueryAdjust/ACK/NAK, reader_impl.cc:200-380).  New capability: mask-based

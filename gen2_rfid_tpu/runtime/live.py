@@ -80,6 +80,10 @@ class LiveStats:
     n_target_flips: int = 0    # A<->B inventoried-flag target flips
     n_sic_recovered: int = 0   # collided slots whose EPC was still read
     n_epc_sic_second: int = 0  # extra EPCs read from the EPC-window residual
+    n_req_rn_ok: int = 0       # handles fetched (access sequence)
+    n_read_ok: int = 0         # Read replies with CRC + handle echo OK
+    read_words: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)  # tag id -> last Read data bits
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
     sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
@@ -124,7 +128,9 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     SIC decoder transparently replaces "rn16" when capture is enabled) |
     "epc_sic" (EPC window with SIC: recovers BOTH EPC frames when two tags
     that drew the same RN16 answer the ACK superposed; pass 1 equals the
-    plain EPC decode, each recovered frame self-validates via CRC-16).
+    plain EPC decode, each recovered frame self-validates via CRC-16) |
+    "acc:<n>" (n-bit access-command reply: Req_RN handle or Read data;
+    CRC checks happen host-side on the returned bits).
 
     The live loop re-enters this at a handful of stable block shapes (one
     per command kind), so after warmup every slot is a single compiled
@@ -141,7 +147,11 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
 
     ev_cfg = dataclasses.replace(cfg, max_events=8)
     want_epc = mode in ("epc", "epc_sic")
-    w = cfg.epc_window if want_epc else cfg.rn16_window
+    acc_bits = int(mode.split(":")[1]) if mode.startswith("acc:") else 0
+    if acc_bits:
+        w = cfg.reply_window(acc_bits)
+    else:
+        w = cfg.epc_window if want_epc else cfg.rn16_window
 
     @jax.jit
     def run(block2):
@@ -157,6 +167,14 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
         fits = found & (idx + w <= y.shape[0])
         start = jnp.minimum(idx, jnp.int32(y.shape[0] - w))
         frame = jax.lax.dynamic_slice(y, (start,), (w,)) - ev.dc[pos]
+        if acc_bits:
+            if cfg.miller_m == 1:
+                di, h = sync.tag_sync(frame, cfg)
+                bits = fm0.payload_detect(frame, di, h, cfg, acc_bits)
+            else:
+                di, h = miller.miller_sync(frame, cfg)
+                bits = miller.miller_detect(frame, di, h, cfg, acc_bits)[0]
+            return fits, bits
         if mode == "epc_sic":
             from ..dsp.collision import epc_sic
 
@@ -241,6 +259,11 @@ class LiveReader:
     bank matches ``mask_bits`` at bit address ``pointer`` (0x20 = EPC
     field start); Queries then carry Sel=SL so only the masked
     sub-population is inventoried.
+    ``access_read``: (wordptr, wordcount) — after every correct EPC, run
+    the Gen2 access sequence (6.3.2.12.3; the reference never leaves
+    inventory): Req_RN(RN16) → CRC-checked 16-bit handle → Read(EPC bank,
+    wordptr, wordcount) → header-0 + data words + handle echo + CRC-16,
+    all verified.  Read words land in ``LiveStats.read_words[tag_id]``.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -261,12 +284,14 @@ class LiveReader:
         sic: bool = False,
         target_ab: bool = False,
         select_mask=None,
+        access_read=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
         self.target = int(cfg.target)
         self.select_mask = select_mask
         self._sel = gen2.SEL_SL if select_mask is not None else None
+        self.access_read = access_read
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -300,6 +325,43 @@ class LiveReader:
         power-down resets, so no recompiles occur mid-inventory."""
         self._ctx = np.zeros(self._ctx_len, np.complex64)
 
+    def _access_sequence(self, channel, rn16, tid: int) -> None:
+        """Req_RN -> handle -> Read (Gen2 6.3.2.12.3): every reply is
+        CRC-16-verified and the Read reply must echo the handle."""
+        cfg = self.cfg
+        st = self.stats
+        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
+
+        rr = gen2.req_rn_bits(rn16)
+        cw = float(cfg.t1_us + cfg.t2_us + (32 + pre) * cfg.tag_bit_us)
+        rx = channel.exchange("req_rn", rr, self.enc.command(rr), cw)
+        out = self._decode_window(rx, "acc:32")
+        if out is None:
+            return
+        handle, crc = out[:16], out[16:]
+        if not np.array_equal(gen2._crc16_any(handle), crc):
+            return
+        st.n_req_rn_ok += 1
+        _log.debug("REQ_RN OK | handle=%s", "".join(map(str, handle)))
+
+        wordptr, wordcount = self.access_read
+        nb = 1 + 16 * wordcount + 32               # header+data+handle+CRC
+        rd = gen2.read_bits(handle, wordptr=wordptr, wordcount=wordcount)
+        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+        rx = channel.exchange("read", rd, self.enc.command(rd), cw)
+        out = self._decode_window(rx, f"acc:{nb}")
+        if out is None:
+            return
+        data = out[1: 1 + 16 * wordcount]
+        hecho = out[1 + 16 * wordcount: 17 + 16 * wordcount]
+        crc = out[nb - 16:]
+        if (out[0] != 0 or not np.array_equal(hecho, handle)
+                or not np.array_equal(gen2._crc16_any(out[: nb - 16]), crc)):
+            return
+        st.n_read_ok += 1
+        st.read_words[tid] = np.asarray(data)
+        _log.debug("READ OK | tag %#x words=%d", tid, wordcount)
+
     def _send_select(self, channel) -> None:
         """Transmit the configured Select (no reply expected; tags apply
         the SL action, Gen2 6.3.2.12.1.1)."""
@@ -329,6 +391,8 @@ class LiveReader:
         out = _window_decoder(self.cfg, mode)(block2)
         if not bool(out[0]):
             return None
+        if mode.startswith("acc:"):
+            return np.asarray(out[1])
         if mode == "epc":
             return np.asarray(out[1]), bool(out[2])
         if mode == "epc_sic":
@@ -466,6 +530,8 @@ class LiveReader:
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:
                         st.n_sic_recovered += 1
+                    if self.access_read is not None:
+                        self._access_sequence(channel, rn16, tid)
                 # EPC-window SIC: two tags that drew the SAME RN16 both
                 # match the ACK and answer superposed; the residual's frame
                 # self-validates via CRC-16 (dsp/collision.py::epc_sic).

@@ -27,6 +27,8 @@ class _TagState:
     rn16: Optional[np.ndarray] = None
     flag_b: bool = False         # session inventoried flag (False=A, True=B)
     sl: bool = False             # SL flag (asserted/deasserted by Select)
+    acked: bool = False          # in Acknowledged state (valid ACK received)
+    handle: Optional[np.ndarray] = None   # Open-state handle (post Req_RN)
     pending_flip: bool = False   # valid ACK received; flag flips at the
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
@@ -91,6 +93,8 @@ class SimTagChannel:
                 participates = participates and not ts.sl
             ts.slot = ts.tag.draw_slot(q) if participates else -1
             ts.rn16 = None
+            ts.acked = False
+            ts.handle = None
 
     def _responders(self) -> List[_TagState]:
         return [ts for ts in self.tags if ts.slot == 0]
@@ -158,14 +162,44 @@ class SimTagChannel:
 
         replies = []
         if kind in ("query", "query_rep", "query_adjust"):
+            for ts in self.tags:
+                ts.acked = False
+                ts.handle = None
             for ts in self._responders():
                 ts.rn16 = ts.tag.draw_rn16()
                 replies.append((ts, reply_chips(cfg, ts.rn16)))
+        elif kind == "req_rn":
+            # Gen2 6.3.2.12.3.1: an Acknowledged tag whose RN16 matches
+            # replies with a fresh 16-bit handle (-> Open state).
+            rn, crc_ok = gen2.parse_req_rn(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if ts.acked and ts.rn16 is not None and np.array_equal(
+                            rn, ts.rn16):
+                        ts.handle = ts.tag.draw_rn16()
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.handle_reply_bits(ts.handle))))
+        elif kind == "read":
+            # Gen2 6.3.2.12.3.2: the Open-state tag with this handle
+            # backscatters header-0 + memory words + handle + CRC-16.
+            membank, wordptr, wordcount, handle, crc_ok = gen2.parse_read(
+                bits)
+            if crc_ok and membank == gen2.MEMBANK_EPC:
+                for ts in self.tags:
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        mem = ts.tag.epc_bank_bits()
+                        lo, hi = 16 * wordptr, 16 * (wordptr + wordcount)
+                        if hi <= mem.size:
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.read_reply_bits(
+                                    mem[lo:hi], ts.handle))))
         elif kind == "ack":
             acked = np.asarray(bits[2:18], dtype=np.int64)
             for ts in self._responders():
                 if ts.rn16 is not None and np.array_equal(acked, ts.rn16):
                     replies.append((ts, reply_chips(cfg, ts.tag.epc_frame_bits())))
+                    ts.acked = True      # Acknowledged state: Req_RN valid
                     if self.session_ab:
                         # Valid ACK: flag toggles at the next non-NAK
                         # command (the tag believes it was read even if the

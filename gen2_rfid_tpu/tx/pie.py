@@ -100,6 +100,11 @@ class PieEncoder:
         preceded by a frame-sync, not the full preamble - no ref analogue)."""
         return np.concatenate([self.frame_sync, self.encode_bits(bits)])
 
+    def command(self, bits: np.ndarray) -> np.ndarray:
+        """Frame-sync + arbitrary command bits (access commands: Req_RN,
+        Read - all non-Query commands use the frame-sync, Gen2 6.3.1.2)."""
+        return np.concatenate([self.frame_sync, self.encode_bits(bits)])
+
     def tables(self) -> Dict[str, np.ndarray]:
         """All named segments, e.g. for staging to device memory."""
         return {
