@@ -184,12 +184,21 @@ def cmd_live(args) -> int:
         select_mask = (mask, 0x20 + 88)
     access_read = None
     if args.read:
-        ptr, cnt = args.read.split(":")
-        access_read = (int(ptr, 0), int(cnt, 0))
+        parts = args.read.split(":")
+        access_read = (int(parts[0], 0), int(parts[1], 0),
+                       parts[2] if len(parts) > 2 else "epc")
+    access_write = None
+    if args.write:
+        parts = args.write.split(":")
+        word = int(parts[1], 16)
+        bits = np.array([(word >> (15 - k)) & 1 for k in range(16)],
+                        dtype=np.int64)
+        access_write = (int(parts[0], 0), bits,
+                        parts[2] if len(parts) > 2 else "user")
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
                     target_ab=args.session_ab, select_mask=select_mask,
-                    access_read=access_read)
+                    access_read=access_read, access_write=access_write)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -220,7 +229,8 @@ def cmd_live(args) -> int:
     if st.n_target_flips:
         print(f"| Inventory target flips (A<->B): {st.n_target_flips}")
     if st.n_req_rn_ok:
-        print(f"| Access: {st.n_req_rn_ok} handles, {st.n_read_ok} Reads OK")
+        print(f"| Access: {st.n_req_rn_ok} handles, {st.n_read_ok} Reads, "
+              f"{st.n_write_ok} Writes OK")
         for tid, words in sorted(st.read_words.items()):
             hexw = "".join(f"{int(''.join(map(str, words[k:k+16])), 2):04x} "
                            for k in range(0, len(words), 16))
@@ -304,10 +314,15 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")
-    lv.add_argument("--read", metavar="PTR:COUNT",
+    lv.add_argument("--read", metavar="PTR:COUNT[:BANK]",
                     help="after each correct EPC run the Gen2 access "
                          "sequence (Req_RN -> handle -> Read) and fetch "
-                         "COUNT words of the EPC bank from word PTR")
+                         "COUNT words from word PTR (BANK epc|user, "
+                         "default epc)")
+    lv.add_argument("--write", metavar="PTR:HEX[:BANK]",
+                    help="Gen2 Write: store the 16-bit HEX word at word "
+                         "PTR (BANK epc|user, default user; EPC-bank "
+                         "writes re-label the tag), cover-coded per spec")
     lv.add_argument("--select-id", type=lambda s: int(s, 0),
                     help="transmit a Gen2 Select first and inventory only "
                          "tags whose ID byte (EPC bits 88:96) matches")

@@ -116,6 +116,8 @@ def nak_bits() -> np.ndarray:
 # handle - both checked by the live reader.
 REQ_RN_CODE = (1, 1, 0, 0, 0, 0, 0, 1)
 READ_CODE = (1, 1, 0, 0, 0, 0, 1, 0)
+WRITE_CODE = (1, 1, 0, 0, 0, 0, 1, 1)
+MEMBANK_USER = (1, 1)
 
 
 def req_rn_bits(rn16: np.ndarray) -> np.ndarray:
@@ -158,6 +160,43 @@ def parse_read(bits: np.ndarray):
     handle = b[26:42]
     crc_ok = bool(np.array_equal(_crc16_any(b[:42]), b[42:]))
     return membank, wordptr, wordcount, handle, crc_ok
+
+
+def write_bits(handle: np.ndarray, cover_data: np.ndarray, membank=None,
+               wordptr: int = 0) -> np.ndarray:
+    """Write = 11000011 + MemBank(2) + WordPtr(EBV-8) + Data(16,
+    cover-coded: word XOR a fresh RN16 from a second Req_RN) + handle(16)
+    + CRC-16 (Gen2 6.3.2.12.3.3)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    cover_data = np.asarray(cover_data, dtype=np.int64)
+    membank = MEMBANK_USER if membank is None else membank
+    assert handle.size == 16 and cover_data.size == 16
+    assert 0 <= wordptr < 128
+    bits = list(WRITE_CODE) + list(membank)
+    bits += [(wordptr >> k) & 1 for k in range(7, -1, -1)]   # EBV-8
+    body = np.concatenate([np.array(bits, dtype=np.int64), cover_data,
+                           handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_write(bits: np.ndarray):
+    """-> (membank, wordptr, cover_data (16,), handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == WRITE_CODE
+    membank = (int(b[8]), int(b[9]))
+    wordptr = int("".join(map(str, b[10:18])), 2)
+    cover = b[18:34]
+    handle = b[34:50]
+    crc_ok = bool(np.array_equal(_crc16_any(b[:50]), b[50:]))
+    return membank, wordptr, cover, handle, crc_ok
+
+
+def write_reply_bits(handle: np.ndarray) -> np.ndarray:
+    """Tag success reply to Write: header-0 + handle + CRC-16 over
+    header+handle (33 bits, Gen2 6.3.2.12.3.3)."""
+    body = np.concatenate([np.zeros(1, np.int64),
+                           np.asarray(handle, dtype=np.int64)])
+    return np.concatenate([body, _crc16_any(body)])
 
 
 def handle_reply_bits(handle: np.ndarray) -> np.ndarray:

@@ -82,6 +82,7 @@ class LiveStats:
     n_epc_sic_second: int = 0  # extra EPCs read from the EPC-window residual
     n_req_rn_ok: int = 0       # handles fetched (access sequence)
     n_read_ok: int = 0         # Read replies with CRC + handle echo OK
+    n_write_ok: int = 0        # Write replies with CRC + handle echo OK
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
@@ -259,11 +260,17 @@ class LiveReader:
     bank matches ``mask_bits`` at bit address ``pointer`` (0x20 = EPC
     field start); Queries then carry Sel=SL so only the masked
     sub-population is inventoried.
-    ``access_read``: (wordptr, wordcount) — after every correct EPC, run
-    the Gen2 access sequence (6.3.2.12.3; the reference never leaves
-    inventory): Req_RN(RN16) → CRC-checked 16-bit handle → Read(EPC bank,
-    wordptr, wordcount) → header-0 + data words + handle echo + CRC-16,
-    all verified.  Read words land in ``LiveStats.read_words[tag_id]``.
+    ``access_read``: (wordptr, wordcount[, bank]) — after every correct
+    EPC, run the Gen2 access sequence (6.3.2.12.3; the reference never
+    leaves inventory): Req_RN(RN16) → CRC-checked 16-bit handle →
+    Read(bank, wordptr, wordcount) → header-0 + data words + handle echo
+    + CRC-16, all verified.  Read words land in
+    ``LiveStats.read_words[tag_id]``.
+    ``access_write``: (wordptr, word_bits16[, bank]) — Write one word
+    (default USER bank; EPC-bank words >= 2 re-label the tag): a second
+    Req_RN(handle) fetches the cover-code RN16, the data travels XOR'd
+    with it, and the tag's header-0 + handle + CRC-16 success reply is
+    verified.  Combine with ``access_read`` for write-then-read-back.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -285,6 +292,7 @@ class LiveReader:
         target_ab: bool = False,
         select_mask=None,
         access_read=None,
+        access_write=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -292,6 +300,7 @@ class LiveReader:
         self.select_mask = select_mask
         self._sel = gen2.SEL_SL if select_mask is not None else None
         self.access_read = access_read
+        self.access_write = access_write
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -325,28 +334,66 @@ class LiveReader:
         power-down resets, so no recompiles occur mid-inventory."""
         self._ctx = np.zeros(self._ctx_len, np.complex64)
 
-    def _access_sequence(self, channel, rn16, tid: int) -> None:
-        """Req_RN -> handle -> Read (Gen2 6.3.2.12.3): every reply is
-        CRC-16-verified and the Read reply must echo the handle."""
-        cfg = self.cfg
-        st = self.stats
-        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
+    @staticmethod
+    def _bank_code(name: str):
+        return gen2.MEMBANK_USER if name == "user" else gen2.MEMBANK_EPC
 
-        rr = gen2.req_rn_bits(rn16)
+    def _req_rn(self, channel, rn: np.ndarray):
+        """One Req_RN exchange; returns the CRC-verified 16-bit reply RN
+        (a handle from an Acknowledged tag, or a Write cover-code from an
+        Open tag) or None."""
+        cfg = self.cfg
+        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
+        rr = gen2.req_rn_bits(rn)
         cw = float(cfg.t1_us + cfg.t2_us + (32 + pre) * cfg.tag_bit_us)
         rx = channel.exchange("req_rn", rr, self.enc.command(rr), cw)
         out = self._decode_window(rx, "acc:32")
         if out is None:
-            return
-        handle, crc = out[:16], out[16:]
-        if not np.array_equal(gen2._crc16_any(handle), crc):
+            return None
+        if not np.array_equal(gen2._crc16_any(out[:16]), out[16:]):
+            return None
+        return out[:16]
+
+    def _access_sequence(self, channel, rn16, tid: int) -> None:
+        """Req_RN -> handle, then Write and/or Read (Gen2 6.3.2.12.3):
+        every reply is CRC-16-verified; Read/Write replies must echo the
+        handle; Write data travels cover-coded (XOR a second Req_RN)."""
+        cfg = self.cfg
+        st = self.stats
+        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
+
+        handle = self._req_rn(channel, rn16)
+        if handle is None:
             return
         st.n_req_rn_ok += 1
         _log.debug("REQ_RN OK | handle=%s", "".join(map(str, handle)))
 
-        wordptr, wordcount = self.access_read
+        if self.access_write is not None:
+            wordptr, data = self.access_write[:2]
+            bank = self.access_write[2] if len(self.access_write) > 2 else "user"
+            cover = self._req_rn(channel, handle)   # fresh RN16 cover-code
+            if cover is not None:
+                wb = gen2.write_bits(
+                    handle, (np.asarray(data) + cover) % 2,
+                    membank=self._bank_code(bank), wordptr=wordptr)
+                cw = float(cfg.t1_us + cfg.t2_us
+                           + (33 + pre) * cfg.tag_bit_us)
+                rx = channel.exchange("write", wb, self.enc.command(wb), cw)
+                out = self._decode_window(rx, "acc:33")
+                if (out is not None and out[0] == 0
+                        and np.array_equal(out[1:17], handle)
+                        and np.array_equal(gen2._crc16_any(out[:17]),
+                                           out[17:])):
+                    st.n_write_ok += 1
+                    _log.debug("WRITE OK | tag %#x word %d", tid, wordptr)
+
+        if self.access_read is None:
+            return
+        wordptr, wordcount = self.access_read[:2]
+        bank = self.access_read[2] if len(self.access_read) > 2 else "epc"
         nb = 1 + 16 * wordcount + 32               # header+data+handle+CRC
-        rd = gen2.read_bits(handle, wordptr=wordptr, wordcount=wordcount)
+        rd = gen2.read_bits(handle, membank=self._bank_code(bank),
+                            wordptr=wordptr, wordcount=wordcount)
         cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
         rx = channel.exchange("read", rd, self.enc.command(rd), cw)
         out = self._decode_window(rx, f"acc:{nb}")
@@ -530,7 +577,8 @@ class LiveReader:
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:
                         st.n_sic_recovered += 1
-                    if self.access_read is not None:
+                    if (self.access_read is not None
+                            or self.access_write is not None):
                         self._access_sequence(channel, rn16, tid)
                 # EPC-window SIC: two tags that drew the SAME RN16 both
                 # match the ACK and answer superposed; the residual's frame

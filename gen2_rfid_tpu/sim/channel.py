@@ -29,6 +29,7 @@ class _TagState:
     sl: bool = False             # SL flag (asserted/deasserted by Select)
     acked: bool = False          # in Acknowledged state (valid ACK received)
     handle: Optional[np.ndarray] = None   # Open-state handle (post Req_RN)
+    cover_rn: Optional[np.ndarray] = None  # fresh RN16 for Write cover-coding
     pending_flip: bool = False   # valid ACK received; flag flips at the
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
@@ -95,6 +96,7 @@ class SimTagChannel:
             ts.rn16 = None
             ts.acked = False
             ts.handle = None
+            ts.cover_rn = None
 
     def _responders(self) -> List[_TagState]:
         return [ts for ts in self.tags if ts.slot == 0]
@@ -170,11 +172,18 @@ class SimTagChannel:
                 replies.append((ts, reply_chips(cfg, ts.rn16)))
         elif kind == "req_rn":
             # Gen2 6.3.2.12.3.1: an Acknowledged tag whose RN16 matches
-            # replies with a fresh 16-bit handle (-> Open state).
+            # replies with a fresh 16-bit handle (-> Open state); an
+            # Open-state tag whose HANDLE matches replies with a fresh
+            # RN16 (the Write cover-code).
             rn, crc_ok = gen2.parse_req_rn(bits)
             if crc_ok:
                 for ts in self.tags:
-                    if ts.acked and ts.rn16 is not None and np.array_equal(
+                    if ts.handle is not None and np.array_equal(
+                            rn, ts.handle):
+                        ts.cover_rn = ts.tag.draw_rn16()
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.handle_reply_bits(ts.cover_rn))))
+                    elif ts.acked and ts.rn16 is not None and np.array_equal(
                             rn, ts.rn16):
                         ts.handle = ts.tag.draw_rn16()
                         replies.append((ts, reply_chips(
@@ -184,16 +193,30 @@ class SimTagChannel:
             # backscatters header-0 + memory words + handle + CRC-16.
             membank, wordptr, wordcount, handle, crc_ok = gen2.parse_read(
                 bits)
-            if crc_ok and membank == gen2.MEMBANK_EPC:
+            if crc_ok:
                 for ts in self.tags:
                     if ts.handle is not None and np.array_equal(
                             handle, ts.handle):
-                        mem = ts.tag.epc_bank_bits()
+                        mem = ts.tag.bank_bits(membank)
                         lo, hi = 16 * wordptr, 16 * (wordptr + wordcount)
-                        if hi <= mem.size:
+                        if mem is not None and hi <= mem.size:
                             replies.append((ts, reply_chips(
                                 cfg, gen2.read_reply_bits(
                                     mem[lo:hi], ts.handle))))
+        elif kind == "write":
+            # Gen2 6.3.2.12.3.3: data arrives cover-coded (XOR the RN16
+            # from the preceding Req_RN(handle)); a successful write
+            # backscatters header-0 + handle + CRC-16.
+            membank, wordptr, cover, handle, crc_ok = gen2.parse_write(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.cover_rn is not None
+                            and np.array_equal(handle, ts.handle)):
+                        data = (cover + ts.cover_rn) % 2
+                        ts.cover_rn = None      # cover RN is single-use
+                        if ts.tag.write_word(membank, wordptr, data):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
         elif kind == "ack":
             acked = np.asarray(bits[2:18], dtype=np.int64)
             for ts in self._responders():

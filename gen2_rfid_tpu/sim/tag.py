@@ -126,6 +126,7 @@ class Tag:
     blf_offset: float = 0.0
     cfo_hz: float = 0.0
     amp_ramp: float = 0.0
+    user_bank: Optional[np.ndarray] = None  # USER memory (default 8 words)
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -135,6 +136,8 @@ class Tag:
             pc = np.zeros(16, dtype=np.int64)
             pc[:5] = [0, 0, 1, 1, 0]
             self.pc16 = pc
+        if self.user_bank is None:
+            self.user_bank = np.zeros(128, dtype=np.int64)
         self._rng = np.random.default_rng(self.seed)
 
     @classmethod
@@ -158,6 +161,32 @@ class Tag:
         point into."""
         body = np.concatenate([self.pc16, self.epc96])
         return np.concatenate([crc16_bits(body), body])
+
+    def bank_bits(self, membank) -> Optional[np.ndarray]:
+        """Memory contents for Read by bank code (01=EPC, 11=USER)."""
+        if tuple(membank) == (0, 1):
+            return self.epc_bank_bits()
+        if tuple(membank) == (1, 1):
+            return self.user_bank
+        return None
+
+    def write_word(self, membank, wordptr: int, bits16: np.ndarray) -> bool:
+        """Apply a (de-cover-coded) Write.  USER: any word.  EPC bank:
+        words >= 2 (the EPC field; StoredCRC/PC are derived/read-only here
+        - StoredCRC recomputes automatically because epc_bank_bits builds
+        it on the fly, exactly the Gen2 recommissioning behavior)."""
+        bits16 = np.asarray(bits16, dtype=np.int64)
+        if tuple(membank) == (1, 1):
+            if 16 * (wordptr + 1) <= self.user_bank.size:
+                self.user_bank[16 * wordptr: 16 * (wordptr + 1)] = bits16
+                return True
+            return False
+        if tuple(membank) == (0, 1) and wordptr >= 2:
+            off = 16 * (wordptr - 2)
+            if off + 16 <= self.epc96.size:
+                self.epc96[off: off + 16] = bits16
+                return True
+        return False
 
     def draw_rn16(self) -> np.ndarray:
         return self._rng.integers(0, 2, size=16).astype(np.int64)

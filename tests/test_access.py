@@ -71,6 +71,48 @@ def test_live_access_read_matches_epc_bank(m, adc, decim):
                                   tag.epc_bank_bits()[32:64])
 
 
+def test_write_bits_roundtrip():
+    rng = np.random.default_rng(4)
+    h, cover = rng.integers(0, 2, 16), rng.integers(0, 2, 16)
+    wb = gen2.write_bits(h, cover, membank=gen2.MEMBANK_USER, wordptr=3)
+    bank, ptr, cv, hh, ok = gen2.parse_write(wb)
+    assert ok and bank == gen2.MEMBANK_USER and ptr == 3
+    np.testing.assert_array_equal(cv, cover)
+    np.testing.assert_array_equal(hh, h)
+    wr = gen2.write_reply_bits(h)
+    assert wr[0] == 0 and wr.size == 33
+    np.testing.assert_array_equal(gen2._crc16_any(wr[:17]), wr[17:])
+
+
+def test_live_write_then_read_back_user_bank():
+    """Full closed loop: Write 0xBEEF to USER word 3 (cover-coded via a
+    second Req_RN) then Read it back - the round trip proves cover-code
+    handling, the Write success reply, and USER-bank addressing."""
+    word = np.array([int(b) for b in f"{0xBEEF:016b}"], dtype=np.int64)
+    tag = _tag()
+    ch = SimTagChannel(CFG, [tag], seed=1)
+    rd = LiveReader(CFG, access_write=(3, word, "user"),
+                    access_read=(3, 1, "user"))
+    st = rd.run_inventory(ch, 2)
+    assert st.n_write_ok == 2 and st.n_read_ok == 2
+    np.testing.assert_array_equal(st.read_words[0x2B], word)
+    np.testing.assert_array_equal(tag.user_bank[48:64], word)
+
+
+def test_live_epc_relabel():
+    """Writing EPC-bank word 7 (EPC bits 80:96, the ID byte's word)
+    re-labels the tag over the air: the next inventory round reads the
+    NEW EPC (StoredCRC recomputes, Gen2 recommissioning behavior)."""
+    tag = Tag.with_id(27, seed=7)
+    new_word = np.array([int(b) for b in f"{0x00AA:016b}"], dtype=np.int64)
+    ch = SimTagChannel(CFG, [tag], seed=1)
+    rd = LiveReader(CFG, access_write=(7, new_word, "epc"))
+    st = rd.run_inventory(ch, 3)
+    assert st.n_write_ok == 3
+    assert int(st.tag_reads[0x1B]) == 1     # round 1: original identity
+    assert int(st.tag_reads[0xAA]) == 2     # rounds 2-3: re-labeled
+
+
 def test_access_requires_acknowledged_state():
     """A Req_RN with a non-matching RN16 (or after the slot closed) gets
     no reply - the tag state machine gates access."""
