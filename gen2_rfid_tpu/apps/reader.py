@@ -101,6 +101,22 @@ def cmd_decode(args) -> int:
     dt = time.perf_counter() - t0
     print_results(stats)
     import numpy as np
+    if args.epc_sic and not args.chunked:
+        # Post-pass: EPC-window SIC over every EPC window surfaces second
+        # tags from same-RN16 collisions (runtime/recovery.py).
+        from ..runtime.recovery import extra_tag_reads, recover_epc_collisions
+
+        rec = []
+        for path in args.capture:
+            iq = read_trace(path)
+            _, dec_one = decode_capture(jnp.asarray(iq), cfg,
+                                        exact_gate=args.exact_gate)
+            rec += recover_epc_collisions(iq, dec_one, cfg)
+        if rec:
+            extra = extra_tag_reads(rec)
+            print(f"| EPC-window SIC: {len(rec)} extra EPCs recovered")
+            for tid, n in sorted(extra.items()):
+                print(f"| Tag {tid:#x} (SIC residual): {n} reads")
     if args.verbose:
 
         cc = np.asarray(stats.cmd_counts)
@@ -270,6 +286,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--blf", type=float, help="backscatter link freq, kHz")
     d.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
     d.add_argument("--max-events", type=int)
+    d.add_argument("--epc-sic", action="store_true",
+                   help="post-pass: EPC-window interference cancellation "
+                        "recovers second tags from same-RN16 collisions "
+                        "(each residual frame CRC-validated)")
     d.add_argument("-v", "--verbose", action="store_true",
                    help="print slot-state and command-type breakdowns")
     d.set_defaults(fn=cmd_decode)

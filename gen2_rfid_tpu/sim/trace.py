@@ -39,6 +39,9 @@ class TraceEvent:
     collided: bool = False
     # Ground truth for collided slots: [(tag index, drawn RN16), ...]
     collider_bits: Optional[list] = None
+    # Ground truth for same-RN16 collisions: the EPC frames superposed in
+    # this ACK's reply window, [(tag index, 128 frame bits), ...].
+    epc_frames: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -197,6 +200,12 @@ def synthesize_inventory(
                                 tag_t1_us + rng.uniform(0, 5),
                                 t.backscatter, t.chip_us(cfg), t.cfo_hz,
                                 t.amp_ramp)
+                if len({tuple(int(x) for x in d)
+                        for _, d in colliders}) == 1:
+                    # All colliders drew the SAME RN16: the ACK matches
+                    # every one of them (Gen2), so all reply with their
+                    # EPC frames superposed - the batch EPC-SIC scenario.
+                    rn16 = colliders[0][1]
             else:
                 t = tags[tag_i] if single else None
                 w.append_cw_with_reply(
@@ -212,10 +221,13 @@ def synthesize_inventory(
             )
 
             # ---- ACK + EPC reply during cw_ack ----
+            same_rn = (colliders is not None and len(
+                {tuple(int(x) for x in d) for _, d in colliders}) == 1)
             a0 = w.append_envelope(enc.ack(rn16))
             a1 = w.n
             epc_reply = None
             frame = None
+            epc_frames = None
             if single:
                 frame = tags[tag_i].epc_frame_bits()
                 if global_slot in corrupt_slots:
@@ -227,15 +239,38 @@ def synthesize_inventory(
                     tag_reads[tid] = tag_reads.get(tid, 0) + 1
                 epc_reply = reply_chips(cfg, frame)
             cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
-            t = tags[tag_i] if single else None
-            w.append_cw_with_reply(
-                cw_a_us, epc_reply, tag_t1_us,
-                t.backscatter if single else 0.0,
-                t.chip_us(cfg) if single else chip_us,
-                t.cfo_hz if single else 0.0,
-                t.amp_ramp if single else 0.0,
-            )
-            events.append(TraceEvent("ack", a0, a1, tag_i, frame))
+            if same_rn:
+                # Same-RN16 collision: every collider matches the ACK and
+                # backscatters its EPC frame - superposed in one window.
+                w.append_cw_with_reply(cw_a_us, None, 0.0, 0.0, chip_us)
+                seg = w.parts[-1]
+                epc_frames = []
+                for i, _ in colliders:
+                    t = tags[i]
+                    fr = t.epc_frame_bits()
+                    epc_frames.append((i, fr))
+                    w.add_reply(seg, reply_chips(cfg, fr),
+                                tag_t1_us + rng.uniform(0, 5),
+                                t.backscatter, t.chip_us(cfg), t.cfo_hz,
+                                t.amp_ramp)
+                # The plain pipeline capture-decodes the dominant tag.
+                dom = max((tags[i] for i, _ in colliders),
+                          key=lambda t: abs(t.backscatter))
+                expected_pass += 1
+                tid = int("".join(map(str, dom.epc_frame_bits()[104:112])), 2)
+                tag_reads[tid] = tag_reads.get(tid, 0) + 1
+            else:
+                t = tags[tag_i] if single else None
+                w.append_cw_with_reply(
+                    cw_a_us, epc_reply, tag_t1_us,
+                    t.backscatter if single else 0.0,
+                    t.chip_us(cfg) if single else chip_us,
+                    t.cfo_hz if single else 0.0,
+                    t.amp_ramp if single else 0.0,
+                )
+            events.append(TraceEvent("ack", a0, a1, tag_i, frame,
+                                     collided=same_rn,
+                                     epc_frames=epc_frames))
             global_slot += 1
 
     w.append_cw_with_reply(tail_cw_us, None, 0.0, 0.0, chip_us)

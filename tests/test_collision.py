@@ -313,6 +313,58 @@ def test_live_epc_window_sic_same_rn16():
     assert int(st2.tag_reads[0x57]) == 0
 
 
+def test_batch_epc_sic_recovers_second_tags():
+    """Offline capture post-pass (runtime/recovery.py): two same-seed tags
+    draw identical slots AND RN16s, so every ACK window holds two
+    superposed EPC frames.  The plain pipeline reads only the dominant
+    tag; recover_epc_collisions surfaces the second tag's frame in every
+    slot, bit-exact against the simulator's ground truth."""
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.recovery import (
+        extra_tag_reads, recover_epc_collisions)
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    rng = np.random.default_rng(31)
+
+    def mk(tid, bs, seed):
+        epc = rng.integers(0, 2, 96)
+        for k in range(8):
+            epc[88 + k] = (tid >> (7 - k)) & 1
+        return Tag(epc96=epc, seed=seed, backscatter=bs)
+
+    cfg = ReaderConfig(max_events=64)
+    tags = [mk(0x41, 0.09 + 0.02j, 5), mk(0x77, 0.04 - 0.035j, 5)]
+    tr = synthesize_inventory(cfg, tags, n_rounds=4, seed=12)
+    acks = [e for e in tr.events if e.kind == "ack"]
+    assert sum(1 for e in acks if e.epc_frames) == 4   # all same-RN16
+
+    st, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(st.n_epc_correct) == 4                  # dominant tag only
+    rec = recover_epc_collisions(tr.iq, dec, cfg)
+    assert extra_tag_reads(rec) == {0x77: 4}
+    truth = {tuple(int(x) for x in fr)
+             for e in acks if e.epc_frames for _, fr in e.epc_frames}
+    assert all(tuple(int(x) for x in b) in truth for _, _, b in rec)
+
+
+def test_batch_epc_sic_no_false_positives():
+    """On a single-tag capture the residual pass must recover nothing:
+    every residual frame fails CRC (p ~ 2^-16 per window)."""
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.recovery import recover_epc_collisions
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg = ReaderConfig(max_events=64)
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=5,
+                              seed=3)
+    _, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert recover_epc_collisions(tr.iq, dec, cfg) == []
+
+
 @pytest.mark.parametrize("m,adc", [(2, 2e6), (4, 4e6)])
 def test_miller_sic_two_tags(m, adc):
     """SIC generalizes to Miller-M: the closed-form chip re-encoder
