@@ -169,17 +169,28 @@ def pie_decode_envelope(env: np.ndarray, cfg: ReaderConfig):
     # rise is the CW start, so `bits` is exactly the payload.
     bits = np.array(bits, dtype=np.int64)
     if has_trcal:
-        kind = "query"
-    elif bits.size == 4:
+        return "query", bits
+    from ..protocol import gen2
+
+    head8 = tuple(bits[:8]) if bits.size >= 8 else None
+    if bits.size == 4:
         kind = "query_rep"
-    elif bits.size == 18:
+    elif bits.size == 18 and tuple(bits[:2]) == tuple(gen2.ACK_CODE):
         kind = "ack"
-    elif bits.size == 9:
+    elif bits.size == 9 and tuple(bits[:4]) == tuple(gen2.QADJ_CODE):
         kind = "query_adjust"
-    elif bits.size == 8:
+    elif head8 == tuple(gen2.NAK_CODE):
         kind = "nak"
+    elif head8 == gen2.REQ_RN_CODE:
+        kind = "req_rn"
+    elif head8 == gen2.READ_CODE:
+        kind = "read"
+    elif head8 == gen2.WRITE_CODE:
+        kind = "write"
+    elif bits.size >= 4 and tuple(bits[:4]) == gen2.SELECT_CODE:
+        kind = "select"
     else:
-        raise AssertionError(f"unrecognized command length {bits.size}")
+        raise AssertionError(f"unrecognized command ({bits.size} bits)")
     return kind, bits
 
 

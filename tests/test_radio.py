@@ -39,12 +39,44 @@ def test_pie_decode_envelope_roundtrip():
         ("query_adjust", gen2.query_adjust_bits(cfg, +1), enc.query_adjust(+1)),
         ("nak", gen2.nak_bits(), enc.nak()),
     ]
+    rng = np.random.default_rng(5)
+    handle = rng.integers(0, 2, 16)
+    sel = gen2.select_bits(rng.integers(0, 2, 12), pointer=0x20)
+    rr = gen2.req_rn_bits(handle)
+    rd = gen2.read_bits(handle, wordptr=2, wordcount=2)
+    wr = gen2.write_bits(handle, rng.integers(0, 2, 16), wordptr=3)
+    cases += [
+        ("select", sel, enc.select(sel)),
+        ("req_rn", rr, enc.command(rr)),
+        ("read", rd, enc.command(rd)),
+        ("write", wr, enc.command(wr)),
+    ]
     for kind, bits, env in cases:
         got_kind, got_bits = pie_decode_envelope(_with_cw(env), cfg)
         assert got_kind == kind
         assert np.array_equal(got_bits, bits), kind
     assert pie_decode_envelope(np.ones(100, np.float32), cfg)[0] == "cw"
     assert pie_decode_envelope(np.zeros(100, np.float32), cfg)[0] == "power_down"
+
+
+def test_access_and_select_over_radio_adapter():
+    """The full new command set - Select, session target, Req_RN, Read,
+    Write - survives the waveform-level loop: every command is recovered
+    purely from its transmitted PIE envelope by the mock air driver."""
+    cfg = ReaderConfig()
+    tag = Tag.with_id(27, seed=7)
+    sim = SimTagChannel(cfg, [tag], seed=1)
+    radio = RadioChannel(cfg, PieAirDriver(sim, cfg, ampl=0.1), ampl=0.1)
+    mask = np.zeros(4, dtype=np.int64)       # EPC prefix 0000: matches
+    word = np.array([int(b) for b in f"{0x5A5A:016b}"], dtype=np.int64)
+    rd = LiveReader(cfg, select_mask=(mask, 0x20),
+                    access_write=(1, word, "user"),
+                    access_read=(1, 1, "user"))
+    st = rd.run_inventory(radio, n_rounds=2)
+    assert st.n_epc_correct == 2
+    assert st.n_req_rn_ok == 2 and st.n_write_ok == 2 and st.n_read_ok == 2
+    np.testing.assert_array_equal(st.read_words[27], word)
+    np.testing.assert_array_equal(tag.user_bank[16:32], word)
 
 
 def test_live_reader_over_radio_adapter():
