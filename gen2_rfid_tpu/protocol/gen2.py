@@ -117,6 +117,12 @@ def nak_bits() -> np.ndarray:
 REQ_RN_CODE = (1, 1, 0, 0, 0, 0, 0, 1)
 READ_CODE = (1, 1, 0, 0, 0, 0, 1, 0)
 WRITE_CODE = (1, 1, 0, 0, 0, 0, 1, 1)
+KILL_CODE = (1, 1, 0, 0, 0, 1, 0, 0)
+LOCK_CODE = (1, 1, 0, 0, 0, 1, 0, 1)
+ACCESS_CODE = (1, 1, 0, 0, 0, 1, 1, 0)
+BLOCKWRITE_CODE = (1, 1, 0, 0, 0, 1, 1, 1)
+MEMBANK_RESERVED = (0, 0)
+MEMBANK_TID = (1, 0)
 MEMBANK_USER = (1, 1)
 
 
@@ -212,6 +218,145 @@ def read_reply_bits(words: np.ndarray, handle: np.ndarray) -> np.ndarray:
                            np.asarray(words, dtype=np.int64),
                            np.asarray(handle, dtype=np.int64)])
     return np.concatenate([body, _crc16_any(body)])
+
+
+# ---- security commands (EPC Gen2 6.3.2.12.3.4-6) --------------------------
+# Access (password -> Secured state), Kill, Lock, BlockWrite: the rest of
+# the spec's access-command set, absent from the reference entirely.  Each
+# password travels as two cover-coded 16-bit halves (MSB half first), each
+# half XOR'd with a fresh RN16 fetched by Req_RN(handle).
+
+def access_bits(handle: np.ndarray, cover_half: np.ndarray) -> np.ndarray:
+    """Access = 11000110 + password half (16, cover-coded) + handle(16) +
+    CRC-16 (Gen2 6.3.2.12.3.6).  Two Accesses (MSB half then LSB half) move
+    an Open tag to Secured; the tag echoes its handle after each."""
+    handle = np.asarray(handle, dtype=np.int64)
+    cover_half = np.asarray(cover_half, dtype=np.int64)
+    assert handle.size == 16 and cover_half.size == 16
+    body = np.concatenate([np.array(ACCESS_CODE, dtype=np.int64),
+                           cover_half, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_access(bits: np.ndarray):
+    """-> (cover_half (16,), handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == ACCESS_CODE
+    return b[8:24], b[24:40], bool(np.array_equal(_crc16_any(b[:40]), b[40:]))
+
+
+def kill_bits(handle: np.ndarray, cover_half: np.ndarray,
+              rfu=(0, 0, 0)) -> np.ndarray:
+    """Kill = 11000100 + password half (16, cover-coded) + RFU(3) + handle
+    (16) + CRC-16 (Gen2 6.3.2.12.3.4).  The first Kill carries the kill
+    password's MSB half (tag echoes its handle); the second carries the LSB
+    half and, when valid, permanently silences the tag (delayed header-0 +
+    handle + CRC reply).  RFU=000; nonzero values are the recommissioning
+    extension."""
+    handle = np.asarray(handle, dtype=np.int64)
+    cover_half = np.asarray(cover_half, dtype=np.int64)
+    assert handle.size == 16 and cover_half.size == 16
+    body = np.concatenate([np.array(KILL_CODE, dtype=np.int64), cover_half,
+                           np.array(rfu, dtype=np.int64), handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_kill(bits: np.ndarray):
+    """-> (cover_half (16,), rfu (3,), handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == KILL_CODE
+    return (b[8:24], b[24:27], b[27:43],
+            bool(np.array_equal(_crc16_any(b[:43]), b[43:])))
+
+
+# Lock payload field order (Gen2 table 6.36): 2 bits per field, fields are
+# [kill pwd, access pwd, EPC bank, TID bank, USER bank].  For the password
+# fields the first action bit is pwd-read/write (bank readable/writable only
+# in Secured), for the memory banks it is pwd-write; the second bit is
+# permalock.
+LOCK_FIELDS = ("kill", "access", "epc", "tid", "user")
+
+
+def lock_payload(**fields) -> np.ndarray:
+    """Build the 20-bit Lock payload: 10 mask bits + 10 action bits.
+
+    Keyword per field in ``LOCK_FIELDS``: a ``(lock, permalock)`` pair of
+    0/1 (both action bits asserted in the mask), or ``None``/omitted to
+    skip the field (mask 0).  E.g. ``lock_payload(epc=(1, 0))`` write-locks
+    the EPC bank, ``lock_payload(kill=(1, 1))`` permanently password-locks
+    the kill password.
+    """
+    mask = np.zeros(10, dtype=np.int64)
+    action = np.zeros(10, dtype=np.int64)
+    for i, name in enumerate(LOCK_FIELDS):
+        pair = fields.pop(name, None)
+        if pair is None:
+            continue
+        mask[2 * i: 2 * i + 2] = 1
+        action[2 * i] = int(pair[0])
+        action[2 * i + 1] = int(pair[1])
+    assert not fields, f"unknown lock fields: {sorted(fields)}"
+    return np.concatenate([mask, action])
+
+
+def lock_bits(handle: np.ndarray, payload: np.ndarray) -> np.ndarray:
+    """Lock = 11000101 + payload(20) + handle(16) + CRC-16
+    (Gen2 6.3.2.12.3.5).  Valid only in the Secured state; success reply is
+    the delayed header-0 + handle + CRC-16."""
+    handle = np.asarray(handle, dtype=np.int64)
+    payload = np.asarray(payload, dtype=np.int64)
+    assert handle.size == 16 and payload.size == 20
+    body = np.concatenate([np.array(LOCK_CODE, dtype=np.int64), payload,
+                           handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_lock(bits: np.ndarray):
+    """-> (payload (20,), handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == LOCK_CODE
+    return b[8:28], b[28:44], bool(np.array_equal(_crc16_any(b[:44]), b[44:]))
+
+
+def blockwrite_bits(handle: np.ndarray, data: np.ndarray, membank=None,
+                    wordptr: int = 0) -> np.ndarray:
+    """BlockWrite = 11000111 + MemBank(2) + WordPtr(EBV-8) + WordCount(8) +
+    Data(16*WordCount, NOT cover-coded) + handle(16) + CRC-16
+    (Gen2 6.3.2.12.3.7): the multi-word write, plaintext data (unlike
+    Write's one cover-coded word)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    data = np.asarray(data, dtype=np.int64)
+    membank = MEMBANK_USER if membank is None else membank
+    assert handle.size == 16 and data.size % 16 == 0 and data.size > 0
+    wordcount = data.size // 16
+    assert 0 <= wordptr < 128 and wordcount < 256
+    bits = list(BLOCKWRITE_CODE) + list(membank)
+    bits += [(wordptr >> k) & 1 for k in range(7, -1, -1)]   # EBV-8
+    bits += [(wordcount >> k) & 1 for k in range(7, -1, -1)]
+    body = np.concatenate([np.array(bits, dtype=np.int64), data, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_blockwrite(bits: np.ndarray):
+    """-> (membank, wordptr, data, handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == BLOCKWRITE_CODE
+    membank = (int(b[8]), int(b[9]))
+    wordptr = int("".join(map(str, b[10:18])), 2)
+    wordcount = int("".join(map(str, b[18:26])), 2)
+    data = b[26: 26 + 16 * wordcount]
+    handle = b[26 + 16 * wordcount: 42 + 16 * wordcount]
+    body = b[: 42 + 16 * wordcount]
+    crc_ok = bool(np.array_equal(_crc16_any(body), b[42 + 16 * wordcount:]))
+    return membank, wordptr, data, handle, crc_ok
+
+
+def pwd_halves(pwd32: int):
+    """A 32-bit password as (MSB half bits, LSB half bits) - the order the
+    two Access / Kill steps transmit them (Gen2 6.3.2.12.3.4/6)."""
+    hi = np.array([(pwd32 >> k) & 1 for k in range(31, 15, -1)], np.int64)
+    lo = np.array([(pwd32 >> k) & 1 for k in range(15, -1, -1)], np.int64)
+    return hi, lo
 
 
 # Select command (EPC Gen2 6.3.2.12.1.1) - a mandatory Gen2 command the

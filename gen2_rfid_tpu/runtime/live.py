@@ -83,6 +83,10 @@ class LiveStats:
     n_req_rn_ok: int = 0       # handles fetched (access sequence)
     n_read_ok: int = 0         # Read replies with CRC + handle echo OK
     n_write_ok: int = 0        # Write replies with CRC + handle echo OK
+    n_access_ok: int = 0       # Access sequences completed (-> Secured)
+    n_lock_ok: int = 0         # Lock success replies verified
+    n_blockwrite_ok: int = 0   # BlockWrite success replies verified
+    n_kill_ok: int = 0         # tags killed (second-half success reply)
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
@@ -271,6 +275,18 @@ class LiveReader:
     Req_RN(handle) fetches the cover-code RN16, the data travels XOR'd
     with it, and the tag's header-0 + handle + CRC-16 success reply is
     verified.  Combine with ``access_read`` for write-then-read-back.
+    ``access_pwd``: 32-bit password — run the Gen2 Access sequence
+    (6.3.2.12.3.6) after the handle: two cover-coded halves, each echoed
+    with the handle; success moves the tag to Secured, unlocking
+    password-locked reads/writes and enabling Lock.
+    ``lock``: a 20-bit Lock payload (``gen2.lock_payload``) transmitted
+    from the Secured state (6.3.2.12.3.5); the header-0 + handle + CRC
+    success reply is verified.
+    ``block_write``: (wordptr, data_bits[, bank]) — one BlockWrite of
+    ``len(data_bits)//16`` words, plaintext data (6.3.2.12.3.7).
+    ``kill_pwd``: 32-bit kill password — after each correct EPC, transmit
+    the two-step Kill sequence (6.3.2.12.3.4); on the second success reply
+    the tag is dead and never answers again.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -293,6 +309,10 @@ class LiveReader:
         select_mask=None,
         access_read=None,
         access_write=None,
+        access_pwd: Optional[int] = None,
+        lock=None,
+        block_write=None,
+        kill_pwd: Optional[int] = None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -301,6 +321,10 @@ class LiveReader:
         self._sel = gen2.SEL_SL if select_mask is not None else None
         self.access_read = access_read
         self.access_write = access_write
+        self.access_pwd = access_pwd
+        self.lock = lock
+        self.block_write = block_write
+        self.kill_pwd = kill_pwd
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -336,7 +360,8 @@ class LiveReader:
 
     @staticmethod
     def _bank_code(name: str):
-        return gen2.MEMBANK_USER if name == "user" else gen2.MEMBANK_EPC
+        return {"reserved": gen2.MEMBANK_RESERVED, "epc": gen2.MEMBANK_EPC,
+                "tid": gen2.MEMBANK_TID, "user": gen2.MEMBANK_USER}[name]
 
     def _req_rn(self, channel, rn: np.ndarray):
         """One Req_RN exchange; returns the CRC-verified 16-bit reply RN
@@ -354,10 +379,45 @@ class LiveReader:
             return None
         return out[:16]
 
+    @property
+    def _wants_access(self) -> bool:
+        return any(x is not None for x in (
+            self.access_read, self.access_write, self.access_pwd,
+            self.lock, self.block_write, self.kill_pwd))
+
+    def _delayed_ok(self, out, handle) -> bool:
+        """Verify a delayed success reply (Write/BlockWrite/Lock/final
+        Kill): header-0 + handle echo + CRC-16 over header+handle."""
+        return (out is not None and out[0] == 0
+                and np.array_equal(out[1:17], handle)
+                and np.array_equal(gen2._crc16_any(out[:17]), out[17:]))
+
+    def _pwd_step(self, channel, handle, half, kind: str):
+        """One cover-coded password half (Access or Kill): Req_RN(handle)
+        fetches the cover RN16, the half travels XOR'd with it.  Returns
+        the decoded reply bits (None = tag silent)."""
+        cfg = self.cfg
+        cover = self._req_rn(channel, handle)
+        if cover is None:
+            return None
+        cc = (np.asarray(half) + cover) % 2
+        if kind == "access":
+            bits = gen2.access_bits(handle, cc)
+            nb = 32                                 # handle + CRC echo
+        else:
+            bits = gen2.kill_bits(handle, cc)
+            nb = 32 if kind == "kill1" else 33      # final reply is delayed
+        pre = 1 + cfg.effective_preamble_bits
+        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+        rx = channel.exchange("access" if kind == "access" else "kill",
+                              bits, self.enc.command(bits), cw)
+        return self._decode_window(rx, f"acc:{nb}")
+
     def _access_sequence(self, channel, rn16, tid: int) -> None:
-        """Req_RN -> handle, then Write and/or Read (Gen2 6.3.2.12.3):
-        every reply is CRC-16-verified; Read/Write replies must echo the
-        handle; Write data travels cover-coded (XOR a second Req_RN)."""
+        """Req_RN -> handle, then the configured access commands
+        (Gen2 6.3.2.12.3) in spec order: Access (-> Secured), Lock, Write,
+        BlockWrite, Read, Kill.  Every reply is CRC-16-verified and must
+        echo the handle; passwords and Write data travel cover-coded."""
         cfg = self.cfg
         st = self.stats
         pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
@@ -367,6 +427,29 @@ class LiveReader:
             return
         st.n_req_rn_ok += 1
         _log.debug("REQ_RN OK | handle=%s", "".join(map(str, handle)))
+
+        if self.access_pwd is not None:
+            hi, lo = gen2.pwd_halves(self.access_pwd)
+            ok = True
+            for half in (hi, lo):
+                out = self._pwd_step(channel, handle, half, "access")
+                if (out is None or not np.array_equal(out[:16], handle)
+                        or not np.array_equal(gen2._crc16_any(out[:16]),
+                                              out[16:])):
+                    ok = False
+                    break
+            if not ok:
+                return
+            st.n_access_ok += 1
+            _log.debug("ACCESS OK | tag %#x secured", tid)
+
+        if self.lock is not None:
+            lb = gen2.lock_bits(handle, self.lock)
+            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("lock", lb, self.enc.command(lb), cw)
+            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                st.n_lock_ok += 1
+                _log.debug("LOCK OK | tag %#x", tid)
 
         if self.access_write is not None:
             wordptr, data = self.access_write[:2]
@@ -379,35 +462,53 @@ class LiveReader:
                 cw = float(cfg.t1_us + cfg.t2_us
                            + (33 + pre) * cfg.tag_bit_us)
                 rx = channel.exchange("write", wb, self.enc.command(wb), cw)
-                out = self._decode_window(rx, "acc:33")
-                if (out is not None and out[0] == 0
-                        and np.array_equal(out[1:17], handle)
-                        and np.array_equal(gen2._crc16_any(out[:17]),
-                                           out[17:])):
+                if self._delayed_ok(self._decode_window(rx, "acc:33"),
+                                    handle):
                     st.n_write_ok += 1
                     _log.debug("WRITE OK | tag %#x word %d", tid, wordptr)
 
-        if self.access_read is None:
-            return
-        wordptr, wordcount = self.access_read[:2]
-        bank = self.access_read[2] if len(self.access_read) > 2 else "epc"
-        nb = 1 + 16 * wordcount + 32               # header+data+handle+CRC
-        rd = gen2.read_bits(handle, membank=self._bank_code(bank),
-                            wordptr=wordptr, wordcount=wordcount)
-        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-        rx = channel.exchange("read", rd, self.enc.command(rd), cw)
-        out = self._decode_window(rx, f"acc:{nb}")
-        if out is None:
-            return
-        data = out[1: 1 + 16 * wordcount]
-        hecho = out[1 + 16 * wordcount: 17 + 16 * wordcount]
-        crc = out[nb - 16:]
-        if (out[0] != 0 or not np.array_equal(hecho, handle)
-                or not np.array_equal(gen2._crc16_any(out[: nb - 16]), crc)):
-            return
-        st.n_read_ok += 1
-        st.read_words[tid] = np.asarray(data)
-        _log.debug("READ OK | tag %#x words=%d", tid, wordcount)
+        if self.block_write is not None:
+            wordptr, data = self.block_write[:2]
+            bank = self.block_write[2] if len(self.block_write) > 2 else "user"
+            bw = gen2.blockwrite_bits(handle, np.asarray(data),
+                                      membank=self._bank_code(bank),
+                                      wordptr=wordptr)
+            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("blockwrite", bw, self.enc.command(bw), cw)
+            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                st.n_blockwrite_ok += 1
+                _log.debug("BLOCKWRITE OK | tag %#x words=%d", tid,
+                           len(data) // 16)
+
+        if self.access_read is not None:
+            wordptr, wordcount = self.access_read[:2]
+            bank = self.access_read[2] if len(self.access_read) > 2 else "epc"
+            nb = 1 + 16 * wordcount + 32           # header+data+handle+CRC
+            rd = gen2.read_bits(handle, membank=self._bank_code(bank),
+                                wordptr=wordptr, wordcount=wordcount)
+            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("read", rd, self.enc.command(rd), cw)
+            out = self._decode_window(rx, f"acc:{nb}")
+            if out is not None:
+                data = out[1: 1 + 16 * wordcount]
+                hecho = out[1 + 16 * wordcount: 17 + 16 * wordcount]
+                crc = out[nb - 16:]
+                if (out[0] == 0 and np.array_equal(hecho, handle)
+                        and np.array_equal(
+                            gen2._crc16_any(out[: nb - 16]), crc)):
+                    st.n_read_ok += 1
+                    st.read_words[tid] = np.asarray(data)
+                    _log.debug("READ OK | tag %#x words=%d", tid, wordcount)
+
+        if self.kill_pwd is not None:
+            hi, lo = gen2.pwd_halves(self.kill_pwd)
+            out = self._pwd_step(channel, handle, hi, "kill1")
+            if (out is not None and np.array_equal(out[:16], handle)
+                    and np.array_equal(gen2._crc16_any(out[:16]), out[16:])):
+                out = self._pwd_step(channel, handle, lo, "kill2")
+                if self._delayed_ok(out, handle):
+                    st.n_kill_ok += 1
+                    _log.debug("KILL OK | tag %#x dead", tid)
 
     def _send_select(self, channel) -> None:
         """Transmit the configured Select (no reply expected; tags apply
@@ -577,8 +678,7 @@ class LiveReader:
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:
                         st.n_sic_recovered += 1
-                    if (self.access_read is not None
-                            or self.access_write is not None):
+                    if self._wants_access:
                         self._access_sequence(channel, rn16, tid)
                 # EPC-window SIC: two tags that drew the SAME RN16 both
                 # match the ACK and answer superposed; the residual's frame

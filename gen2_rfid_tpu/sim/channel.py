@@ -30,6 +30,10 @@ class _TagState:
     acked: bool = False          # in Acknowledged state (valid ACK received)
     handle: Optional[np.ndarray] = None   # Open-state handle (post Req_RN)
     cover_rn: Optional[np.ndarray] = None  # fresh RN16 for Write cover-coding
+    secured: bool = False        # Secured state (valid Access sequence, or
+    #                              zero access pwd at Req_RN, Gen2 6.3.2.4)
+    access_step: int = 0         # Access halves verified so far (0/1)
+    kill_step: int = 0           # Kill halves verified so far (0/1)
     pending_flip: bool = False   # valid ACK received; flag flips at the
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
@@ -86,8 +90,9 @@ class SimTagChannel:
         from ..protocol.gen2 import SEL_NOT_SL, SEL_SL
 
         for ts in self.tags:
-            participates = (not self.session_ab
-                            or ts.flag_b == bool(target))
+            participates = ((not self.session_ab
+                             or ts.flag_b == bool(target))
+                            and not ts.tag.killed)
             if sel == SEL_SL:
                 participates = participates and ts.sl
             elif sel == SEL_NOT_SL:
@@ -97,6 +102,9 @@ class SimTagChannel:
             ts.acked = False
             ts.handle = None
             ts.cover_rn = None
+            ts.secured = False
+            ts.access_step = 0
+            ts.kill_step = 0
 
     def _responders(self) -> List[_TagState]:
         return [ts for ts in self.tags if ts.slot == 0]
@@ -186,6 +194,10 @@ class SimTagChannel:
                     elif ts.acked and ts.rn16 is not None and np.array_equal(
                             rn, ts.rn16):
                         ts.handle = ts.tag.draw_rn16()
+                        # Zero access password: Acknowledged -> Secured
+                        # directly (Gen2 6.3.2.4 state diagram); otherwise
+                        # -> Open, Secured only via the Access sequence.
+                        ts.secured = ts.tag.access_pwd == 0
                         replies.append((ts, reply_chips(
                             cfg, gen2.handle_reply_bits(ts.handle))))
         elif kind == "read":
@@ -197,9 +209,12 @@ class SimTagChannel:
                 for ts in self.tags:
                     if ts.handle is not None and np.array_equal(
                             handle, ts.handle):
-                        mem = ts.tag.bank_bits(membank)
+                        mem = ts.tag.bank_bits(membank, secured=ts.secured)
                         lo, hi = 16 * wordptr, 16 * (wordptr + wordcount)
-                        if mem is not None and hi <= mem.size:
+                        # -1 sentinel = pwd-locked words unreadable outside
+                        # the Secured state (Gen2 6.3.2.10): no reply.
+                        if (mem is not None and hi <= mem.size
+                                and np.all(mem[lo:hi] >= 0)):
                             replies.append((ts, reply_chips(
                                 cfg, gen2.read_reply_bits(
                                     mem[lo:hi], ts.handle))))
@@ -214,9 +229,91 @@ class SimTagChannel:
                             and np.array_equal(handle, ts.handle)):
                         data = (cover + ts.cover_rn) % 2
                         ts.cover_rn = None      # cover RN is single-use
-                        if ts.tag.write_word(membank, wordptr, data):
+                        if ts.tag.write_word(membank, wordptr, data,
+                                             secured=ts.secured):
                             replies.append((ts, reply_chips(
                                 cfg, gen2.write_reply_bits(ts.handle))))
+        elif kind == "blockwrite":
+            # Gen2 6.3.2.12.3.7: multi-word write, plaintext data; same
+            # lock gating and success reply as Write.
+            membank, wordptr, data, handle, crc_ok = gen2.parse_blockwrite(
+                bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        nw = data.size // 16
+                        ok = ts.tag.write_allowed(membank, ts.secured)
+                        for w in range(nw):
+                            ok = ok and ts.tag.write_word(
+                                membank, wordptr + w,
+                                data[16 * w: 16 * w + 16],
+                                secured=ts.secured)
+                        if ok:
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+        elif kind == "access":
+            # Gen2 6.3.2.12.3.6: two cover-coded password halves (MSB half
+            # first); each valid half is echoed with the handle, the second
+            # moves the tag Open -> Secured.  A wrong half silences the tag
+            # and resets the sequence.
+            cover_half, handle, crc_ok = gen2.parse_access(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.cover_rn is not None
+                            and np.array_equal(handle, ts.handle)):
+                        half = (cover_half + ts.cover_rn) % 2
+                        ts.cover_rn = None
+                        hi, lo = gen2.pwd_halves(ts.tag.access_pwd)
+                        want = hi if ts.access_step == 0 else lo
+                        if np.array_equal(half, want):
+                            if ts.access_step == 1:
+                                ts.secured = True
+                            ts.access_step += 1
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.handle_reply_bits(ts.handle))))
+                        else:
+                            ts.access_step = 0
+        elif kind == "kill":
+            # Gen2 6.3.2.12.3.4: two cover-coded kill-password halves; the
+            # second valid half permanently silences the tag (delayed
+            # header-0 + handle + CRC reply).  A zero kill password
+            # disables the command entirely (the tag shall not execute it).
+            cover_half, rfu, handle, crc_ok = gen2.parse_kill(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.cover_rn is not None
+                            and np.array_equal(handle, ts.handle)
+                            and ts.tag.kill_pwd != 0):
+                        half = (cover_half + ts.cover_rn) % 2
+                        ts.cover_rn = None
+                        hi, lo = gen2.pwd_halves(ts.tag.kill_pwd)
+                        if ts.kill_step == 0:
+                            if np.array_equal(half, hi):
+                                ts.kill_step = 1
+                                replies.append((ts, reply_chips(
+                                    cfg, gen2.handle_reply_bits(ts.handle))))
+                        elif np.array_equal(half, lo):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+                            ts.tag.killed = True
+                            ts.slot = -1
+                            ts.acked = False
+                            ts.handle = None
+                            ts.pending_flip = False
+                        else:
+                            ts.kill_step = 0
+        elif kind == "lock":
+            # Gen2 6.3.2.12.3.5: Secured state only; permalocked fields
+            # reject changes (no reply); success reply mirrors Write's.
+            payload, handle, crc_ok = gen2.parse_lock(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.secured
+                            and np.array_equal(handle, ts.handle)
+                            and ts.tag.apply_lock(payload)):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.write_reply_bits(ts.handle))))
         elif kind == "ack":
             acked = np.asarray(bits[2:18], dtype=np.int64)
             for ts in self._responders():

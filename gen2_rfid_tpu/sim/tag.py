@@ -127,6 +127,12 @@ class Tag:
     cfo_hz: float = 0.0
     amp_ramp: float = 0.0
     user_bank: Optional[np.ndarray] = None  # USER memory (default 8 words)
+    # Security state (Gen2 6.3.2.1 RESERVED bank + 6.3.2.10 lock bits).
+    kill_pwd: int = 0                       # 32-bit; 0 = kill disabled
+    access_pwd: int = 0                     # 32-bit; 0 = Secured on Req_RN
+    lock_state: Optional[np.ndarray] = None  # 10 bits, (lock, permalock) per
+    #                                          LOCK_FIELDS field
+    killed: bool = False                    # a killed tag never responds
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -138,6 +144,8 @@ class Tag:
             self.pc16 = pc
         if self.user_bank is None:
             self.user_bank = np.zeros(128, dtype=np.int64)
+        if self.lock_state is None:
+            self.lock_state = np.zeros(10, dtype=np.int64)
         self._rng = np.random.default_rng(self.seed)
 
     @classmethod
@@ -162,26 +170,116 @@ class Tag:
         body = np.concatenate([self.pc16, self.epc96])
         return np.concatenate([crc16_bits(body), body])
 
-    def bank_bits(self, membank) -> Optional[np.ndarray]:
-        """Memory contents for Read by bank code (01=EPC, 11=USER)."""
-        if tuple(membank) == (0, 1):
+    def reserved_bank_bits(self) -> np.ndarray:
+        """RESERVED bank (bank 00), Gen2 6.3.2.1: kill password at words
+        0-1, access password at words 2-3 (MSB first)."""
+        out = np.zeros(64, dtype=np.int64)
+        for k in range(32):
+            out[k] = (self.kill_pwd >> (31 - k)) & 1
+            out[32 + k] = (self.access_pwd >> (31 - k)) & 1
+        return out
+
+    def tid_bank_bits(self) -> np.ndarray:
+        """TID bank (bank 10): E2h class identifier + designer/model + a
+        48-bit seed-derived serial (the unique, read-only identity used by
+        TID-based singulation)."""
+        rng = np.random.default_rng(0xE2 + self.seed)
+        head = [1, 1, 1, 0, 0, 0, 1, 0]                     # 0xE2
+        body = list(rng.integers(0, 2, 24))                 # designer+model
+        serial = list(rng.integers(0, 2, 64))
+        return np.array(head + body + serial, dtype=np.int64)
+
+    def _lock(self, field: str) -> bool:
+        from ..protocol.gen2 import LOCK_FIELDS
+
+        return bool(self.lock_state[2 * LOCK_FIELDS.index(field)])
+
+    def bank_bits(self, membank, secured: bool = False) -> Optional[np.ndarray]:
+        """Memory contents for Read by bank code (00=RESERVED, 01=EPC,
+        10=TID, 11=USER).  A password whose pwd-read/write lock bit is set
+        is readable only in the Secured state (Gen2 6.3.2.10): locked
+        password words read back as None (no reply)."""
+        mb = tuple(membank)
+        if mb == (0, 0):
+            res = self.reserved_bank_bits()
+            if not secured:
+                if self._lock("kill"):
+                    res[:32] = -1       # sentinel: Read must refuse
+                if self._lock("access"):
+                    res[32:] = -1
+            return res
+        if mb == (0, 1):
             return self.epc_bank_bits()
-        if tuple(membank) == (1, 1):
+        if mb == (1, 0):
+            return self.tid_bank_bits()
+        if mb == (1, 1):
             return self.user_bank
         return None
 
-    def write_word(self, membank, wordptr: int, bits16: np.ndarray) -> bool:
+    def write_allowed(self, membank, secured: bool) -> bool:
+        """Lock-bit gate for Write/BlockWrite (Gen2 6.3.2.10): a
+        write-locked bank accepts writes only from the Secured state; TID
+        is modeled permanently read-only (factory-locked, the common
+        silicon behavior)."""
+        mb = tuple(membank)
+        if mb == (1, 0):
+            return False
+        field = {(0, 0): None, (0, 1): "epc", (1, 1): "user"}.get(mb)
+        if mb == (0, 0):
+            # Password writes: both halves share the bank; gate on the
+            # union of the two password locks (word-resolved gating is
+            # applied by the channel via the read path's sentinel).
+            locked = self._lock("kill") or self._lock("access")
+        elif field is None:
+            return False
+        else:
+            locked = self._lock(field)
+        return secured or not locked
+
+    def apply_lock(self, payload: np.ndarray) -> bool:
+        """Apply a Lock payload (10 mask + 10 action bits).  Fails (no
+        reply) if any masked field is permalocked - its bits can never
+        change again (Gen2 6.3.2.12.3.5)."""
+        payload = np.asarray(payload, dtype=np.int64)
+        mask, action = payload[:10], payload[10:]
+        for i in range(10):
+            if mask[i] and self.lock_state[2 * (i // 2) + 1]:
+                if self.lock_state[i] != action[i]:
+                    return False
+        for i in range(10):
+            if mask[i]:
+                self.lock_state[i] = action[i]
+        return True
+
+    def write_word(self, membank, wordptr: int, bits16: np.ndarray,
+                   secured: bool = False) -> bool:
         """Apply a (de-cover-coded) Write.  USER: any word.  EPC bank:
         words >= 2 (the EPC field; StoredCRC/PC are derived/read-only here
         - StoredCRC recomputes automatically because epc_bank_bits builds
-        it on the fly, exactly the Gen2 recommissioning behavior)."""
+        it on the fly, exactly the Gen2 recommissioning behavior).
+        RESERVED: password words, subject to their pwd-write locks."""
         bits16 = np.asarray(bits16, dtype=np.int64)
-        if tuple(membank) == (1, 1):
+        if not self.write_allowed(membank, secured):
+            return False
+        mb = tuple(membank)
+        if mb == (0, 0):
+            if wordptr >= 4:
+                return False
+            word = int("".join(map(str, bits16)), 2)
+            shift = 16 * (1 - wordptr % 2)
+            if wordptr < 2:
+                self.kill_pwd = (self.kill_pwd
+                                 & ~(0xFFFF << shift)) | (word << shift)
+            else:
+                self.access_pwd = (self.access_pwd
+                                   & ~(0xFFFF << shift)) | (word << shift)
+            return True
+        if mb == (1, 1):
             if 16 * (wordptr + 1) <= self.user_bank.size:
                 self.user_bank[16 * wordptr: 16 * (wordptr + 1)] = bits16
                 return True
             return False
-        if tuple(membank) == (0, 1) and wordptr >= 2:
+        if mb == (0, 1) and wordptr >= 2:
             off = 16 * (wordptr - 2)
             if off + 16 <= self.epc96.size:
                 self.epc96[off: off + 16] = bits16
