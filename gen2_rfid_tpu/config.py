@@ -113,6 +113,62 @@ class ReaderConfig:
     mode: str = "native"
 
     # ------------------------------------------------------------------
+    # Link-geometry construction (Gen2 6.3.1.2: PIE timing + divide ratio).
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def for_link(cls, blf_hz: float, tari_us: float = 24.0, dr: int = 0,
+                 **kw) -> "ReaderConfig":
+        """Config with a *consistent* PIE / link geometry.
+
+        The reference pins every timing at compile time (Tari 24 us via
+        PW_D=12, TRcal 200 us, DR=8 -> BLF 40 kHz, global_vars.h:90-116)
+        and they happen to agree; this constructor derives them the way
+        the spec couples them (Gen2 6.3.1.2): PW = Tari/2, data-0 = Tari,
+        data-1 = 2*Tari, RTcal = data-0 + data-1 = 3*Tari, and
+        TRcal = DR/BLF (the tag clocks its backscatter off the TRcal it
+        measures), validated against the spec envelopes
+        (6.25 <= Tari <= 25 us; 1.1*RTcal <= TRcal <= 3*RTcal).
+        Defaults reproduce the reference geometry exactly.
+        """
+        assert dr in (0, 1)
+        dr_ratio = 8.0 if dr == 0 else 64.0 / 3.0
+        trcal_us = dr_ratio / blf_hz * 1e6
+        rtcal_us = 3.0 * tari_us
+        assert 6.25 <= tari_us <= 25.0, f"Tari {tari_us} us out of spec"
+        assert 1.1 * rtcal_us <= trcal_us <= 3.0 * rtcal_us, (
+            f"TRcal {trcal_us:.2f} us outside [1.1, 3]*RTcal "
+            f"({rtcal_us} us) - pick a different Tari/DR for BLF "
+            f"{blf_hz / 1e3:.0f} kHz")
+        pw = tari_us / 2.0
+        # Keep exact ints where the geometry lands on them (the reference
+        # operating point) so compat-mode truncation arithmetic is
+        # unchanged.
+        def _i(x):
+            return int(x) if float(x).is_integer() else x
+
+        return cls(blf_hz=blf_hz, dr=dr, pw_us=_i(pw),
+                   rtcal_us=_i(rtcal_us), trcal_us=_i(trcal_us), **kw)
+
+    @property
+    def tari_us(self) -> float:
+        """Reference time interval (data-0 length) = 2*PW (Gen2 6.3.1.2.3)."""
+        return 2.0 * self.pw_us
+
+    @property
+    def dr_ratio(self) -> float:
+        """TRcal divide ratio (Gen2 6.3.1.2.8): DR bit 0 -> 8, 1 -> 64/3."""
+        return 8.0 if self.dr == 0 else 64.0 / 3.0
+
+    @property
+    def blf_from_trcal(self) -> float:
+        """Link frequency a tag would derive from the transmitted TRcal:
+        BLF = DR/TRcal (Gen2 6.3.1.2.8).  Equals ``blf_hz`` for configs
+        built by ``for_link``; the reference's constants also agree
+        (8/200 us = 40 kHz)."""
+        return self.dr_ratio / (self.trcal_us * 1e-6)
+
+    # ------------------------------------------------------------------
     # Derived sample-domain quantities at the post-decimation rate.
     # ------------------------------------------------------------------
 
