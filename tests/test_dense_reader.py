@@ -1,0 +1,43 @@
+"""Dense-reader-mode rationale: Miller subcarrier vs in-channel interference.
+
+Gen2 defines the Miller-M encodings precisely so tag backscatter moves away
+from the spectral neighborhood where other readers' carriers sit (dense
+reader mode).  The reference pins M=FM0 (global_vars.h:116) and never faces
+another reader; here both halves exist - the interference model
+(sim/impairments.py) and Miller decode (dsp/miller.py) - so the claim is
+measured: an interfering CW at the tags' own link frequency offset
+(40 kHz, i.e. right on the FM0 sidebands) kills FM0 decode at -20 dBc but
+leaves Miller-4 exact, because the Miller template integrates a 40 kHz
+tone to ~zero against its 160 kHz subcarrier.
+
+Measured envelope (seed 7, 3 rounds): FM0 exact at -35 dBc, degraded at
+-30, dead at -20; Miller-4 exact through -20 dBc.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.runtime.inventory import decode_capture
+from gen2_rfid_tpu.sim.impairments import RxImpairments, apply_rx_impairments
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+
+def _reads(m, adc, decim, dbc):
+    cfg = ReaderConfig(miller_m=m, adc_rate=adc, decim=decim, max_events=64)
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)],
+                              n_rounds=3, seed=1)
+    imp = RxImpairments(interferer_dbc=dbc, interferer_hz=40e3)
+    iq = apply_rx_impairments(tr.iq, imp, cfg.adc_rate, seed=7)
+    stats, _ = decode_capture(jnp.asarray(iq), cfg)
+    return int(stats.tag_reads[27])
+
+
+def test_fm0_dies_under_in_channel_interferer():
+    assert _reads(1, 2e6, 5, -35.0) == 3     # clear at -35 dBc
+    assert _reads(1, 2e6, 5, -20.0) == 0     # dead at -20 dBc
+
+
+def test_miller4_survives_in_channel_interferer():
+    assert _reads(4, 2e6, 1, -20.0) == 3     # exact where FM0 is dead
