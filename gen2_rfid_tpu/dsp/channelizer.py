@@ -1,0 +1,121 @@
+"""Polyphase filterbank channelizer: wideband capture -> per-reader channels.
+
+New capability (no reference analogue): the reference front end is one USRP
+tuned to a single 2 Msps channel (``gr-rfid/apps/reader.py:17-43,53``).  A
+TPU-scale deployment instead records ONE wideband capture spanning many
+FCC-hop channels (e.g. 16 Msps covering eight 2 MHz channels) and splits it
+into per-channel baseband streams on-device, feeding the framework's
+channel-parallel mesh axis (shard/mesh.py) - dense-reader monitoring without
+per-channel radios.
+
+TPU-first formulation: the classic analysis PFB
+(mix-down -> lowpass -> decimate per channel) is rearranged so all N channels
+share one grouped strided convolution plus one small FFT:
+
+    y_k[m] = sum_j h[j] x[mN - j] e^{+j 2 pi k j / N}            (exactly the
+           = N * IFFT_p( u_p[m] )[k]                              mixed+filtered+
+    u_p[m] = sum_r h[p + rN] x[(m - r)N - p]                      decimated stream)
+
+so the per-sample mixers disappear (the decimated mixer phase
+e^{-j 2 pi k mN / N} = 1), the branch filters run as ONE depthwise conv over
+the (N, M) polyphase matrix - MXU-tileable, like dsp/filters.py - and the
+N-point IFFT over branches is a tiny batched transform.  Channel k sits at
+center frequency k * (rate/N), FFT order (k >= N/2 are negative offsets).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pfb_taps(n_chan: int, taps_per_branch: int = 12) -> np.ndarray:
+    """Hamming-windowed-sinc prototype lowpass for an N-channel PFB.
+
+    Length n_chan * taps_per_branch, cutoff at half the channel spacing
+    (normalized fc = 1/(2N) of the input rate), unity DC gain - a CW carrier
+    at a channel center passes with amplitude ~1 so the downstream gate's
+    absolute thresholds behave as they would on a single-channel capture.
+    """
+    length = n_chan * taps_per_branch
+    t = np.arange(length, dtype=np.float64) - (length - 1) / 2.0
+    h = np.sinc(t / n_chan) / n_chan           # 2*fc*sinc(2*fc*t), fc=1/(2N)
+    h *= np.hamming(length)
+    h /= h.sum()                               # unity gain at DC
+    return h.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_chan", "taps_per_branch"))
+def channelize_planar(
+    iq2: jnp.ndarray, n_chan: int, taps_per_branch: int = 12
+) -> jnp.ndarray:
+    """Split a planar (2, N) wideband capture into (n_chan, 2, N//n_chan).
+
+    Channel k is numerically the mix-down by k/n_chan of the input rate,
+    prototype-lowpass filter, decimate-by-n_chan stream (the oracle identity
+    tested in tests/test_channelizer.py).  Planar float32 in/out: complex64
+    stays strictly inside jit (TPU runtime boundary rule, see CLAUDE.md).
+    """
+    h = jnp.asarray(pfb_taps(n_chan, taps_per_branch))
+    x = jax.lax.complex(iq2[0], iq2[1])
+    n = x.shape[0]
+    m = n // n_chan
+    x = x[: m * n_chan]
+    # Polyphase commutator: S[m, p] = x[mN - p] (zero history for m*N-p < 0),
+    # built gather-free from a front-padded reshape + column reversal.
+    xe = jnp.pad(x, (n_chan - 1, 0))[: m * n_chan + n_chan - 1]
+    s = xe[: m * n_chan].reshape(m, n_chan)[:, ::-1]       # (M, N)
+    # Branch filters h_p[r] = h[p + rN] as one depthwise conv over m.
+    hp = h.reshape(taps_per_branch, n_chan).T              # (N, T)
+    s2 = jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)  # (2, M, N)
+    sp = jnp.transpose(s2, (0, 2, 1))                      # (2, N, M)
+    sp = jnp.pad(sp, ((0, 0), (0, 0), (taps_per_branch - 1, 0)))
+    u = jax.lax.conv_general_dilated(
+        sp,                                  # (B=2, C=N, M + T - 1)
+        hp[:, None, ::-1],                   # (O=N, I=1, T): correlation taps
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=n_chan,
+    )                                        # (2, N, M)
+    uc = jax.lax.complex(u[0], u[1])
+    y = jnp.fft.ifft(uc, axis=0) * n_chan    # (N, M): y[k] = sum_p u_p e^{+j2pi kp/N}
+    return jnp.stack(
+        [jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)],
+        axis=1,
+    )                                        # (n_chan, 2, M)
+
+
+def channelize(iq, n_chan: int, taps_per_branch: int = 12) -> np.ndarray:
+    """Host convenience: complex wideband capture -> (n_chan, M) complex64."""
+    iq = np.asarray(iq)
+    iq2 = jnp.asarray(
+        np.stack([iq.real.astype(np.float32), iq.imag.astype(np.float32)])
+    )
+    out = np.asarray(channelize_planar(iq2, n_chan, taps_per_branch))
+    return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+
+
+def channel_frequency(k: int, n_chan: int, input_rate: float) -> float:
+    """Center frequency offset of PFB channel k (FFT order: k >= N/2 are
+    negative)."""
+    kk = k if k < n_chan / 2 else k - n_chan
+    return kk * input_rate / n_chan
+
+
+def decode_wideband(iq, n_chan: int, cfg, taps_per_branch: int = 12):
+    """Channelize a wideband capture and run the full decode per channel.
+
+    Returns a list of (InventoryStats, DecodedEvents), one per PFB channel.
+    Each channel stream comes out at input_rate / n_chan, which must equal
+    ``cfg.adc_rate`` (e.g. a 16 Msps capture with n_chan=8 feeds the default
+    2 Msps pipeline).  Channels are independent - a pod deployment maps them
+    onto the mesh channel axis (shard/mesh.py) instead of this host loop.
+    """
+    from ..runtime.inventory import decode_capture
+
+    chans = channelize(iq, n_chan, taps_per_branch)
+    return [decode_capture(chans[k], cfg) for k in range(n_chan)]
