@@ -75,6 +75,9 @@ class SimTagChannel:
         # Q field / QueryAdjust's UpDn bits), so an adaptive reader works
         # against this channel with no side channel.
         self.q = cfg.fixed_q
+        # Running capture time (samples at ADC rate) so moving tags'
+        # round-trip phase evolves across exchanges (Tag.channel_phasor).
+        self.t_samples = 0
 
     # ---- tag protocol reactions ----
 
@@ -331,11 +334,14 @@ class SimTagChannel:
                 ts.slot = -1
 
         for ts, chips in replies:
-            superpose_reply(cw, chips, self.tag_t1_us, ts.tag.backscatter,
+            t_s = (self.t_samples + cmd.size) / cfg.adc_rate
+            superpose_reply(cw, chips, self.tag_t1_us,
+                            ts.tag.channel_phasor(cfg, t_s),
                             ts.tag.chip_us(cfg), self.sp_us, cfg.adc_rate,
                             ts.tag.cfo_hz, ts.tag.amp_ramp)
 
         rx = np.concatenate([cmd, cw])
+        self.t_samples += rx.size
         if self.noise > 0:
             rx = rx + (
                 self.rng.normal(0, self.noise / np.sqrt(2), rx.size)

@@ -26,6 +26,7 @@ from ..config import TAG_PREAMBLE_BITS_PATTERN, ReaderConfig
 from ..protocol.crc import crc16_bits
 
 PREAMBLE_CHIPS = np.array(TAG_PREAMBLE_BITS_PATTERN, dtype=np.int64)
+C_LIGHT = 299_792_458.0
 
 
 def fm0_chips(bits: np.ndarray, add_dummy: bool = True,
@@ -117,6 +118,12 @@ class Tag:
       the frame.
     * ``amp_ramp``: fractional amplitude change across one reply
       (settling/motion), e.g. 0.2 ends 20% stronger than it starts.
+    * ``distance_m`` / ``velocity_mps``: tag geometry for the localization
+      observables (runtime/ranging.py).  When ``distance_m`` is set, the
+      round-trip propagation phase -4*pi*f*d(t)/c at the carrier rotates
+      the backscatter coefficient per reply (d(t) = distance + v*t over the
+      capture) - the physics behind commercial readers' per-read phase
+      reports.  None (default) keeps the legacy fixed-phase behavior.
     """
 
     epc96: np.ndarray                       # 96 EPC bits
@@ -126,6 +133,8 @@ class Tag:
     blf_offset: float = 0.0
     cfo_hz: float = 0.0
     amp_ramp: float = 0.0
+    distance_m: Optional[float] = None      # range for PDOA/Doppler phase
+    velocity_mps: float = 0.0               # radial velocity (+ = receding)
     user_bank: Optional[np.ndarray] = None  # USER memory (default 8 words)
     # Security state (Gen2 6.3.2.1 RESERVED bank + 6.3.2.10 lock bits).
     kill_pwd: int = 0                       # 32-bit; 0 = kill disabled
@@ -295,6 +304,24 @@ class Tag:
     def chip_us(self, cfg: ReaderConfig) -> float:
         """Effective backscatter chip duration under this tag's BLF error."""
         return cfg.tag_bit_us / (2 * cfg.miller_m) / (1.0 + self.blf_offset)
+
+    def channel_phasor(self, cfg: ReaderConfig, t_s: float = 0.0) -> complex:
+        """Effective complex backscatter coefficient at capture time t_s.
+
+        The monostatic round trip imposes phase -4*pi*f*d/c at the carrier
+        (``cfg.freq_hz``) with d(t) = distance_m + velocity_mps * t - the
+        observable runtime/ranging.py inverts.  The phase is held constant
+        across one reply (motion rotates < 0.2 rad over a 3.4 ms EPC frame
+        even at 1.5 m/s; model per-frame rotation via ``cfo_hz`` if needed).
+        Magnitude is NOT path-loss scaled - the link budget is set directly
+        through ``backscatter``."""
+        if self.distance_m is None:
+            return complex(self.backscatter)
+        d = self.distance_m + self.velocity_mps * t_s
+        return complex(
+            self.backscatter
+            * np.exp(-4j * np.pi * cfg.freq_hz * d / C_LIGHT)
+        )
 
 
 def superpose_reply(

@@ -178,7 +178,7 @@ def synthesize_inventory(
             if single:
                 rn16 = tags[tag_i].draw_rn16()
                 reply = reply_chips(cfg, rn16)
-                bs = tags[tag_i].backscatter
+                bs = tags[tag_i].channel_phasor(cfg, w.n / cfg.adc_rate)
             elif responders:           # collision: superpose both replies
                 rn16 = rng.integers(0, 2, 16).astype(np.int64)
                 reply = None           # superposition handled below
@@ -198,7 +198,9 @@ def synthesize_inventory(
                     colliders.append((i, drawn))
                     w.add_reply(seg, reply_chips(cfg, drawn),
                                 tag_t1_us + rng.uniform(0, 5),
-                                t.backscatter, t.chip_us(cfg), t.cfo_hz,
+                                t.channel_phasor(
+                                    cfg, (w.n - seg.size) / cfg.adc_rate),
+                                t.chip_us(cfg), t.cfo_hz,
                                 t.amp_ramp)
                 if len({tuple(int(x) for x in d)
                         for _, d in colliders}) == 1:
@@ -251,7 +253,9 @@ def synthesize_inventory(
                     epc_frames.append((i, fr))
                     w.add_reply(seg, reply_chips(cfg, fr),
                                 tag_t1_us + rng.uniform(0, 5),
-                                t.backscatter, t.chip_us(cfg), t.cfo_hz,
+                                t.channel_phasor(
+                                    cfg, (w.n - seg.size) / cfg.adc_rate),
+                                t.chip_us(cfg), t.cfo_hz,
                                 t.amp_ramp)
                 # The plain pipeline capture-decodes the dominant tag.
                 dom = max((tags[i] for i, _ in colliders),
@@ -263,7 +267,7 @@ def synthesize_inventory(
                 t = tags[tag_i] if single else None
                 w.append_cw_with_reply(
                     cw_a_us, epc_reply, tag_t1_us,
-                    t.backscatter if single else 0.0,
+                    t.channel_phasor(cfg, w.n / cfg.adc_rate) if single else 0.0,
                     t.chip_us(cfg) if single else chip_us,
                     t.cfo_hz if single else 0.0,
                     t.amp_ramp if single else 0.0,
@@ -350,7 +354,8 @@ def synthesize_adaptive_inventory(
         rn16 = (tags[tag_i].draw_rn16() if single
                 else rng.integers(0, 2, 16).astype(np.int64))
         reply = reply_chips(cfg, rn16) if single else None
-        bs = tags[tag_i].backscatter if single else 0.0
+        bs = (tags[tag_i].channel_phasor(cfg, w.n / cfg.adc_rate)
+              if single else 0.0)
         cw_q_us = cfg.t1_us + cfg.t2_us + cfg.rn16_us
         if responders and not single:
             w.append_cw_with_reply(cw_q_us, None, 0.0, 0.0, chip_us)
@@ -359,7 +364,9 @@ def synthesize_adaptive_inventory(
                 t = tags[i]
                 r = reply_chips(cfg, t.draw_rn16())
                 w.add_reply(seg, r, tag_t1_us + rng.uniform(0, 5),
-                            t.backscatter, t.chip_us(cfg), t.cfo_hz, t.amp_ramp)
+                            t.channel_phasor(
+                                cfg, (w.n - seg.size) / cfg.adc_rate),
+                            t.chip_us(cfg), t.cfo_hz, t.amp_ramp)
         else:
             t = tags[tag_i] if single else None
             w.append_cw_with_reply(
@@ -384,7 +391,7 @@ def synthesize_adaptive_inventory(
         t = tags[tag_i] if single else None
         w.append_cw_with_reply(
             cw_a_us, epc_reply, tag_t1_us,
-            t.backscatter if single else 0.0,
+            t.channel_phasor(cfg, w.n / cfg.adc_rate) if single else 0.0,
             t.chip_us(cfg) if single else chip_us,
             t.cfo_hz if single else 0.0,
             t.amp_ramp if single else 0.0,

@@ -1,0 +1,86 @@
+"""Phase-based ranging (PDOA) + Doppler velocity (runtime/ranging.py - new
+capability built on the per-read h_est the reference computes and discards,
+tag_decoder_impl.cc:103)."""
+
+import numpy as np
+
+from gen2_rfid_tpu.config import ReaderConfig
+from gen2_rfid_tpu.runtime.inventory import decode_capture
+from gen2_rfid_tpu.runtime.ranging import (
+    FCC_HOP_FREQS_HZ,
+    backscatter_phase,
+    estimate_range,
+    estimate_velocity,
+    range_from_captures,
+    tag_phase_series,
+)
+from gen2_rfid_tpu.sim.tag import Tag
+from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+
+def test_pdoa_math_roundtrip():
+    d = 4.25
+    freqs = FCC_HOP_FREQS_HZ[::7]
+    rng = np.random.default_rng(0)
+    phases = [backscatter_phase(f, d, phi0=0.8) + rng.normal(0, 0.02)
+              for f in freqs]
+    est = estimate_range(freqs, phases)
+    assert abs(est["range_m"] - d) < 0.05
+    assert est["resid_rad"] < 0.1
+
+
+def test_doppler_math_roundtrip():
+    f = 910e6
+    v = -2.0                       # approaching
+    c = 299_792_458.0
+    t = np.arange(30) * 0.012
+    phases = np.angle(np.exp(1j * (0.3 - 4 * np.pi * f * v * t / c)))
+    est = estimate_velocity(t, phases, f)
+    assert abs(est["velocity_mps"] - v) < 0.02
+
+
+def test_ranging_end_to_end_across_hops():
+    """Simulate one tag at 3.7 m across five FCC hop channels; the decoded
+    per-read phases must localize it to centimeters."""
+    d_true = 3.7
+    dec_cfg = ReaderConfig()
+    per_freq = []
+    for f in FCC_HOP_FREQS_HZ[::12]:           # 5 hops spanning ~24 MHz
+        cfg = ReaderConfig(freq_hz=f)
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, distance_m=d_true)],
+            n_rounds=3, seed=int(f) % 1000)
+        stats, dec = decode_capture(tr.iq, dec_cfg)
+        assert int(stats.n_epc_correct) == tr.expected_epc_pass
+        per_freq.append((f, tag_phase_series(dec, dec_cfg)))
+    est = range_from_captures(per_freq)
+    assert 27 in est
+    assert abs(est[27]["range_m"] - d_true) < 0.05, est[27]
+    assert est[27]["resid_rad"] < 0.2
+
+
+def test_velocity_end_to_end_single_capture():
+    """A tag receding at 1.5 m/s rotates its per-read phase within one
+    capture; the Doppler fit recovers the velocity."""
+    v_true = 1.5
+    cfg = ReaderConfig()
+    tag = Tag.with_id(27, seed=7, distance_m=2.0, velocity_mps=v_true)
+    tr = synthesize_inventory(cfg, [tag], n_rounds=40, seed=6)
+    stats, dec = decode_capture(tr.iq, cfg)
+    assert int(stats.n_epc_correct) == tr.expected_epc_pass
+    series = tag_phase_series(dec, cfg)[27]
+    assert series["time_s"].size == tr.expected_epc_pass
+    est = estimate_velocity(series["time_s"], series["phase_rad"],
+                            cfg.freq_hz)
+    assert abs(est["velocity_mps"] - v_true) < 0.05, est
+
+
+def test_static_tag_reports_zero_velocity():
+    cfg = ReaderConfig()
+    tag = Tag.with_id(27, seed=7, distance_m=2.0)
+    tr = synthesize_inventory(cfg, [tag], n_rounds=10, seed=8)
+    _, dec = decode_capture(tr.iq, cfg)
+    series = tag_phase_series(dec, cfg)[27]
+    est = estimate_velocity(series["time_s"], series["phase_rad"],
+                            cfg.freq_hz)
+    assert abs(est["velocity_mps"]) < 0.02
