@@ -30,6 +30,12 @@ def _cfg_from_args(args) -> "ReaderConfig":
         over["miller_m"] = args.miller
     if getattr(args, "max_events", None) is not None:
         over["max_events"] = args.max_events
+    if getattr(args, "epc_words", None) is not None:
+        # Window sized for the longest EPC in the population (PC-driven
+        # variable-length decode): PC16 + 16*W + CRC16 + dummy.
+        over["epc_bits"] = 16 + 16 * args.epc_words + 16 + 1
+    if getattr(args, "freq_mhz", None) is not None:
+        over["freq_hz"] = args.freq_mhz * 1e6
     return ReaderConfig(**over)
 
 
@@ -48,6 +54,28 @@ def cmd_decode(args) -> int:
     log = logging.getLogger("gen2_rfid_tpu.apps")
     cfg = _cfg_from_args(args)
     t0 = time.perf_counter()
+    if getattr(args, "wideband", None):
+        # Wideband capture: PFB-channelize into n per-reader streams at
+        # cfg.adc_rate each, decode every channel independently.
+        from ..dsp.channelizer import channel_frequency, decode_wideband
+
+        n_chan = args.wideband
+        total = 0
+        for path in args.capture:
+            iq = read_trace(path)
+            total += iq.size
+            results = decode_wideband(iq, n_chan, cfg)
+            in_rate = cfg.adc_rate * n_chan
+            for k, (stats, _) in enumerate(results):
+                if int(stats.n_events) == 0:
+                    continue
+                off = channel_frequency(k, n_chan, in_rate)
+                print(f"=== channel {k} ({off / 1e6:+.1f} MHz) ===")
+                print_results(stats)
+        dt = time.perf_counter() - t0
+        print(f"| Channelized+decoded {total} wideband samples in {dt:.2f} s "
+              f"({total / dt / 1e6:.1f} Msamples/s)")
+        return 0
     if getattr(args, "mrc", False):
         # Treat the captures as time-aligned RX channels of ONE air
         # interface (antenna diversity) instead of consecutive segments.
@@ -126,13 +154,22 @@ def cmd_decode(args) -> int:
         print(f"| Commands: {cc[0]} Query, {cc[1]} QueryRep, {cc[2]} ACK, "
               f"{cc[3]} QueryAdjust, {cc[4]} NAK, {cc[5]} unknown")
         if not args.chunked and len(args.capture) == 1:
+            from ..runtime.ranging import estimate_velocity, tag_phase_series
             from ..runtime.stats import tag_signal_report
 
+            series = tag_phase_series(last_dec, cfg)
             for t, r in sorted(tag_signal_report(last_dec).items()):
-                print(f"| Tag {t:#04x}: RSSI {r['rssi_dbfs']:+.1f} dBfs, "
-                      f"phase {np.degrees(r['phase_rad']):+.1f} deg "
-                      f"(spread {np.degrees(r['phase_spread_rad']):.2f} deg, "
-                      f"{r['n_reads']} reads)")
+                line = (f"| Tag {t:#04x}: RSSI {r['rssi_dbfs']:+.1f} dBfs, "
+                        f"phase {np.degrees(r['phase_rad']):+.1f} deg "
+                        f"(spread {np.degrees(r['phase_spread_rad']):.2f} deg, "
+                        f"{r['n_reads']} reads)")
+                s = series.get(t)
+                if s is not None and s["time_s"].size >= 3:
+                    v = estimate_velocity(s["time_s"], s["phase_rad"],
+                                          cfg.freq_hz)
+                    line += (f", radial v {v['velocity_mps']:+.2f} m/s "
+                             f"@ {cfg.freq_hz / 1e6:.0f} MHz")
+                print(line)
     print(f"| Decoded {total} samples in {dt:.2f} s "
           f"({total / dt / 1e6:.1f} Msamples/s)")
     return 0
@@ -146,8 +183,12 @@ def cmd_simulate(args) -> int:
     from ..sim.trace import synthesize_adaptive_inventory, synthesize_inventory
 
     cfg = _cfg_from_args(args)
+    dists = args.distance or []
     tags = [
-        Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.1j * i))
+        Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.1j * i),
+                    n_words=args.epc_words or 6,
+                    distance_m=dists[i] if i < len(dists) else None,
+                    velocity_mps=args.velocity)
         for i, t in enumerate(args.tags)
     ]
     if args.adaptive:
@@ -254,6 +295,34 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_range(args) -> int:
+    """PDOA ranging: decode one capture per FCC hop channel and fit each
+    tag's range from the phase slope across carriers (runtime/ranging.py)."""
+    import jax.numpy as jnp
+
+    from ..io.tracefile import read_trace
+    from ..runtime.inventory import decode_capture
+    from ..runtime.ranging import range_from_captures, tag_phase_series
+
+    cfg = _cfg_from_args(args)
+    assert len(args.capture) == len(args.freqs_mhz), (
+        "need one --freqs-mhz entry per capture")
+    per_freq = []
+    for path, f_mhz in zip(args.capture, args.freqs_mhz):
+        iq = read_trace(path)
+        _, dec = decode_capture(jnp.asarray(iq), cfg)
+        per_freq.append((f_mhz * 1e6, tag_phase_series(dec, cfg)))
+    est = range_from_captures(per_freq)
+    if not est:
+        print("| No tag observed on >= 2 hop channels")
+        return 1
+    for tid, r in sorted(est.items()):
+        print(f"| Tag {tid:#04x}: range {r['range_m']:.3f} m "
+              f"(fit residual {r['resid_rad']:.3f} rad over "
+              f"{len(args.capture)} hops)")
+    return 0
+
+
 def cmd_golden(args) -> int:
     from ..io.tracefile import write_trace
     from ..sim.trace import golden_trace
@@ -291,8 +360,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "recovers second tags from same-RN16 collisions "
                         "(each residual frame CRC-validated)")
     d.add_argument("-v", "--verbose", action="store_true",
-                   help="print slot-state and command-type breakdowns")
+                   help="print slot-state and command-type breakdowns, "
+                        "per-tag RSSI/phase, and Doppler velocity")
+    d.add_argument("--wideband", type=int, metavar="N",
+                   help="treat each capture as wideband (N x adc_rate): "
+                        "PFB-channelize into N streams and decode each")
+    d.add_argument("--epc-words", type=int,
+                   help="longest EPC in the population, in 16-bit words "
+                        "(sizes the decode window; PC-driven variable-"
+                        "length decode handles shorter tags automatically)")
+    d.add_argument("--freq-mhz", type=float,
+                   help="carrier frequency (for the -v Doppler report)")
     d.set_defaults(fn=cmd_decode)
+
+    r = sub.add_parser("range", help="PDOA tag ranging: one capture per "
+                       "FCC hop channel -> per-tag range fit")
+    r.add_argument("capture", nargs="+")
+    r.add_argument("--freqs-mhz", type=float, nargs="+", required=True,
+                   help="carrier frequency (MHz) of each capture, in order")
+    r.add_argument("--q", type=int)
+    r.add_argument("--max-events", type=int)
+    r.set_defaults(fn=cmd_range)
 
     s = sub.add_parser("simulate", help="synthesize an inventory capture")
     s.add_argument("out")
@@ -306,6 +394,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global slot indices whose EPC is corrupted")
     s.add_argument("--adaptive", action="store_true",
                    help="adaptive-Q (Annex D) closed loop; --rounds = slots")
+    s.add_argument("--epc-words", type=int,
+                   help="EPC length per tag in 16-bit words (default 6)")
+    s.add_argument("--distance", type=float, nargs="*",
+                   help="per-tag range in meters (imposes the round-trip "
+                        "backscatter phase at --freq-mhz)")
+    s.add_argument("--velocity", type=float, default=0.0,
+                   help="radial velocity (m/s) of the moving tags")
+    s.add_argument("--freq-mhz", type=float,
+                   help="carrier frequency for the phase model")
     s.set_defaults(fn=cmd_simulate)
 
     g = sub.add_parser("golden", help="regenerate the golden test capture")

@@ -423,3 +423,26 @@ def parse_select(bits: np.ndarray):
     body = b[: 29 + length]
     crc_ok = bool(np.array_equal(_crc16_any(body), b[29 + length:]))
     return target, action, membank, pointer, mask, truncate, crc_ok
+
+
+def parse_epc_frame(bits: np.ndarray):
+    """Parse a decoded EPC reply payload by its PC length field.
+
+    Gen2 6.3.2.1.2.2: PC bits 0-4 give the EPC length L in 16-bit words, so
+    the frame is PC16 + EPC(16L) + CRC16.  The reference hard-pins L=6
+    (EPC_BITS=129, global_vars.h:107) and reads the id at bits[104:112]
+    (tag_decoder_impl.cc:348-352); this generalizes both.  ``bits`` may be
+    longer than the frame (the decoder slices the maximum window) - the
+    trailing bits are ignored.
+
+    Returns (crc_ok, epc_words, tag_id) with tag_id = the last EPC byte
+    (-1 when the frame cannot be validated).
+    """
+    b = np.asarray(bits, dtype=np.int64)
+    l = int("".join(map(str, b[:5])), 2)
+    dl = 16 + 16 * l
+    if dl + 16 > b.size:
+        return False, l, -1
+    ok = bool(np.array_equal(_crc16_any(b[:dl]), b[dl: dl + 16]))
+    tid = int("".join(map(str, b[dl - 8: dl])), 2)
+    return ok, l, tid

@@ -170,6 +170,80 @@ def check_epc_crc_batch(epc_bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(crc == epc_bits[:, n_data:], axis=1)
 
 
+@functools.lru_cache(maxsize=8)
+def _pc_length_tables(n_bits: int):
+    """Selection tables for PC-driven variable-length EPC validation.
+
+    Gen2 6.3.2.1.2.2: the PC word's first 5 bits give the EPC length L in
+    16-bit words, so the reply frame is PC16 + EPC(16L) + CRC16 - the
+    reference pins L=6 (96-bit EPC) by hard-coding EPC_BITS=129
+    (global_vars.h:107) and always checking the full 128 decoded bits.
+    Here the decoder always slices ``n_bits`` (sized for the longest
+    supported frame) and the *validation* is length-aware, TPU-style: CRCs
+    for ALL candidate lengths are computed as one GF(2) affine matmul
+    (column block L = the (16, 16+16L) CRC matrix), the received CRC and
+    trailing EPC byte are extracted by 0/1 selection matmuls, and the
+    per-frame parsed L picks its block - no data-dependent shapes.
+
+    Returns (M, c0, R, ID, l_max): M,R (n_bits, (l_max+1)*16) int32,
+    ID (n_bits, (l_max+1)*8), c0 ((l_max+1)*16,).
+    """
+    from ..protocol.crc import crc16_affine
+
+    l_max = (n_bits - 32) // 16
+    m_all = np.zeros((n_bits, (l_max + 1) * 16), dtype=np.int32)
+    c0_all = np.zeros(((l_max + 1) * 16,), dtype=np.int32)
+    r_all = np.zeros((n_bits, (l_max + 1) * 16), dtype=np.int32)
+    id_all = np.zeros((n_bits, (l_max + 1) * 8), dtype=np.int32)
+    for l in range(l_max + 1):
+        dl = 16 + 16 * l
+        m, c0 = crc16_affine(dl)
+        m_all[:dl, 16 * l: 16 * l + 16] = m.T
+        c0_all[16 * l: 16 * l + 16] = c0
+        r_all[np.arange(dl, dl + 16), 16 * l + np.arange(16)] = 1
+        id_all[np.arange(dl - 8, dl), 8 * l + np.arange(8)] = 1
+    return m_all, c0_all, r_all, id_all, l_max
+
+
+def check_epc_crc_pc(epc_bits: jnp.ndarray):
+    """PC-length-aware batched EPC validation (new capability: the
+    reference can only read 96-bit-EPC tags, tag_decoder_impl.cc:317-327).
+
+    epc_bits: (E, n_bits) -> (pass (E,) bool, tag_id (E,) int32,
+    epc_words (E,) int32).  The tag id generalizes the reference's
+    bits[104:112] (tag_decoder_impl.cc:348-352): the last byte of the EPC
+    field, at 16+16L-8 for the parsed length L.  Frames whose parsed L
+    exceeds what ``n_bits`` can carry fail (their CRC is not decodable).
+    """
+    n_bits = epc_bits.shape[1]
+    m_all, c0_all, r_all, id_all, l_max = _pc_length_tables(n_bits)
+    b = epc_bits.astype(jnp.int32)
+    crc_all = (b @ jnp.asarray(m_all)) % 2 ^ jnp.asarray(c0_all)[None, :]
+    rec_all = b @ jnp.asarray(r_all)
+    match = jnp.all(
+        (crc_all == rec_all).reshape(-1, l_max + 1, 16), axis=2)
+    ids = (b @ jnp.asarray(id_all)).reshape(-1, l_max + 1, 8)
+    w5 = jnp.asarray(2 ** np.arange(4, -1, -1, dtype=np.int32))
+    l_parsed = b[:, :5] @ w5
+    lc = jnp.clip(l_parsed, 0, l_max)
+    ok = jnp.take_along_axis(match, lc[:, None], axis=1)[:, 0] & (
+        l_parsed <= l_max)
+    w8 = jnp.asarray(2 ** np.arange(7, -1, -1, dtype=np.int32))
+    tid = jnp.take_along_axis(
+        ids, lc[:, None, None], axis=1)[:, 0, :] @ w8
+    return ok, tid.astype(jnp.int32), l_parsed.astype(jnp.int32)
+
+
+def _validate_epc(epc_bits: jnp.ndarray, cfg: ReaderConfig):
+    """(pass, tag_id) for a batch of decoded EPC payloads: compat pins the
+    reference's fixed-96-bit check + bits[104:112] id; native parses the
+    PC length field (variable-length EPC support)."""
+    if cfg.mode == "compat":
+        return check_epc_crc_batch(epc_bits), _tag_ids(epc_bits)
+    ok, tid, _ = check_epc_crc_pc(epc_bits)
+    return ok, tid
+
+
 def _decode_frames(frames, magn2, cfg):
     """Sync + RN16 + EPC decode of a batch of (W,) windows."""
     if cfg.miller_m == 1:
@@ -226,7 +300,7 @@ def _decode_events_paranoid(
     frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
     rn16_bits, epc_bits, t_half, h_est, margin = _decode_frames(
         frames, magn2, cfg)
-    epc_pass = check_epc_crc_batch(epc_bits)
+    epc_pass, tag_id = _validate_epc(epc_bits, cfg)
     energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
     h2_all = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
     return DecodedEvents(
@@ -237,7 +311,7 @@ def _decode_events_paranoid(
         rn16_bits=rn16_bits,
         epc_bits=epc_bits,
         epc_pass=epc_pass,
-        tag_id=_tag_ids(epc_bits),
+        tag_id=tag_id,
         t_half=t_half,
         h_est=jnp.stack([jnp.real(h_est), jnp.imag(h_est)], axis=-1),
         slot_state=classify_slots(energy, margin, events.noise_var, h2_all),
@@ -335,8 +409,7 @@ def _decode_events_specialized(
 
     q_bits, q_h, q_margin = _decode_rn16_frames(q_frames, cfg)
     a_bits, a_thalf, a_h = _decode_epc_frames(a_frames, a_magn2, cfg)
-    a_pass = check_epc_crc_batch(a_bits)
-    a_tid = _tag_ids(a_bits)
+    a_pass, a_tid = _validate_epc(a_bits, cfg)
     q_energy = jnp.mean(q_magn2, axis=1)
     nv_pad = jnp.concatenate([events.noise_var, jnp.ones((1,), jnp.float32)])
     q_h2 = jnp.real(q_h) ** 2 + jnp.imag(q_h) ** 2
@@ -348,7 +421,8 @@ def _decode_events_specialized(
         return init.at[jnp.minimum(rows, cap)].set(vals, mode="drop")
 
     rn16_bits = scatter(q_rows, q_bits, jnp.zeros((cap + 1, 16), i32))[:cap]
-    epc_bits = scatter(a_rows, a_bits, jnp.zeros((cap + 1, 128), i32))[:cap]
+    epc_bits = scatter(
+        a_rows, a_bits, jnp.zeros((cap + 1, a_bits.shape[1]), i32))[:cap]
     epc_pass = scatter(a_rows, a_pass, jnp.zeros((cap + 1,), bool))[:cap]
     tag_id = scatter(a_rows, a_tid, jnp.zeros((cap + 1,), i32))[:cap]
     t_half = scatter(a_rows, a_thalf, jnp.zeros((cap + 1,), jnp.float32))[:cap]

@@ -148,7 +148,7 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     from ..dsp import fm0, miller, sync
     from ..dsp.filters import matched_filter_decimate
     from ..dsp.gate import gate_detect
-    from .inventory import check_epc_crc_batch, matched_taps
+    from .inventory import _validate_epc, matched_taps
 
     ev_cfg = dataclasses.replace(cfg, max_events=8)
     want_epc = mode in ("epc", "epc_sic")
@@ -208,7 +208,9 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
             else:
                 bits, margin = miller.miller_rn16_soft(frame, di, h, cfg)
         if want_epc:
-            return fits, bits, check_epc_crc_batch(bits[None])[0]
+            # Mode-aware validation: native parses the PC length field
+            # (variable-length EPC), compat pins the reference's fixed check.
+            return fits, bits, _validate_epc(bits[None], cfg)[0][0]
         energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
         h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
         return fits, bits, margin, energy, h2, ev.noise_var[pos]
@@ -673,7 +675,8 @@ class LiveReader:
                     epc_bits2, epc_ok2 = None, False
                 if epc_ok:
                     st.n_epc_correct += 1
-                    tid = int("".join(map(str, epc_bits[104:112])), 2)
+                    # PC-length-aware id (== bits[104:112] for 96-bit EPCs).
+                    tid = gen2.parse_epc_frame(epc_bits)[2]
                     st.tag_reads[tid] += 1
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:
@@ -688,7 +691,7 @@ class LiveReader:
                              or not np.array_equal(epc_bits2, epc_bits))):
                     st.n_epc_correct += 1
                     st.n_epc_sic_second += 1
-                    tid2 = int("".join(map(str, epc_bits2[104:112])), 2)
+                    tid2 = gen2.parse_epc_frame(epc_bits2)[2]
                     st.tag_reads[tid2] += 1
                     _log.debug("EPC (SIC residual) DECODED | tag %#x", tid2)
                     epc_ok = True

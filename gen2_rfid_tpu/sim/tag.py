@@ -145,11 +145,16 @@ class Tag:
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
-        assert self.epc96.size == 96
+        # Any whole-word EPC length (Gen2 6.3.2.1.2.2; the PC length field
+        # is 5 bits -> up to 31 words).  The attribute keeps its historical
+        # name; 96 bits (6 words) is the common case and the reference's
+        # only supported length (EPC_BITS=129, global_vars.h:107).
+        assert self.epc96.size % 16 == 0 and self.epc96.size <= 16 * 31
         if self.pc16 is None:
-            # PC word for a 96-bit EPC: length field 0b00110 then zeros.
+            # PC word: 5-bit EPC length in words, then zeros.
+            n_words = self.epc96.size // 16
             pc = np.zeros(16, dtype=np.int64)
-            pc[:5] = [0, 0, 1, 1, 0]
+            pc[:5] = [(n_words >> (4 - k)) & 1 for k in range(5)]
             self.pc16 = pc
         if self.user_bank is None:
             self.user_bank = np.zeros(128, dtype=np.int64)
@@ -158,13 +163,16 @@ class Tag:
         self._rng = np.random.default_rng(self.seed)
 
     @classmethod
-    def with_id(cls, tag_id: int, **kw) -> "Tag":
-        """Tag whose reference-style ID (EPC frame bits[104:112] as an int,
-        tag_decoder_impl.cc:348-352) equals ``tag_id``: that byte is the last
-        byte of the 96-bit EPC field (frame = PC16 + EPC96 + CRC16)."""
-        epc = np.zeros(96, dtype=np.int64)
+    def with_id(cls, tag_id: int, n_words: int = 6, **kw) -> "Tag":
+        """Tag whose ID byte (the last byte of the EPC field - the
+        reference reads it at frame bits[104:112] for its fixed 96-bit
+        EPCs, tag_decoder_impl.cc:348-352) equals ``tag_id``.  ``n_words``
+        sets the EPC length (default 6 words = 96 bits, the reference
+        geometry; other lengths exercise PC-driven variable-length
+        decode)."""
+        epc = np.zeros(16 * n_words, dtype=np.int64)
         for k in range(8):
-            epc[88 + k] = (tag_id >> (7 - k)) & 1
+            epc[16 * n_words - 8 + k] = (tag_id >> (7 - k)) & 1
         return cls(epc96=epc, **kw)
 
     def epc_frame_bits(self) -> np.ndarray:
@@ -359,6 +367,14 @@ def superpose_reply(
             scale = scale * np.exp(2j * np.pi * cfo_hz * s / adc_rate)
         wave = (wave * scale).astype(np.complex64)
     seg[off:end] += wave
+
+
+def tag_id_of_frame(frame: np.ndarray) -> int:
+    """Reference-style tag id from an EPC reply frame (PC + EPC + CRC16):
+    the last byte of the EPC field = frame[-24:-16] - equals the
+    reference's bits[104:112] for its fixed 96-bit EPCs
+    (tag_decoder_impl.cc:348-352), and generalizes to any PC length."""
+    return int("".join(str(int(x)) for x in np.asarray(frame)[-24:-16]), 2)
 
 
 def reply_chips(cfg: ReaderConfig, bits: np.ndarray) -> np.ndarray:

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import ReaderConfig
 from ..tx.pie import PieEncoder
-from .tag import Tag, reply_chips, superpose_reply
+from .tag import Tag, reply_chips, superpose_reply, tag_id_of_frame
 
 
 @dataclasses.dataclass
@@ -237,7 +237,7 @@ def synthesize_inventory(
                     frame[40] ^= 1     # payload bit flip -> CRC fail
                 else:
                     expected_pass += 1
-                    tid = int("".join(map(str, frame[104:112])), 2)
+                    tid = tag_id_of_frame(frame)
                     tag_reads[tid] = tag_reads.get(tid, 0) + 1
                 epc_reply = reply_chips(cfg, frame)
             cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
@@ -261,7 +261,7 @@ def synthesize_inventory(
                 dom = max((tags[i] for i, _ in colliders),
                           key=lambda t: abs(t.backscatter))
                 expected_pass += 1
-                tid = int("".join(map(str, dom.epc_frame_bits()[104:112])), 2)
+                tid = tag_id_of_frame(dom.epc_frame_bits())
                 tag_reads[tid] = tag_reads.get(tid, 0) + 1
             else:
                 t = tags[tag_i] if single else None
@@ -384,7 +384,7 @@ def synthesize_adaptive_inventory(
         if single:
             frame = tags[tag_i].epc_frame_bits()
             expected_pass += 1
-            tid = int("".join(map(str, frame[104:112])), 2)
+            tid = tag_id_of_frame(frame)
             tag_reads[tid] = tag_reads.get(tid, 0) + 1
             epc_reply = reply_chips(cfg, frame)
         cw_a_us = 3 * cfg.t1_us + cfg.t2_us + cfg.epc_us
