@@ -46,6 +46,7 @@ class _Params(ctypes.Structure):
         ("max_slot", ctypes.c_int32),
         ("max_queries", ctypes.c_int32),
         ("max_unique", ctypes.c_int32),
+        ("pc_length", ctypes.c_int32),
     ]
 
 
@@ -117,6 +118,9 @@ def _params(cfg: ReaderConfig) -> _Params:
         max_slot=cfg.max_slot_number,
         max_queries=cfg.max_num_queries,
         max_unique=cfg.max_unique_tags,
+        # Native mode parses the PC length field (variable-length EPC);
+        # compat pins the reference's fixed-length check.
+        pc_length=0 if cfg.mode == "compat" else 1,
     )
 
 

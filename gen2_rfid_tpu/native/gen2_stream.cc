@@ -44,6 +44,7 @@ struct Params {
   int32_t max_slot;         // 2^Q
   int32_t max_queries;      // termination limit
   int32_t max_unique;       // termination limit
+  int32_t pc_length;        // 1 = PC-driven variable-length EPC validation
 };
 
 struct Stats {
@@ -229,14 +230,25 @@ class Engine {
       bits[j] = (s != prev) ? 1 : 0;
       prev = s;
     }
-    uint16_t rcvd = 0;
-    for (int j = 0; j < 16; ++j)
-      rcvd = (rcvd << 1) | bits[p_.epc_data_bits - 16 + j];
-    if (crc16_ccitt(bits, p_.epc_data_bits - 16) == rcvd) {
-      ++st_.n_epc_correct;
-      int id = 0;
-      for (int j = 0; j < 8; ++j) id = (id << 1) | bits[104 + j];
-      ++st_.tag_reads[id & 0xFF];
+    // Frame validation: fixed length (the reference's EPC_BITS=129 check,
+    // tag_decoder_impl.cc:317-327) or PC-driven variable length (Gen2
+    // 6.3.2.1.2.2: PC bits 0-4 = EPC words; the id byte is the last EPC
+    // byte, generalizing bits[104:112]).
+    int data_len = p_.epc_data_bits - 16;
+    if (p_.pc_length) {
+      int l = 0;
+      for (int j = 0; j < 5; ++j) l = (l << 1) | bits[j];
+      data_len = 16 + 16 * l;
+    }
+    if (data_len + 16 <= p_.epc_data_bits) {
+      uint16_t rcvd = 0;
+      for (int j = 0; j < 16; ++j) rcvd = (rcvd << 1) | bits[data_len + j];
+      if (crc16_ccitt(bits, data_len) == rcvd) {
+        ++st_.n_epc_correct;
+        int id = 0;
+        for (int j = 0; j < 8; ++j) id = (id << 1) | bits[data_len - 8 + j];
+        ++st_.tag_reads[id & 0xFF];
+      }
     }
     if (st_.cur_slot > p_.max_slot) {
       st_.cur_slot = 1;

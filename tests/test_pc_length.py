@@ -116,3 +116,25 @@ def test_live_reader_variable_length():
     st = LiveReader(cfg).run_inventory(SimTagChannel(cfg, tags, seed=2), 3)
     assert st.n_epc_correct == 3
     assert st.tag_reads[0x77] == 3
+
+
+def test_native_engine_variable_length():
+    """The C++ streaming engine applies the same PC-driven validation -
+    oracle parity with the JAX pipeline on a mixed-length population."""
+    import pytest
+
+    from gen2_rfid_tpu.native.engine import NativeEngine, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    tags = [Tag.with_id(0x21, n_words=2, seed=3),
+            Tag.with_id(0x88, n_words=8, seed=5, backscatter=0.05 + 0.06j)]
+    cfg = ReaderConfig(epc_bits=161, fixed_q=1, max_events=64)
+    tr = synthesize_inventory(cfg, tags, n_rounds=4, seed=12)
+    eng = NativeEngine(cfg)
+    eng.feed(tr.iq)
+    st = eng.stats()
+    reads = np.asarray(st.tag_reads)
+    assert int(st.n_epc_correct) == tr.expected_epc_pass
+    for tid, want in tr.expected_tag_reads.items():
+        assert reads[tid] == want
