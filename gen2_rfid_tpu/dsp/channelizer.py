@@ -106,6 +106,44 @@ def channel_frequency(k: int, n_chan: int, input_rate: float) -> float:
     return kk * input_rate / n_chan
 
 
+def decode_wideband_sharded(iq, n_chan: int, cfg, mesh,
+                            events_per_shard: int = 256,
+                            taps_per_branch: int = 12):
+    """Channelize + decode all channels on a (time, chan) device mesh.
+
+    One jitted program: the PFB splits the wideband capture into
+    ``n_chan`` baseband streams, which feed the framework's sharded decode
+    (shard/decode_sharded.py) - channels ride the mesh ``chan`` axis,
+    time blocks the ``time`` axis with ppermute halos.  The PFB itself runs
+    replicated (its cost is one grouped conv, ~1/n_chan of the front-end
+    FIR work); a pod-scale refinement would time-shard it with a
+    taps-deep halo like the decode FIR.
+
+    Returns (per-channel InventoryStats stacked on the channel axis,
+    merged DecodedEvents).
+    """
+    import numpy as np
+
+    from ..shard.decode_sharded import make_sharded_decoder
+    from ..shard.mesh import TIME_AXIS
+
+    iq = np.asarray(iq)
+    iq2 = jnp.asarray(
+        np.stack([iq.real.astype(np.float32), iq.imag.astype(np.float32)])
+    )
+    n_time = mesh.shape[TIME_AXIS]
+    m = iq.shape[0] // n_chan
+    m_use = m - m % (n_time * cfg.decim)
+    dec_fn = make_sharded_decoder(cfg, mesh, events_per_shard)
+
+    @jax.jit
+    def run(x2):
+        ch = channelize_planar(x2, n_chan, taps_per_branch)  # (C, 2, M)
+        return dec_fn(ch[:, :, :m_use])
+
+    return run(iq2)
+
+
 def decode_wideband(iq, n_chan: int, cfg, taps_per_branch: int = 12):
     """Channelize a wideband capture and run the full decode per channel.
 

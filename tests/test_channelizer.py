@@ -99,3 +99,35 @@ def test_dual_reader_wideband_decode():
     # Unoccupied channels decode nothing.
     for k in (0, 3, 4):
         assert int(results[k][0].n_epc_correct) == 0
+
+
+def test_wideband_sharded_mesh_decode():
+    """The full pod path in one jitted program: PFB channelization feeding
+    the (time, chan) sharded decode - 2 time shards x 4 channel shards on
+    the virtual 8-device mesh, per-channel stats match the host loop."""
+    from gen2_rfid_tpu.dsp.channelizer import decode_wideband_sharded
+    from gen2_rfid_tpu.shard.mesh import make_mesh
+
+    synth_cfg = ReaderConfig(adc_rate=16e6)
+    tr_a = synthesize_inventory(synth_cfg, [Tag.with_id(27, seed=7)],
+                                n_rounds=2, seed=3, noise=0.0)
+    tr_b = synthesize_inventory(synth_cfg, [Tag.with_id(99, seed=9)],
+                                n_rounds=2, seed=4, noise=0.0)
+    n = max(tr_a.iq.size, tr_b.iq.size)
+
+    def place(iq, k):
+        pad = np.zeros(n, np.complex64)
+        pad[: iq.size] = iq
+        t = np.arange(n)
+        return pad * np.exp(2j * np.pi * k * t / N_CHAN).astype(np.complex64)
+
+    wide = place(tr_a.iq, 1) + place(tr_b.iq, 6)
+    cfg = ReaderConfig(max_events=128)
+    mesh = make_mesh(n_time=2, n_chan=4)
+    stats, _ = decode_wideband_sharded(wide, N_CHAN, cfg, mesh)
+    n_ok = np.asarray(stats.n_epc_correct)          # (8,) per channel
+    assert n_ok[1] == tr_a.expected_epc_pass
+    assert n_ok[6] == tr_b.expected_epc_pass
+    assert np.asarray(stats.tag_reads)[1, 27] == tr_a.expected_epc_pass
+    assert np.asarray(stats.tag_reads)[6, 99] == tr_b.expected_epc_pass
+    assert n_ok[[0, 2, 3, 4, 5, 7]].sum() == 0
