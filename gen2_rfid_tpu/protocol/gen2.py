@@ -351,6 +351,83 @@ def parse_blockwrite(bits: np.ndarray):
     return membank, wordptr, data, handle, crc_ok
 
 
+BLOCKERASE_CODE = (1, 1, 0, 0, 1, 0, 0, 0)
+BLOCKPERMALOCK_CODE = (1, 1, 0, 0, 1, 0, 0, 1)
+
+
+def blockerase_bits(handle: np.ndarray, membank=None, wordptr: int = 0,
+                    wordcount: int = 1) -> np.ndarray:
+    """BlockErase = 11001000 + MemBank(2) + WordPtr(EBV-8) + WordCount(8) +
+    handle(16) + CRC-16 (Gen2 6.3.2.12.3.8): zero WordCount words starting
+    at WordPtr; delayed Write-style success reply (header-0 + handle +
+    CRC-16)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    membank = MEMBANK_USER if membank is None else membank
+    assert handle.size == 16 and 0 <= wordptr < 128 and 0 < wordcount < 256
+    bits = list(BLOCKERASE_CODE) + list(membank)
+    bits += [(wordptr >> k) & 1 for k in range(7, -1, -1)]   # EBV-8
+    bits += [(wordcount >> k) & 1 for k in range(7, -1, -1)]
+    body = np.concatenate([np.array(bits, dtype=np.int64), handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_blockerase(bits: np.ndarray):
+    """-> (membank, wordptr, wordcount, handle (16,), crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == BLOCKERASE_CODE
+    membank = (int(b[8]), int(b[9]))
+    wordptr = int("".join(map(str, b[10:18])), 2)
+    wordcount = int("".join(map(str, b[18:26])), 2)
+    handle = b[26:42]
+    crc_ok = bool(np.array_equal(_crc16_any(b[:42]), b[42:]))
+    return membank, wordptr, wordcount, handle, crc_ok
+
+
+def blockpermalock_bits(handle: np.ndarray, membank=None, read_lock: int = 0,
+                        blockptr: int = 0, blockrange: int = 1,
+                        mask: np.ndarray = None) -> np.ndarray:
+    """BlockPermalock = 11001001 + RFU(8) + Read/Lock(1) + MemBank(2) +
+    BlockPtr(EBV-8) + BlockRange(8) + Mask(16*BlockRange, only when
+    Read/Lock=1) + handle(16) + CRC-16 (Gen2 6.3.2.12.3.9).
+
+    Read/Lock=0 requests the permalock-status bits of BlockRange mask
+    words starting at BlockPtr (Read-style reply); Read/Lock=1 permalocks
+    the blocks whose mask bit is 1 (one-way; delayed Write-style reply).
+    Block granularity is vendor-defined - the tag model uses one 16-bit
+    word per block, so mask word i bit j covers word 16*BlockPtr+16i+j.
+    """
+    handle = np.asarray(handle, dtype=np.int64)
+    membank = MEMBANK_USER if membank is None else membank
+    assert handle.size == 16 and 0 <= blockptr < 128 and 0 < blockrange < 256
+    if read_lock:
+        mask = np.asarray(mask, dtype=np.int64)
+        assert mask.size == 16 * blockrange
+    else:
+        assert mask is None
+        mask = np.zeros(0, dtype=np.int64)
+    bits = list(BLOCKPERMALOCK_CODE) + [0] * 8 + [int(read_lock)]
+    bits += list(membank)
+    bits += [(blockptr >> k) & 1 for k in range(7, -1, -1)]  # EBV-8
+    bits += [(blockrange >> k) & 1 for k in range(7, -1, -1)]
+    body = np.concatenate([np.array(bits, dtype=np.int64), mask, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_blockpermalock(bits: np.ndarray):
+    """-> (membank, read_lock, blockptr, blockrange, mask, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == BLOCKPERMALOCK_CODE
+    read_lock = int(b[16])
+    membank = (int(b[17]), int(b[18]))
+    blockptr = int("".join(map(str, b[19:27])), 2)
+    blockrange = int("".join(map(str, b[27:35])), 2)
+    nm = 16 * blockrange if read_lock else 0
+    mask = b[35: 35 + nm]
+    handle = b[35 + nm: 51 + nm]
+    crc_ok = bool(np.array_equal(_crc16_any(b[: 51 + nm]), b[51 + nm:]))
+    return membank, read_lock, blockptr, blockrange, mask, handle, crc_ok
+
+
 def pwd_halves(pwd32: int):
     """A 32-bit password as (MSB half bits, LSB half bits) - the order the
     two Access / Kill steps transmit them (Gen2 6.3.2.12.3.4/6)."""

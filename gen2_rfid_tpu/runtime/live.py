@@ -86,9 +86,13 @@ class LiveStats:
     n_access_ok: int = 0       # Access sequences completed (-> Secured)
     n_lock_ok: int = 0         # Lock success replies verified
     n_blockwrite_ok: int = 0   # BlockWrite success replies verified
+    n_blockerase_ok: int = 0   # BlockErase success replies verified
+    n_blockpermalock_ok: int = 0  # BlockPermalock (Read/Lock=1) successes
     n_kill_ok: int = 0         # tags killed (second-half success reply)
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
+    permalock_status: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)  # tag id -> BlockPermalock status bits
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
     sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
@@ -314,6 +318,8 @@ class LiveReader:
         access_pwd: Optional[int] = None,
         lock=None,
         block_write=None,
+        block_erase=None,
+        block_permalock=None,
         kill_pwd: Optional[int] = None,
     ):
         assert q_mode in ("annexd", "backlog")
@@ -326,6 +332,11 @@ class LiveReader:
         self.access_pwd = access_pwd
         self.lock = lock
         self.block_write = block_write
+        # (wordptr, wordcount[, bank]): BlockErase after each correct EPC.
+        self.block_erase = block_erase
+        # (blockptr, mask_bits | None): BlockPermalock - None mask reads
+        # the permalock status, a mask permalocks those blocks (Secured).
+        self.block_permalock = block_permalock
         self.kill_pwd = kill_pwd
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
@@ -385,7 +396,8 @@ class LiveReader:
     def _wants_access(self) -> bool:
         return any(x is not None for x in (
             self.access_read, self.access_write, self.access_pwd,
-            self.lock, self.block_write, self.kill_pwd))
+            self.lock, self.block_write, self.block_erase,
+            self.block_permalock, self.kill_pwd))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -481,6 +493,45 @@ class LiveReader:
                 st.n_blockwrite_ok += 1
                 _log.debug("BLOCKWRITE OK | tag %#x words=%d", tid,
                            len(data) // 16)
+
+        if self.block_erase is not None:
+            wordptr, wordcount = self.block_erase[:2]
+            bank = self.block_erase[2] if len(self.block_erase) > 2 else "user"
+            eb = gen2.blockerase_bits(handle, membank=self._bank_code(bank),
+                                      wordptr=wordptr, wordcount=wordcount)
+            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("blockerase", eb, self.enc.command(eb), cw)
+            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                st.n_blockerase_ok += 1
+                _log.debug("BLOCKERASE OK | tag %#x words=%d", tid, wordcount)
+
+        if self.block_permalock is not None:
+            blockptr, mask = self.block_permalock[:2]
+            if mask is None:
+                # Read/Lock=0: fetch the permalock-status bits (one mask
+                # word = 16 one-word blocks).
+                nb = 1 + 16 + 32
+                pb = gen2.blockpermalock_bits(handle, blockptr=blockptr)
+                cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+                rx = channel.exchange("blockpermalock", pb,
+                                      self.enc.command(pb), cw)
+                out = self._decode_window(rx, f"acc:{nb}")
+                if (out is not None and out[0] == 0
+                        and np.array_equal(out[17:33], handle)
+                        and np.array_equal(gen2._crc16_any(out[:33]),
+                                           out[33:])):
+                    st.permalock_status[tid] = np.asarray(out[1:17])
+            else:
+                mask = np.asarray(mask, dtype=np.int64)
+                pb = gen2.blockpermalock_bits(
+                    handle, read_lock=1, blockptr=blockptr,
+                    blockrange=mask.size // 16, mask=mask)
+                cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+                rx = channel.exchange("blockpermalock", pb,
+                                      self.enc.command(pb), cw)
+                if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                    st.n_blockpermalock_ok += 1
+                    _log.debug("BLOCKPERMALOCK OK | tag %#x", tid)
 
         if self.access_read is not None:
             wordptr, wordcount = self.access_read[:2]

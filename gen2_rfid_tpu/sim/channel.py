@@ -255,6 +255,40 @@ class SimTagChannel:
                         if ok:
                             replies.append((ts, reply_chips(
                                 cfg, gen2.write_reply_bits(ts.handle))))
+        elif kind == "blockerase":
+            # Gen2 6.3.2.12.3.8: zero a word range; atomic, lock-gated like
+            # Write (plus per-word USER permalocks); delayed success reply.
+            membank, wordptr, wordcount, handle, crc_ok = gen2.parse_blockerase(
+                bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None
+                            and np.array_equal(handle, ts.handle)
+                            and ts.tag.erase_words(membank, wordptr,
+                                                   wordcount, ts.secured)):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.write_reply_bits(ts.handle))))
+        elif kind == "blockpermalock":
+            # Gen2 6.3.2.12.3.9: Read/Lock=0 backscatters the permalock
+            # status (Read-style reply); =1 permalocks masked blocks
+            # (one-way, Secured state required - it is a lock mutation).
+            (membank, read_lock, blockptr, blockrange, mask, handle,
+             crc_ok) = gen2.parse_blockpermalock(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if ts.handle is None or not np.array_equal(
+                            handle, ts.handle):
+                        continue
+                    if not read_lock:
+                        status = ts.tag.permalock_status(
+                            membank, blockptr, blockrange)
+                        if status is not None:
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.read_reply_bits(status, ts.handle))))
+                    elif ts.secured and ts.tag.apply_block_permalock(
+                            membank, blockptr, mask):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.write_reply_bits(ts.handle))))
         elif kind == "access":
             # Gen2 6.3.2.12.3.6: two cover-coded password halves (MSB half
             # first); each valid half is echoed with the handle, the second

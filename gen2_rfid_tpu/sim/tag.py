@@ -142,6 +142,9 @@ class Tag:
     lock_state: Optional[np.ndarray] = None  # 10 bits, (lock, permalock) per
     #                                          LOCK_FIELDS field
     killed: bool = False                    # a killed tag never responds
+    # Per-word USER-bank permalock bits (BlockPermalock, Gen2 6.3.2.12.3.9;
+    # block granularity modeled as one 16-bit word).
+    user_permalock: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -160,6 +163,9 @@ class Tag:
             self.user_bank = np.zeros(128, dtype=np.int64)
         if self.lock_state is None:
             self.lock_state = np.zeros(10, dtype=np.int64)
+        if self.user_permalock is None:
+            self.user_permalock = np.zeros(self.user_bank.size // 16,
+                                           dtype=np.int64)
         self._rng = np.random.default_rng(self.seed)
 
     @classmethod
@@ -292,7 +298,8 @@ class Tag:
                                    & ~(0xFFFF << shift)) | (word << shift)
             return True
         if mb == (1, 1):
-            if 16 * (wordptr + 1) <= self.user_bank.size:
+            if (16 * (wordptr + 1) <= self.user_bank.size
+                    and not self.user_permalock[wordptr]):
                 self.user_bank[16 * wordptr: 16 * (wordptr + 1)] = bits16
                 return True
             return False
@@ -302,6 +309,61 @@ class Tag:
                 self.epc96[off: off + 16] = bits16
                 return True
         return False
+
+    def erase_words(self, membank, wordptr: int, wordcount: int,
+                    secured: bool = False) -> bool:
+        """BlockErase (Gen2 6.3.2.12.3.8): zero ``wordcount`` words from
+        ``wordptr``.  Atomic: fails (no reply) unless every word is
+        writable - lock-gated like Write, plus per-word USER permalocks."""
+        mb = tuple(membank)
+        if not self.write_allowed(membank, secured):
+            return False
+        if mb == (1, 1):
+            if 16 * (wordptr + wordcount) > self.user_bank.size:
+                return False
+            if np.any(self.user_permalock[wordptr: wordptr + wordcount]):
+                return False
+            self.user_bank[16 * wordptr: 16 * (wordptr + wordcount)] = 0
+            return True
+        if mb == (0, 1):
+            if wordptr < 2:          # StoredCRC/PC are derived/read-only
+                return False
+            off = 16 * (wordptr - 2)
+            if off + 16 * wordcount > self.epc96.size:
+                return False
+            self.epc96[off: off + 16 * wordcount] = 0
+            return True
+        return False
+
+    def permalock_status(self, membank, blockptr: int,
+                         blockrange: int) -> Optional[np.ndarray]:
+        """BlockPermalock Read/Lock=0: the permalock bits of ``blockrange``
+        mask words from ``blockptr`` (16 one-word blocks per mask word;
+        out-of-range blocks read 0).  USER bank only (the modeled
+        block-permalockable bank)."""
+        if tuple(membank) != (1, 1):
+            return None
+        out = np.zeros(16 * blockrange, dtype=np.int64)
+        for k in range(16 * blockrange):
+            w = 16 * blockptr + k
+            if w < self.user_permalock.size:
+                out[k] = self.user_permalock[w]
+        return out
+
+    def apply_block_permalock(self, membank, blockptr: int,
+                              mask: np.ndarray) -> bool:
+        """BlockPermalock Read/Lock=1: one-way permalock of masked blocks.
+        Fails if any masked block is outside the bank."""
+        if tuple(membank) != (1, 1):
+            return False
+        mask = np.asarray(mask, dtype=np.int64)
+        for k in range(mask.size):
+            if mask[k] and 16 * blockptr + k >= self.user_permalock.size:
+                return False
+        for k in range(mask.size):
+            if mask[k]:
+                self.user_permalock[16 * blockptr + k] = 1
+        return True
 
     def draw_rn16(self) -> np.ndarray:
         return self._rng.integers(0, 2, size=16).astype(np.int64)

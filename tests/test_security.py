@@ -255,3 +255,79 @@ def test_live_kill_miller(m):
     st = LiveReader(cfg, kill_pwd=0x0BAD0DAD).run_inventory(ch, 2)
     assert st.n_kill_ok == 1 and tag.killed
     assert st.n_epc_correct == 1
+
+
+# ---- BlockErase / BlockPermalock (Gen2 6.3.2.12.3.8-9) ---------------------
+
+def test_blockerase_blockpermalock_bit_synthesis():
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2, 16)
+
+    eb = gen2.blockerase_bits(h, wordptr=3, wordcount=2)
+    mb, wp, wc, hh, ok = gen2.parse_blockerase(eb)
+    assert ok and mb == gen2.MEMBANK_USER and (wp, wc) == (3, 2)
+    np.testing.assert_array_equal(hh, h)
+    bad = eb.copy()
+    bad[20] ^= 1
+    assert not gen2.parse_blockerase(bad)[4]
+
+    mask = rng.integers(0, 2, 16)
+    pb = gen2.blockpermalock_bits(h, read_lock=1, blockptr=0, blockrange=1,
+                                  mask=mask)
+    mb, rl, bp, br, m, hh, ok = gen2.parse_blockpermalock(pb)
+    assert ok and rl == 1 and (bp, br) == (0, 1)
+    np.testing.assert_array_equal(m, mask)
+    np.testing.assert_array_equal(hh, h)
+    # Status-read form carries no mask.
+    pb0 = gen2.blockpermalock_bits(h, read_lock=0, blockptr=0)
+    mb, rl, bp, br, m, hh, ok = gen2.parse_blockpermalock(pb0)
+    assert ok and rl == 0 and m.size == 0
+    np.testing.assert_array_equal(hh, h)
+
+
+def test_live_blockerase_zeroes_user_words():
+    tag = _tag()
+    tag.user_bank[16:48] = 1                      # words 1-2 all-ones
+    ch = SimTagChannel(CFG, [tag], seed=4)
+    st = LiveReader(CFG, block_erase=(1, 2),
+                    access_read=(1, 2, "user")).run_inventory(ch, 2)
+    assert st.n_blockerase_ok == 2
+    assert not tag.user_bank[16:48].any()
+    # The post-erase Read (same slot, after the erase) sees zeros.
+    np.testing.assert_array_equal(st.read_words[0x2B], np.zeros(32))
+
+
+def test_live_blockpermalock_blocks_future_writes():
+    tag = _tag()
+    mask = np.zeros(16, dtype=np.int64)
+    mask[2] = 1                                   # permalock USER word 2
+    ch = SimTagChannel(CFG, [tag], seed=5)
+    st = LiveReader(CFG, block_permalock=(0, mask)).run_inventory(ch, 2)
+    assert st.n_blockpermalock_ok >= 1
+    assert tag.user_permalock[2] == 1
+    # A later Write to the permalocked word fails; other words still write.
+    ch2 = SimTagChannel(CFG, [tag], seed=6)
+    st2 = LiveReader(CFG, access_write=(2, _word(0xBEEF),
+                                        "user")).run_inventory(ch2, 1)
+    assert st2.n_write_ok == 0
+    assert not tag.user_bank[32:48].any()
+    ch3 = SimTagChannel(CFG, [tag], seed=7)
+    st3 = LiveReader(CFG, access_write=(3, _word(0xBEEF),
+                                        "user")).run_inventory(ch3, 1)
+    assert st3.n_write_ok == 1
+    # BlockErase over a permalocked word is atomic: nothing is erased.
+    tag.user_bank[16:32] = 1
+    ch4 = SimTagChannel(CFG, [tag], seed=8)
+    st4 = LiveReader(CFG, block_erase=(1, 2)).run_inventory(ch4, 1)
+    assert st4.n_blockerase_ok == 0
+    assert tag.user_bank[16:32].all()
+
+
+def test_live_blockpermalock_status_read():
+    tag = _tag()
+    tag.user_permalock[:] = [0, 1, 0, 1, 0, 0, 0, 0]
+    ch = SimTagChannel(CFG, [tag], seed=9)
+    st = LiveReader(CFG, block_permalock=(0, None)).run_inventory(ch, 1)
+    want = np.zeros(16, dtype=np.int64)
+    want[:8] = tag.user_permalock
+    np.testing.assert_array_equal(st.permalock_status[0x2B], want)
