@@ -79,13 +79,13 @@ def cmd_decode(args) -> int:
     if getattr(args, "mrc", False):
         # Treat the captures as time-aligned RX channels of ONE air
         # interface (antenna diversity) instead of consecutive segments.
-        from ..runtime.diversity import decode_capture_mrc
+        from ..runtime.diversity import decode_capture_mrc_full
 
         chans = [read_trace(p_) for p_ in args.capture]
         n0 = chans[0].shape[0]
         assert all(c.shape[0] == n0 for c in chans), \
             "--mrc channels must be equal length (time-aligned)"
-        stats, last_dec = decode_capture_mrc(chans, cfg)
+        stats, last_dec, h_chan = decode_capture_mrc_full(chans, cfg)
         total = n0 * len(chans)
         dt = time.perf_counter() - t0
         print_results(stats)
@@ -96,6 +96,16 @@ def cmd_decode(args) -> int:
                 print(f"| Tag {t:#04x}: RSSI {r['rssi_dbfs']:+.1f} dBfs "
                       f"(ch0), phase {np.degrees(r['phase_rad']):+.1f} deg, "
                       f"{r['n_reads']} reads over {len(chans)} channels")
+        if args.antenna_pos:
+            from ..runtime.ranging import aoa_from_mrc
+
+            assert len(args.antenna_pos) == len(chans), \
+                "--antenna-pos needs one position per --mrc channel"
+            for t, a in sorted(aoa_from_mrc(last_dec, h_chan,
+                                            args.antenna_pos,
+                                            cfg.freq_hz).items()):
+                print(f"| Tag {t:#04x}: bearing {a['aoa_deg']:+.1f} deg "
+                      f"(fit residual {a['resid_rad']:.3f} rad)")
         print(f"| Decoded {total} samples in {dt:.2f} s "
               f"({total / dt / 1e6:.1f} Msamples/s)")
         return 0
@@ -371,6 +381,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "length decode handles shorter tags automatically)")
     d.add_argument("--freq-mhz", type=float,
                    help="carrier frequency (for the -v Doppler report)")
+    d.add_argument("--antenna-pos", type=float, nargs="+", metavar="X",
+                   help="with --mrc: RX antenna positions (m) along a "
+                        "linear array; prints per-tag angle of arrival")
     d.set_defaults(fn=cmd_decode)
 
     r = sub.add_parser("range", help="PDOA tag ranging: one capture per "

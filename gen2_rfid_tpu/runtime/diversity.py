@@ -35,9 +35,15 @@ from .stats import InventoryStats
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_capture_mrc_planar(
     iq2c: jnp.ndarray, cfg: ReaderConfig
-) -> Tuple[InventoryStats, DecodedEvents]:
+) -> Tuple[InventoryStats, DecodedEvents, jnp.ndarray]:
     """iq2c: (C, 2, N) float32 planar ADC captures, one per RX channel,
-    time-aligned (same TX, different antennas/paths)."""
+    time-aligned (same TX, different antennas/paths).
+
+    Returns (stats, events, h_chan) with h_chan (E, C, 2) float32: the
+    per-event per-channel channel estimates - the interferometric
+    observable (per-antenna backscatter phase) that
+    ``runtime/ranging.py::estimate_aoa`` turns into an angle of arrival.
+    """
     assert cfg.miller_m == 1, "MRC decode is FM0-only for now"
     taps = matched_taps(cfg)
 
@@ -103,13 +109,22 @@ def decode_capture_mrc_planar(
         rn16_margin=margin,
         cmd_type=cmd,
     )
-    return replay_inventory(dec, cfg), dec
+    h_chan = jnp.stack([jnp.real(h), jnp.imag(h)], axis=-1)  # (E, C, 2)
+    return replay_inventory(dec, cfg), dec, h_chan
 
 
 def decode_capture_mrc(
     iq_channels, cfg: ReaderConfig
 ) -> Tuple[InventoryStats, DecodedEvents]:
     """Host-facing entry: iq_channels = sequence of complex (N,) captures."""
+    return decode_capture_mrc_full(iq_channels, cfg)[:2]
+
+
+def decode_capture_mrc_full(
+    iq_channels, cfg: ReaderConfig
+) -> Tuple[InventoryStats, DecodedEvents, jnp.ndarray]:
+    """decode_capture_mrc + the (E, C, 2) per-channel channel estimates
+    (AoA observable, see estimate_aoa)."""
     planar = jnp.asarray(np.stack([
         np.stack([np.asarray(x).real.astype(np.float32),
                   np.asarray(x).imag.astype(np.float32)])

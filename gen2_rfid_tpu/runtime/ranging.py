@@ -138,3 +138,60 @@ def range_from_captures(
             fs = sorted(fp)
             out[tid] = estimate_range(fs, [fp[f] for f in fs])
     return out
+
+
+def estimate_aoa(antenna_pos_m: Sequence[float], phases_rad: Sequence[float],
+                 freq_hz: float) -> Dict[str, float]:
+    """Interferometric angle of arrival from per-antenna backscatter phases.
+
+    With a common TX path and RX antennas on a linear array at positions
+    x_c (meters, along the array axis), a far-field tag at bearing theta
+    (from broadside) arrives with per-antenna phase
+    ``phi_c = const + 2 pi f x_c sin(theta) / c`` (one-way RX leg only -
+    the shared TX leg cancels in differences).  Least-squares fit of the
+    unwrapped phase against x_c gives sin(theta); antenna spacing must be
+    <= lambda/2 (~16.5 cm at 910 MHz) for unambiguous unwrapping.
+
+    Returns {"aoa_deg", "sin_theta", "resid_rad"}.
+    """
+    x = np.asarray(antenna_pos_m, dtype=np.float64)
+    p = np.asarray(phases_rad, dtype=np.float64)
+    assert x.size == p.size and x.size >= 2
+    order = np.argsort(x)
+    x, p = x[order], p[order]
+    lam = C_LIGHT / freq_hz
+    for i in range(1, x.size):
+        assert x[i] - x[i - 1] <= lam / 2 + 1e-9, (
+            "antenna spacing exceeds lambda/2 - AoA ambiguous")
+    pu = np.unwrap(p)
+    slope, icept = np.polyfit(x - x.mean(), pu, 1)
+    resid = float(np.sqrt(np.mean((pu - (slope * (x - x.mean()) + icept)) ** 2)))
+    s = float(np.clip(slope * lam / (2.0 * np.pi), -1.0, 1.0))
+    return {
+        "aoa_deg": float(np.degrees(np.arcsin(s))),
+        "sin_theta": s,
+        "resid_rad": resid,
+    }
+
+
+def aoa_from_mrc(dec, h_chan, antenna_pos_m: Sequence[float],
+                 freq_hz: float) -> Dict[int, Dict[str, float]]:
+    """Per-tag AoA from a diversity decode (decode_capture_mrc_full).
+
+    For every CRC-passed EPC read, the per-channel phase differences
+    relative to antenna 0 are averaged circularly across reads (absolute
+    phase varies read-to-read with tag state; the inter-antenna
+    differences are geometry), then fit with estimate_aoa.
+    """
+    valid = np.asarray(dec.valid) & np.asarray(dec.epc_pass)
+    tid = np.asarray(dec.tag_id)[valid]
+    h = np.asarray(h_chan)[valid]                 # (R, C, 2)
+    hc = h[..., 0] + 1j * h[..., 1]               # (R, C)
+    out: Dict[int, Dict[str, float]] = {}
+    for t in np.unique(tid):
+        m = tid == t
+        rel = hc[m] * np.conj(hc[m][:, :1])       # phase vs antenna 0
+        rel = rel / np.maximum(np.abs(rel), 1e-30)
+        phases = np.angle(rel.mean(axis=0))       # circular mean per antenna
+        out[int(t)] = estimate_aoa(antenna_pos_m, phases, freq_hz)
+    return out

@@ -84,3 +84,42 @@ def test_static_tag_reports_zero_velocity():
     est = estimate_velocity(series["time_s"], series["phase_rad"],
                             cfg.freq_hz)
     assert abs(est["velocity_mps"]) < 0.02
+
+
+def test_aoa_from_diversity_decode():
+    """Interferometric bearing: a 4-antenna lambda/4 array decodes one air
+    interface (MRC); per-antenna phase differences localize the tag's
+    angle of arrival to within a degree."""
+    from gen2_rfid_tpu.runtime.diversity import decode_capture_mrc_full
+    from gen2_rfid_tpu.runtime.ranging import C_LIGHT, aoa_from_mrc
+
+    cfg = ReaderConfig(max_events=64)
+    f = cfg.freq_hz
+    lam = C_LIGHT / f
+    pos = [k * lam / 4 for k in range(4)]     # lambda/4 linear array
+    for theta_deg in (25.0, -40.0, 0.0):
+        s = np.sin(np.radians(theta_deg))
+        chans = []
+        for x in pos:
+            phi = 2 * np.pi * f * x * s / C_LIGHT
+            tag = Tag.with_id(27, seed=7,
+                              backscatter=0.08 * np.exp(1j * (0.4 + phi)))
+            tr = synthesize_inventory(cfg, [tag], n_rounds=4,
+                                      seed=int(x * 1e4) + 5)
+            chans.append(tr.iq)
+        n = min(c.size for c in chans)
+        stats, dec, h_chan = decode_capture_mrc_full(
+            [c[:n] for c in chans], cfg)
+        assert int(stats.n_epc_correct) == 4
+        est = aoa_from_mrc(dec, h_chan, pos, f)[27]
+        assert abs(est["aoa_deg"] - theta_deg) < 1.0, (theta_deg, est)
+        assert est["resid_rad"] < 0.1
+
+
+def test_aoa_spacing_guard():
+    import pytest
+
+    from gen2_rfid_tpu.runtime.ranging import estimate_aoa
+
+    with pytest.raises(AssertionError):
+        estimate_aoa([0.0, 0.5], [0.0, 1.0], 910e6)   # > lambda/2
