@@ -93,6 +93,11 @@ class LiveStats:
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> BlockPermalock status bits
+    # Per-read localization observables: tag id -> [(t_s, phase_rad,
+    # rssi_dbfs), ...] from each correct EPC's channel estimate - the live
+    # counterpart of runtime/ranging.py::tag_phase_series.
+    phase_reads: Dict[int, List[tuple]] = dataclasses.field(
+        default_factory=dict)
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
     sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
@@ -101,6 +106,15 @@ class LiveStats:
     def __post_init__(self):
         if self.tag_reads is None:
             self.tag_reads = np.zeros(N_TAG_BINS, np.int64)
+
+    def phase_series(self, tag_id: int) -> Dict[str, np.ndarray]:
+        """(time_s, phase_rad, rssi_dbfs) arrays for one tag - feed to
+        runtime.ranging.estimate_velocity / range_from_captures."""
+        rows = np.asarray(self.phase_reads.get(tag_id, []), dtype=np.float64)
+        if rows.size == 0:
+            rows = rows.reshape(0, 3)
+        return {"time_s": rows[:, 0], "phase_rad": rows[:, 1],
+                "rssi_dbfs": rows[:, 2]}
 
     def latency_summary(self) -> Dict[str, float]:
         lat = np.asarray(self.slot_latency_s, dtype=np.float64)
@@ -214,7 +228,10 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
         if want_epc:
             # Mode-aware validation: native parses the PC length field
             # (variable-length EPC), compat pins the reference's fixed check.
-            return fits, bits, _validate_epc(bits[None], cfg)[0][0]
+            # h rides out planar (re, im): the per-read phase observable
+            # (runtime/ranging.py Doppler / PDOA in the live loop).
+            return (fits, bits, _validate_epc(bits[None], cfg)[0][0],
+                    jnp.real(h), jnp.imag(h))
         energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
         h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
         return fits, bits, margin, energy, h2, ev.noise_var[pos]
@@ -595,7 +612,8 @@ class LiveReader:
         if mode.startswith("acc:"):
             return np.asarray(out[1])
         if mode == "epc":
-            return np.asarray(out[1]), bool(out[2])
+            return (np.asarray(out[1]), bool(out[2]),
+                    complex(float(out[3]), float(out[4])))
         if mode == "epc_sic":
             return (np.asarray(out[1]), bool(out[2]),
                     np.asarray(out[3]), bool(out[4]))
@@ -635,6 +653,7 @@ class LiveReader:
         cw_a = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
         empty = np.zeros(0, np.int64)
 
+        self._t0_run = time.perf_counter()
         # START: power-up CW before the first Query (reader_impl.cc:219-224).
         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
         self._send_select(channel)
@@ -719,15 +738,28 @@ class LiveReader:
                 rx2, "epc_sic" if self.sic else "epc")
             epc_ok = False
             if out is not None:
+                h_read = None
                 if self.sic:
                     epc_bits, epc_ok, epc_bits2, epc_ok2 = out
                 else:
-                    epc_bits, epc_ok = out
+                    epc_bits, epc_ok, h_read = out
                     epc_bits2, epc_ok2 = None, False
                 if epc_ok:
                     st.n_epc_correct += 1
                     # PC-length-aware id (== bits[104:112] for 96-bit EPCs).
                     tid = gen2.parse_epc_frame(epc_bits)[2]
+                    if h_read is not None:
+                        # Per-read phase/RSSI observable at the channel's
+                        # signal clock (SimTagChannel.t_samples; wall clock
+                        # for radio adapters without one).
+                        tsmp = getattr(channel, "t_samples", None)
+                        t_s = ((tsmp - len(rx2)) / cfg.adc_rate
+                               if tsmp is not None
+                               else time.perf_counter() - self._t0_run)
+                        st.phase_reads.setdefault(tid, []).append(
+                            (t_s, float(np.angle(h_read)),
+                             float(10 * np.log10(max(abs(h_read) ** 2,
+                                                     1e-30)))))
                     st.tag_reads[tid] += 1
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:

@@ -123,3 +123,20 @@ def test_aoa_spacing_guard():
 
     with pytest.raises(AssertionError):
         estimate_aoa([0.0, 0.5], [0.0, 1.0], 910e6)   # > lambda/2
+
+
+def test_live_doppler_phase_series():
+    """The live reader records per-read phase observables; a receding tag's
+    Doppler velocity comes straight out of one live inventory."""
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+
+    cfg = ReaderConfig()
+    v_true = 1.2
+    tag = Tag.with_id(27, seed=7, distance_m=2.5, velocity_mps=v_true)
+    st = LiveReader(cfg).run_inventory(SimTagChannel(cfg, [tag], seed=3), 25)
+    assert st.n_epc_correct == 25
+    s = st.phase_series(0x1B)
+    assert s["time_s"].size == 25
+    est = estimate_velocity(s["time_s"], s["phase_rad"], cfg.freq_hz)
+    assert abs(est["velocity_mps"] - v_true) < 0.05, est
