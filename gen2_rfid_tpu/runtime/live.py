@@ -88,6 +88,7 @@ class LiveStats:
     n_blockwrite_ok: int = 0   # BlockWrite success replies verified
     n_blockerase_ok: int = 0   # BlockErase success replies verified
     n_blockpermalock_ok: int = 0  # BlockPermalock (Read/Lock=1) successes
+    n_truncated_reads: int = 0  # EPCs read via truncated replies
     n_kill_ok: int = 0         # tags killed (second-half success reply)
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
@@ -330,6 +331,7 @@ class LiveReader:
         sic: bool = False,
         target_ab: bool = False,
         select_mask=None,
+        select_truncate: bool = False,
         access_read=None,
         access_write=None,
         access_pwd: Optional[int] = None,
@@ -344,6 +346,20 @@ class LiveReader:
         self.target = int(cfg.target)
         self.select_mask = select_mask
         self._sel = gen2.SEL_SL if select_mask is not None else None
+        # Select Truncate=1 (Gen2 6.3.2.12.1.1): ACKed tags backscatter
+        # only the EPC following the mask (+ header-0 + CRC-16) - the
+        # air-time saving for long masks.  The reader derives the reply
+        # length from its own mask and the population EPC length
+        # (cfg.epc_bits), so the decode window is static.
+        self.select_truncate = select_truncate
+        self._trunc_nb = None
+        if select_truncate:
+            assert select_mask is not None, "truncate needs a Select mask"
+            mask, pointer = select_mask
+            epc_len = 16 * ((cfg.epc_bits - 33) // 16)
+            rem = (0x20 + epc_len) - (pointer + len(mask))
+            assert rem >= 8, "mask leaves too little EPC to identify a tag"
+            self._trunc_nb = 1 + rem + 16      # header + remainder + CRC
         self.access_read = access_read
         self.access_write = access_write
         self.access_pwd = access_pwd
@@ -586,7 +602,8 @@ class LiveReader:
         if self.select_mask is None:
             return
         mask, pointer = self.select_mask
-        sb = gen2.select_bits(np.asarray(mask), pointer)
+        sb = gen2.select_bits(np.asarray(mask), pointer,
+                              truncate=int(self.select_truncate))
         channel.exchange("select", sb, self.enc.select(sb),
                          float(self.cfg.cw_us))
         _log.debug("SELECT | ptr=%#x len=%d", pointer, len(mask))
@@ -733,10 +750,35 @@ class LiveReader:
             # the RN16 branch always yields 16 bits). ----
             _log.debug("SEND ACK | rn16=%s", "".join(map(str, rn16)))
             ack = gen2.ack_bits(np.asarray(rn16))
-            rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
-            out = self._decode_window(
-                rx2, "epc_sic" if self.sic else "epc")
             epc_ok = False
+            out = None
+            if self._trunc_nb:
+                # Truncated reply (Select Truncate=1): header-0 +
+                # EPC-after-mask + CRC-16, in a correspondingly shorter CW
+                # (the feature's air-time win).
+                nb = self._trunc_nb
+                cw_t = float(3 * cfg.t1_us + cfg.t2_us
+                             + (nb + 1 + cfg.effective_preamble_bits)
+                             * cfg.tag_bit_us)
+                rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_t)
+                tout = self._decode_window(rx2, f"acc:{nb}")
+                if (tout is not None and tout[0] == 0
+                        and np.array_equal(gen2._crc16_any(tout[: nb - 16]),
+                                           tout[nb - 16:])):
+                    epc_ok = True
+                    st.n_epc_correct += 1
+                    st.n_truncated_reads += 1
+                    # The ID byte (last EPC byte) always rides the
+                    # remainder (asserted >= 8 bits at construction).
+                    tid = int("".join(map(str, tout[nb - 24: nb - 16])), 2)
+                    st.tag_reads[tid] += 1
+                    _log.debug("EPC (truncated) DECODED | tag %#x", tid)
+                    if self._wants_access:
+                        self._access_sequence(channel, rn16, tid)
+            else:
+                rx2 = channel.exchange("ack", ack, self.enc.ack(rn16), cw_a)
+                out = self._decode_window(
+                    rx2, "epc_sic" if self.sic else "epc")
             if out is not None:
                 h_read = None
                 if self.sic:

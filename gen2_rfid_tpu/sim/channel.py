@@ -32,6 +32,9 @@ class _TagState:
     cover_rn: Optional[np.ndarray] = None  # fresh RN16 for Write cover-coding
     secured: bool = False        # Secured state (valid Access sequence, or
     #                              zero access pwd at Req_RN, Gen2 6.3.2.4)
+    truncate_from: Optional[int] = None  # Select Truncate=1: EPC-bank bit
+    #                              address where the truncated ACK reply
+    #                              starts (= pointer + mask length)
     access_step: int = 0         # Access halves verified so far (0/1)
     kill_step: int = 0           # Kill halves verified so far (0/1)
     pending_flip: bool = False   # valid ACK received; flag flips at the
@@ -134,8 +137,8 @@ class SimTagChannel:
             # Gen2 6.3.2.12.1.1: matching tags apply the action to the
             # targeted flag.  Modeled: SL target, action 0 (matching assert
             # SL / non-matching deassert), EPC membank.
-            tgt, action, membank, ptr, mask, _, crc_ok = gen2.parse_select(
-                bits)
+            tgt, action, membank, ptr, mask, truncate, crc_ok = (
+                gen2.parse_select(bits))
             if (crc_ok and tgt == gen2.SELECT_TARGET_SL
                     and membank == gen2.MEMBANK_EPC and action == 0):
                 for ts in self.tags:
@@ -143,6 +146,12 @@ class SimTagChannel:
                     seg = mem[ptr: ptr + mask.size]
                     ts.sl = (seg.size == mask.size
                              and bool(np.array_equal(seg, mask)))
+                    # Truncate=1 (Gen2 6.3.2.12.1.1): a matching tag's ACK
+                    # reply carries only the EPC portion following the
+                    # mask; persists until the next Select / power loss.
+                    ts.truncate_from = (
+                        ptr + mask.size
+                        if (truncate and ts.sl and ptr >= 0x20) else None)
         elif kind == "query":
             self.q = gen2.parse_query_q(bits)
             self._target = gen2.parse_query_target(bits)
@@ -167,6 +176,7 @@ class SimTagChannel:
                 ts.flag_b = False
                 ts.sl = False
                 ts.pending_flip = False
+                ts.truncate_from = None
         # "cw": no protocol state changes - tags simply stay silent.
 
         cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
@@ -355,7 +365,20 @@ class SimTagChannel:
             acked = np.asarray(bits[2:18], dtype=np.int64)
             for ts in self._responders():
                 if ts.rn16 is not None and np.array_equal(acked, ts.rn16):
-                    replies.append((ts, reply_chips(cfg, ts.tag.epc_frame_bits())))
+                    if ts.truncate_from is not None:
+                        # Truncated reply (Gen2 6.3.2.12.1.1): header-0 +
+                        # the EPC following the mask + CRC-16 over the
+                        # backscattered bits.
+                        bank = ts.tag.epc_bank_bits()
+                        rem = bank[ts.truncate_from:]
+                        body = np.concatenate(
+                            [np.zeros(1, np.int64), rem])
+                        fr = np.concatenate(
+                            [body, gen2._crc16_any(body)])
+                        replies.append((ts, reply_chips(cfg, fr)))
+                    else:
+                        replies.append((ts, reply_chips(
+                            cfg, ts.tag.epc_frame_bits())))
                     ts.acked = True      # Acknowledged state: Req_RN valid
                     if self.session_ab:
                         # Valid ACK: flag toggles at the next non-NAK

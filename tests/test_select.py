@@ -101,3 +101,35 @@ def test_select_no_selection_without_command():
     ch.exchange("query", bits, PieEncoder(CFG).query(0, None, gen2.SEL_SL),
                 400.0)
     assert all(ts.slot == -1 for ts in ch.tags)
+
+
+def test_select_truncate_reads_remainder():
+    """Select Truncate=1 (Gen2 6.3.2.12.1.1): the ACKed tag backscatters
+    only the EPC following the mask (header-0 + remainder + CRC-16) in a
+    shorter CW - the reader still identifies and counts it."""
+    import numpy as np
+
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig()
+    t_match = Tag.with_id(0x1B, seed=7)              # EPC starts with zeros
+    t_other = Tag.with_id(0x2C, seed=8)
+    t_other.epc96[0] = 1                              # prefix differs
+    mask = np.zeros(16, dtype=np.int64)               # first EPC word
+    ch = SimTagChannel(cfg, [t_match, t_other], seed=5)
+    rd = LiveReader(cfg, select_mask=(mask, 0x20), select_truncate=True)
+    # The truncated reply is 97 bits (1 + 80 + 16) vs the full 129-bit frame.
+    assert rd._trunc_nb == 97
+    st = rd.run_inventory(ch, 3)
+    assert st.n_epc_correct == 3
+    assert st.n_truncated_reads == 3
+    assert st.tag_reads[0x1B] == 3
+    assert st.tag_reads[0x2C] == 0
+
+    # Same Select without Truncate: full frames, zero truncated reads.
+    ch2 = SimTagChannel(cfg, [t_match, t_other], seed=6)
+    st2 = LiveReader(cfg, select_mask=(mask, 0x20)).run_inventory(ch2, 2)
+    assert st2.n_epc_correct == 2 and st2.n_truncated_reads == 0
