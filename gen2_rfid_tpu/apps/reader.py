@@ -155,6 +155,24 @@ def cmd_decode(args) -> int:
             print(f"| EPC-window SIC: {len(rec)} extra EPCs recovered")
             for tid, n in sorted(extra.items()):
                 print(f"| Tag {tid:#x} (SIC residual): {n} reads")
+    if getattr(args, "report", None) and not args.chunked \
+            and len(args.capture) == 1:
+        # Per-read JSON-lines tag report (the LLRP RO_ACCESS_REPORT
+        # analogue; runtime/stats.py::tag_report_records).
+        import json
+
+        from ..runtime.stats import tag_report_records
+
+        recs = tag_report_records(
+            last_dec, cfg,
+            freq_hz=(args.freq_mhz * 1e6) if args.freq_mhz else None)
+        out = (sys.stdout if args.report == "-"
+               else open(args.report, "w"))
+        for r in recs:
+            out.write(json.dumps(r) + "\n")
+        if out is not sys.stdout:
+            out.close()
+            print(f"| Wrote {len(recs)} tag-report records to {args.report}")
     if args.verbose:
 
         cc = np.asarray(stats.cmd_counts)
@@ -384,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--antenna-pos", type=float, nargs="+", metavar="X",
                    help="with --mrc: RX antenna positions (m) along a "
                         "linear array; prints per-tag angle of arrival")
+    d.add_argument("--report", metavar="FILE",
+                   help="write per-read JSON-lines tag reports (time, EPC "
+                        "hex, RSSI, phase) to FILE ('-' = stdout)")
     d.set_defaults(fn=cmd_decode)
 
     r = sub.add_parser("range", help="PDOA tag ranging: one capture per "

@@ -121,3 +121,43 @@ def tag_signal_report(dec) -> dict:
             "n_reads": int(hs.shape[0]),
         }
     return out
+
+
+def tag_report_records(dec, cfg, freq_hz: float = None) -> list:
+    """Per-read tag report records (the LLRP RO_ACCESS_REPORT analogue
+    commercial readers stream; the reference only prints an end-of-run
+    summary, reader_impl.cc:173-192).
+
+    One dict per CRC-passed EPC read: time (s, capture clock), the full
+    EPC (hex, PC-length-aware), tag id, RSSI (dBfs), backscatter phase
+    (rad), and the carrier (MHz) when given.  Serializes to JSON lines
+    (CLI decode --report).
+    """
+    from ..protocol.gen2 import parse_epc_frame
+
+    valid = np.asarray(dec.valid) & np.asarray(dec.epc_pass)
+    idx = np.asarray(dec.index)[valid]
+    bits = np.asarray(dec.epc_bits)[valid]
+    tid = np.asarray(dec.tag_id)[valid]
+    h = np.asarray(dec.h_est)[valid]
+    hc = h[:, 0] + 1j * h[:, 1]
+    out = []
+    for k in range(idx.size):
+        ok, l, _ = parse_epc_frame(bits[k])
+        epc = bits[k][16: 16 + 16 * l]
+        epc_hex = "".join(
+            f"{int(''.join(map(str, epc[j: j + 4])), 2):x}"
+            for j in range(0, epc.size, 4)) if ok else ""
+        rec = {
+            "time_s": round(float(idx[k] / cfg.sample_rate), 6),
+            "epc": epc_hex,
+            "epc_words": int(l),
+            "tag_id": int(tid[k]),
+            "rssi_dbfs": round(float(
+                10 * np.log10(max(abs(hc[k]) ** 2, 1e-30))), 2),
+            "phase_rad": round(float(np.angle(hc[k])), 4),
+        }
+        if freq_hz:
+            rec["channel_mhz"] = round(freq_hz / 1e6, 3)
+        out.append(rec)
+    return out

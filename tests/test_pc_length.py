@@ -138,3 +138,27 @@ def test_native_engine_variable_length():
     assert int(st.n_epc_correct) == tr.expected_epc_pass
     for tid, want in tr.expected_tag_reads.items():
         assert reads[tid] == want
+
+
+def test_tag_report_records_epc_hex():
+    """Per-read JSON tag reports carry the full PC-length-aware EPC hex."""
+    from gen2_rfid_tpu.runtime.stats import tag_report_records
+
+    tags = [Tag.with_id(0x21, n_words=2, seed=3),
+            Tag.with_id(0x88, n_words=8, seed=5, backscatter=0.05 + 0.06j)]
+    cfg = ReaderConfig(epc_bits=161, fixed_q=1, max_events=64)
+    tr = synthesize_inventory(cfg, tags, n_rounds=3, seed=15)
+    _, dec = decode_capture(tr.iq, cfg)
+    recs = tag_report_records(dec, cfg, freq_hz=915e6)
+    assert len(recs) == tr.expected_epc_pass
+    by_id = {}
+    for r in recs:
+        by_id.setdefault(r["tag_id"], r)
+        assert r["channel_mhz"] == 915.0
+        assert len(r["epc"]) == 4 * r["epc_words"]
+        assert r["rssi_dbfs"] > -30
+    assert by_id[0x21]["epc"] == "00000021"       # 2 words = 8 nibbles
+    assert by_id[0x88]["epc"].endswith("88") and by_id[0x88]["epc_words"] == 8
+    # times strictly increase per tag
+    t_all = [r["time_s"] for r in recs]
+    assert t_all == sorted(t_all)
