@@ -1,0 +1,227 @@
+"""AES-128 crypto suite for Gen2 v2 tag authentication (ISO/IEC 29167-10).
+
+The reference reader predates EPC Gen2 v2 and has no security layer at all
+(its command set stops at Query/QueryRep/QueryAdjust/ACK/NAK,
+``reader_impl.cc:200-380``).  Gen2 v2 adds cryptographic tag authentication:
+the reader issues a Challenge/Authenticate carrying a crypto-suite message,
+and the tag proves key possession by returning a cryptographic response.
+Crypto suite 0x00 is ISO/IEC 29167-10 AES-128; its TAM1 (Tag Authentication
+Method 1) exchange is the shape implemented here:
+
+* reader draws a 96-bit random challenge ``IChallenge``;
+* the tag forms the 128-bit block ``IChallenge || TRnd32`` (TRnd32 = a
+  fresh tag-generated 32-bit random) and replies with its AES-128
+  encryption under the selected key;
+* the reader decrypts and verifies the embedded challenge - a wrong key or
+  a replayed response fails the comparison.
+
+AES-128 itself follows FIPS-197 exactly (verified against the appendix-C
+known-answer vector in ``tests/test_auth.py``).  Everything is plain
+NumPy/Python: authentication is protocol-plane work at a few dozen blocks
+per inventory, nowhere near the TPU signal path, so it stays host-side like
+the rest of the command synthesis (``protocol/gen2.py``).
+
+The S-box is *computed* from its definition (multiplicative inverse in
+GF(2^8) mod the AES polynomial, then the affine transform) rather than
+pasted as a table, and the round constants from repeated xtime - both
+self-checked once at import against their defining identities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---- GF(2^8) arithmetic (AES polynomial x^8+x^4+x^3+x+1 = 0x11B) ----------
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x11B) if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    out = 0
+    while b:
+        if b & 1:
+            out ^= a
+        a = _xtime(a)
+        b >>= 1
+    return out
+
+
+def _build_sbox():
+    # Multiplicative inverse table by brute force (256*255 tiny ops, once).
+    inv = [0] * 256
+    for a in range(1, 256):
+        for b in range(1, 256):
+            if _gmul(a, b) == 1:
+                inv[a] = b
+                break
+    sbox = [0] * 256
+    for a in range(256):
+        x = inv[a]
+        # Affine transform: b_i = x_i ^ x_{i+4} ^ x_{i+5} ^ x_{i+6} ^
+        # x_{i+7} ^ c_i with c = 0x63 (FIPS-197 5.1.1).
+        y = 0
+        for i in range(8):
+            bit = ((x >> i) ^ (x >> ((i + 4) % 8)) ^ (x >> ((i + 5) % 8))
+                   ^ (x >> ((i + 6) % 8)) ^ (x >> ((i + 7) % 8))
+                   ^ (0x63 >> i)) & 1
+            y |= bit << i
+        sbox[a] = y
+    return sbox
+
+
+_SBOX = _build_sbox()
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+# Defining identities: S(0)=0x63, S(0x53)=0xED (FIPS-197 figure 7).
+assert _SBOX[0x00] == 0x63 and _SBOX[0x53] == 0xED
+_RCON = [1]
+for _ in range(9):
+    _RCON.append(_xtime(_RCON[-1]))
+assert _RCON[8] == 0x1B and _RCON[9] == 0x36
+
+
+def _expand_key(key: bytes):
+    """176-byte AES-128 key schedule (FIPS-197 5.2) as 11 round keys."""
+    assert len(key) == 16
+    w = [list(key[4 * i: 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]                       # RotWord
+            t = [_SBOX[b] for b in t]               # SubWord
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [bytes(sum(w[4 * r: 4 * r + 4], [])) for r in range(11)]
+
+
+def _state(block: bytes) -> np.ndarray:
+    """Column-major 4x4 state (FIPS-197 3.4): state[r, c] = in[r + 4c]."""
+    return np.frombuffer(block, dtype=np.uint8).reshape(4, 4).T.copy()
+
+
+def _unstate(st: np.ndarray) -> bytes:
+    return bytes(st.T.reshape(-1))
+
+
+def _mix_single(col, mat):
+    return [(_gmul(int(col[0]), mat[r][0]) ^ _gmul(int(col[1]), mat[r][1])
+             ^ _gmul(int(col[2]), mat[r][2]) ^ _gmul(int(col[3]), mat[r][3]))
+            for r in range(4)]
+
+
+_MIX = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
+_INV_MIX = [[14, 11, 13, 9], [9, 14, 11, 13], [13, 9, 14, 11],
+            [11, 13, 9, 14]]
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block AES-128 ECB encryption (FIPS-197 5.1)."""
+    rk = _expand_key(key)
+    st = _state(block) ^ _state(rk[0])
+    for rnd in range(1, 11):
+        st = np.array([[_SBOX[b] for b in row] for row in st], np.uint8)
+        st = np.array([np.roll(st[r], -r) for r in range(4)], np.uint8)
+        if rnd < 10:
+            st = np.array(
+                [_mix_single(st[:, c], _MIX) for c in range(4)],
+                np.uint8).T
+        st ^= _state(rk[rnd])
+    return _unstate(st)
+
+
+def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+    """One-block AES-128 ECB decryption (FIPS-197 5.3)."""
+    rk = _expand_key(key)
+    st = _state(block) ^ _state(rk[10])
+    for rnd in range(9, -1, -1):
+        st = np.array([np.roll(st[r], r) for r in range(4)], np.uint8)
+        st = np.array([[_INV_SBOX[b] for b in row] for row in st], np.uint8)
+        st ^= _state(rk[rnd])
+        if rnd > 0:
+            st = np.array(
+                [_mix_single(st[:, c], _INV_MIX) for c in range(4)],
+                np.uint8).T
+    return _unstate(st)
+
+
+# ---- bit <-> byte helpers (air-interface payloads are MSB-first bits) -----
+
+
+def bits_to_bytes(bits: np.ndarray) -> bytes:
+    b = np.asarray(bits, dtype=np.int64)
+    assert b.size % 8 == 0
+    return bytes(int("".join(map(str, b[8 * i: 8 * i + 8])), 2)
+                 for i in range(b.size // 8))
+
+
+def bytes_to_bits(data: bytes) -> np.ndarray:
+    out = np.zeros(8 * len(data), dtype=np.int64)
+    for i, byte in enumerate(data):
+        for k in range(8):
+            out[8 * i + k] = (byte >> (7 - k)) & 1
+    return out
+
+
+def key_bits(key128: int) -> np.ndarray:
+    """A 128-bit key as MSB-first bits (KeyUpdate / tag key storage)."""
+    return np.array([(key128 >> k) & 1 for k in range(127, -1, -1)],
+                    dtype=np.int64)
+
+
+# ---- TAM1 (ISO/IEC 29167-10 Tag Authentication Method 1) ------------------
+
+CSI_AES128 = 0x00            # crypto suite indicator: ISO 29167-10 AES-128
+TAM1_CHALLENGE_BITS = 96
+TAM1_RESPONSE_BITS = 128
+
+
+def tam1_message(key_id: int, challenge96: np.ndarray) -> np.ndarray:
+    """The Authenticate/Challenge Message field for TAM1.
+
+    Layout (ISO 29167-10 TAM1 shape): AuthMethod(2)=00, Custom(1)=0,
+    RFU(5)=0, KeyID(8), IChallenge(96) - 112 bits total.
+    """
+    c = np.asarray(challenge96, dtype=np.int64)
+    assert c.size == TAM1_CHALLENGE_BITS and 0 <= key_id < 256
+    head = [0, 0, 0] + [0] * 5
+    head += [(key_id >> k) & 1 for k in range(7, -1, -1)]
+    return np.concatenate([np.array(head, dtype=np.int64), c])
+
+
+def parse_tam1_message(msg: np.ndarray):
+    """-> (key_id, challenge96) or None when not a TAM1 message."""
+    m = np.asarray(msg, dtype=np.int64)
+    if m.size != 112 or np.any(m[:8] != 0):
+        return None
+    key_id = int("".join(map(str, m[8:16])), 2)
+    return key_id, m[16:]
+
+
+def tam1_response(key: bytes, challenge96: np.ndarray,
+                  trnd32: np.ndarray) -> np.ndarray:
+    """Tag side: AES-128-encrypt the block IChallenge(96) || TRnd(32)."""
+    c = np.asarray(challenge96, dtype=np.int64)
+    t = np.asarray(trnd32, dtype=np.int64)
+    assert c.size == 96 and t.size == 32
+    block = bits_to_bytes(np.concatenate([c, t]))
+    return bytes_to_bits(aes128_encrypt_block(key, block))
+
+
+def tam1_verify(key: bytes, challenge96: np.ndarray,
+                response128: np.ndarray):
+    """Reader side: decrypt and compare the embedded challenge.
+
+    Returns ``(ok, trnd32)``: ``ok`` iff the first 96 plaintext bits equal
+    the challenge the reader transmitted (proof the tag holds ``key``);
+    ``trnd32`` is the tag's random filler (useful as a session salt).
+    """
+    r = np.asarray(response128, dtype=np.int64)
+    assert r.size == TAM1_RESPONSE_BITS
+    plain = bytes_to_bits(aes128_decrypt_block(key, bits_to_bytes(r)))
+    ok = bool(np.array_equal(plain[:96],
+                             np.asarray(challenge96, dtype=np.int64)))
+    return ok, plain[96:]

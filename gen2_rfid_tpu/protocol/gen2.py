@@ -428,6 +428,107 @@ def parse_blockpermalock(bits: np.ndarray):
     return membank, read_lock, blockptr, blockrange, mask, handle, crc_ok
 
 
+# ---- Gen2 v2 security commands (EPC UHF Gen2 v2.0.1 6.3.2.12.3.10-12) ----
+# Cryptographic tag authentication - a whole protocol generation past the
+# reference (which predates Gen2 v2 entirely).  Challenge is broadcast
+# before inventory so tags precompute their response; Authenticate is
+# handle-addressed with an immediate reply; ReadBuffer retrieves a stored
+# (Challenge-precomputed) response.  The crypto suite itself lives in
+# protocol/crypto.py (ISO 29167-10 AES-128, TAM1).
+
+CHALLENGE_CODE = (1, 1, 0, 1, 0, 1, 0, 0)
+AUTHENTICATE_CODE = (1, 1, 0, 1, 0, 1, 0, 1)
+READBUFFER_CODE = (1, 1, 0, 1, 0, 0, 1, 0)
+
+
+def _len12(n: int):
+    return [(n >> k) & 1 for k in range(11, -1, -1)]
+
+
+def challenge_bits(message: np.ndarray, csi: int = 0,
+                   immed: int = 0) -> np.ndarray:
+    """Challenge = 11010100 + Immed(1) + IncRepLen(1)=0 + RFU(2) + CSI(8) +
+    Length(12) + Message + CRC-16 (Gen2 v2 6.3.2.12.3.10).  Broadcast (no
+    handle); tags supporting the suite precompute their response into the
+    ResponseBuffer (Immed=0; Immed=1's EPC-appended reply is not modeled)."""
+    message = np.asarray(message, dtype=np.int64)
+    assert immed == 0, "Immed=1 (EPC-appended reply) not modeled"
+    bits = list(CHALLENGE_CODE) + [immed, 0, 0, 0]
+    bits += [(csi >> k) & 1 for k in range(7, -1, -1)]
+    bits += _len12(message.size)
+    body = np.concatenate([np.array(bits, dtype=np.int64), message])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_challenge(bits: np.ndarray):
+    """-> (immed, csi, message, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == CHALLENGE_CODE
+    immed = int(b[8])
+    csi = int("".join(map(str, b[12:20])), 2)
+    n = int("".join(map(str, b[20:32])), 2)
+    message = b[32: 32 + n]
+    body = b[: 32 + n]
+    return immed, csi, message, bool(
+        np.array_equal(_crc16_any(body), b[32 + n:]))
+
+
+def authenticate_bits(handle: np.ndarray, message: np.ndarray,
+                      csi: int = 0) -> np.ndarray:
+    """Authenticate = 11010101 + RFU(2) + SenRep(1)=1 + IncRepLen(1)=0 +
+    CSI(8) + Length(12) + Message + handle(16) + CRC-16
+    (Gen2 v2 6.3.2.12.3.11).  SenRep=1: the tag sends its response in the
+    reply (header-0 + response + handle + CRC-16) rather than storing it."""
+    handle = np.asarray(handle, dtype=np.int64)
+    message = np.asarray(message, dtype=np.int64)
+    assert handle.size == 16
+    bits = list(AUTHENTICATE_CODE) + [0, 0, 1, 0]
+    bits += [(csi >> k) & 1 for k in range(7, -1, -1)]
+    bits += _len12(message.size)
+    body = np.concatenate([np.array(bits, dtype=np.int64), message, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_authenticate(bits: np.ndarray):
+    """-> (senrep, csi, message, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == AUTHENTICATE_CODE
+    senrep = int(b[10])
+    csi = int("".join(map(str, b[12:20])), 2)
+    n = int("".join(map(str, b[20:32])), 2)
+    message = b[32: 32 + n]
+    handle = b[32 + n: 48 + n]
+    body = b[: 48 + n]
+    return senrep, csi, message, handle, bool(
+        np.array_equal(_crc16_any(body), b[48 + n:]))
+
+
+def readbuffer_bits(handle: np.ndarray, bitptr: int = 0,
+                    bitcount: int = 128) -> np.ndarray:
+    """ReadBuffer = 11010010 + WordPtr(EBV-8, bit address / 16) +
+    BitCount(8) + handle(16) + CRC-16 (Gen2 v2 6.3.2.12.3.12): fetch
+    ``bitcount`` bits of the stored (Challenge-precomputed) response.
+    Reply is Read-shaped: header-0 + bits + handle + CRC-16."""
+    handle = np.asarray(handle, dtype=np.int64)
+    assert handle.size == 16 and bitptr % 16 == 0 and 0 < bitcount < 256
+    bits = list(READBUFFER_CODE)
+    bits += [((bitptr // 16) >> k) & 1 for k in range(7, -1, -1)]  # EBV-8
+    bits += [(bitcount >> k) & 1 for k in range(7, -1, -1)]
+    body = np.concatenate([np.array(bits, dtype=np.int64), handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_readbuffer(bits: np.ndarray):
+    """-> (bitptr, bitcount, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == READBUFFER_CODE
+    bitptr = 16 * int("".join(map(str, b[8:16])), 2)
+    bitcount = int("".join(map(str, b[16:24])), 2)
+    handle = b[24:40]
+    return bitptr, bitcount, handle, bool(
+        np.array_equal(_crc16_any(b[:40]), b[40:]))
+
+
 def pwd_halves(pwd32: int):
     """A 32-bit password as (MSB half bits, LSB half bits) - the order the
     two Access / Kill steps transmit them (Gen2 6.3.2.12.3.4/6)."""

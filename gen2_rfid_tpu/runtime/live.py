@@ -90,6 +90,9 @@ class LiveStats:
     n_blockpermalock_ok: int = 0  # BlockPermalock (Read/Lock=1) successes
     n_truncated_reads: int = 0  # EPCs read via truncated replies
     n_kill_ok: int = 0         # tags killed (second-half success reply)
+    n_auth_ok: int = 0         # TAM1 Authenticate responses verified
+    n_auth_fail: int = 0       # Authenticate replies that failed crypto
+    n_buffer_auth_ok: int = 0  # Challenge-precomputed (ReadBuffer) verifies
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
@@ -311,6 +314,16 @@ class LiveReader:
     ``kill_pwd``: 32-bit kill password — after each correct EPC, transmit
     the two-step Kill sequence (6.3.2.12.3.4); on the second success reply
     the tag is dead and never answers again.
+    ``authenticate``: (key_id, key16bytes) — Gen2 v2 cryptographic tag
+    authentication (6.3.2.12.3.11 + ISO 29167-10 AES-128 TAM1): after each
+    correct EPC and handle, the reader draws a fresh 96-bit challenge,
+    transmits Authenticate (SenRep=1), decodes the 128-bit immediate
+    response, decrypts it and verifies the embedded challenge — proof the
+    tag holds the key, replay-proof by construction.
+    ``challenge_auth``: (key_id, key16bytes) — the broadcast variant
+    (6.3.2.12.3.10): one Challenge before inventory lets every tag
+    precompute its response; after singulation a ReadBuffer (6.3.2.12.3.12)
+    fetches and verifies it, amortizing the crypto across the population.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -340,6 +353,8 @@ class LiveReader:
         block_erase=None,
         block_permalock=None,
         kill_pwd: Optional[int] = None,
+        authenticate=None,
+        challenge_auth=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -371,6 +386,11 @@ class LiveReader:
         # the permalock status, a mask permalocks those blocks (Secured).
         self.block_permalock = block_permalock
         self.kill_pwd = kill_pwd
+        # Gen2 v2 authentication: (key_id, 16-byte AES-128 key).
+        self.authenticate = authenticate
+        self.challenge_auth = challenge_auth
+        self._challenge = None       # outstanding broadcast challenge bits
+        self._auth_rng = np.random.default_rng(0x29167)
         self.cfg = cfg
         self.enc = PieEncoder(cfg)
         self.stats = LiveStats()
@@ -430,7 +450,8 @@ class LiveReader:
         return any(x is not None for x in (
             self.access_read, self.access_write, self.access_pwd,
             self.lock, self.block_write, self.block_erase,
-            self.block_permalock, self.kill_pwd))
+            self.block_permalock, self.kill_pwd, self.authenticate,
+            self.challenge_auth))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -489,6 +510,56 @@ class LiveReader:
                 return
             st.n_access_ok += 1
             _log.debug("ACCESS OK | tag %#x secured", tid)
+
+        if self.authenticate is not None:
+            # Gen2 v2 TAM1 (6.3.2.12.3.11 + ISO 29167-10): fresh challenge
+            # per tag, immediate 128-bit response, decrypt-and-compare.
+            from ..protocol import crypto
+
+            key_id, key = self.authenticate
+            chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
+            ab = gen2.authenticate_bits(
+                handle, crypto.tam1_message(key_id, chal))
+            nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
+            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("authenticate", ab, self.enc.command(ab),
+                                  cw)
+            out = self._decode_window(rx, f"acc:{nb}")
+            if (out is not None and out[0] == 0
+                    and np.array_equal(out[129:145], handle)
+                    and np.array_equal(gen2._crc16_any(out[:145]),
+                                       out[145:])):
+                ok, _ = crypto.tam1_verify(bytes(key), chal, out[1:129])
+                if ok:
+                    st.n_auth_ok += 1
+                    _log.debug("AUTHENTICATE OK | tag %#x", tid)
+                else:
+                    st.n_auth_fail += 1
+                    _log.debug("AUTHENTICATE CRYPTO FAIL | tag %#x", tid)
+
+        if self.challenge_auth is not None and self._challenge is not None:
+            # Fetch the Challenge-precomputed response (6.3.2.12.3.12) and
+            # verify it against the broadcast challenge.
+            from ..protocol import crypto
+
+            _, key = self.challenge_auth
+            rb = gen2.readbuffer_bits(handle,
+                                      bitcount=crypto.TAM1_RESPONSE_BITS)
+            nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
+            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("readbuffer", rb, self.enc.command(rb), cw)
+            out = self._decode_window(rx, f"acc:{nb}")
+            if (out is not None and out[0] == 0
+                    and np.array_equal(out[129:145], handle)
+                    and np.array_equal(gen2._crc16_any(out[:145]),
+                                       out[145:])):
+                ok, _ = crypto.tam1_verify(bytes(key), self._challenge,
+                                           out[1:129])
+                if ok:
+                    st.n_buffer_auth_ok += 1
+                    _log.debug("READBUFFER AUTH OK | tag %#x", tid)
+                else:
+                    st.n_auth_fail += 1
 
         if self.lock is not None:
             lb = gen2.lock_bits(handle, self.lock)
@@ -608,6 +679,23 @@ class LiveReader:
                          float(self.cfg.cw_us))
         _log.debug("SELECT | ptr=%#x len=%d", pointer, len(mask))
 
+    def _send_challenge(self, channel) -> None:
+        """Broadcast the Gen2 v2 Challenge (6.3.2.12.3.10): tags holding
+        the key precompute their TAM1 response for later ReadBuffer
+        retrieval.  Re-sent after every power-down (the ResponseBuffer does
+        not survive power loss)."""
+        if self.challenge_auth is None:
+            return
+        from ..protocol import crypto
+
+        key_id, _ = self.challenge_auth
+        self._challenge = self._auth_rng.integers(0, 2, 96).astype(np.int64)
+        cb = gen2.challenge_bits(crypto.tam1_message(key_id,
+                                                     self._challenge))
+        channel.exchange("challenge", cb, self.enc.command(cb),
+                         float(self.cfg.cw_us))
+        _log.debug("CHALLENGE | key_id=%d", key_id)
+
     # ADC samples per live block-shape bucket: PIE command waveforms vary
     # with the bit values (data-1 is 2x data-0, reader_impl.cc:55-56), so
     # un-bucketed blocks get a fresh shape - and a fresh XLA compile -
@@ -674,6 +762,7 @@ class LiveReader:
         # START: power-up CW before the first Query (reader_impl.cc:219-224).
         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
         self._send_select(channel)
+        self._send_challenge(channel)
         self._reset_ctx()
 
         rounds_issued = 0
@@ -697,8 +786,10 @@ class LiveReader:
                                          np.zeros(cfg.n_p_down_tx, np.float32),
                                          0.0)
                         channel.exchange("cw", empty, self.enc.cw_ack, 0.0)
-                        # SL does not survive power loss: re-select.
+                        # SL / ResponseBuffer do not survive power loss:
+                        # re-select, re-challenge.
                         self._send_select(channel)
+                        self._send_challenge(channel)
                         self._reset_ctx()
                     kind, bits = "query", gen2.query_bits(
                         cfg, self.q, self.target, self._sel)

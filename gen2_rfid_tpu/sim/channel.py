@@ -37,6 +37,10 @@ class _TagState:
     #                              starts (= pointer + mask length)
     access_step: int = 0         # Access halves verified so far (0/1)
     kill_step: int = 0           # Kill halves verified so far (0/1)
+    response_buffer: Optional[np.ndarray] = None  # Gen2 v2 ResponseBuffer:
+    #                              the Challenge-precomputed TAM1 response
+    #                              (persists until the next Challenge or
+    #                              power loss, Gen2 v2 6.3.2.12.3.10)
     pending_flip: bool = False   # valid ACK received; flag flips at the
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
@@ -177,6 +181,21 @@ class SimTagChannel:
                 ts.sl = False
                 ts.pending_flip = False
                 ts.truncate_from = None
+                ts.response_buffer = None
+        elif kind == "challenge":
+            # Gen2 v2 6.3.2.12.3.10: broadcast.  Tags holding the selected
+            # key precompute their crypto response into the ResponseBuffer
+            # (retrieved later, post-singulation, via ReadBuffer).
+            from ..protocol.crypto import parse_tam1_message
+
+            immed, csi, message, crc_ok = gen2.parse_challenge(bits)
+            if crc_ok:
+                parsed = parse_tam1_message(message)
+                for ts in self.tags:
+                    ts.response_buffer = None
+                    if parsed is not None and not ts.tag.killed:
+                        ts.response_buffer = ts.tag.tam1_answer(
+                            csi, parsed[0], parsed[1])
         # "cw": no protocol state changes - tags simply stay silent.
 
         cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
@@ -299,6 +318,39 @@ class SimTagChannel:
                             membank, blockptr, mask):
                         replies.append((ts, reply_chips(
                             cfg, gen2.write_reply_bits(ts.handle))))
+        elif kind == "authenticate":
+            # Gen2 v2 6.3.2.12.3.11 (SenRep=1): the handle-addressed tag
+            # computes the crypto response and backscatters it immediately
+            # as header-0 + response + handle + CRC-16.  No key / wrong
+            # suite = silence.
+            from ..protocol.crypto import parse_tam1_message
+
+            senrep, csi, message, handle, crc_ok = gen2.parse_authenticate(
+                bits)
+            if crc_ok and senrep == 1:
+                parsed = parse_tam1_message(message)
+                for ts in self.tags:
+                    if (parsed is not None and ts.handle is not None
+                            and np.array_equal(handle, ts.handle)):
+                        resp = ts.tag.tam1_answer(csi, parsed[0], parsed[1])
+                        if resp is not None:
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.read_reply_bits(resp, ts.handle))))
+        elif kind == "readbuffer":
+            # Gen2 v2 6.3.2.12.3.12: backscatter bits of the stored
+            # (Challenge-precomputed) response; empty buffer / out-of-range
+            # request = silence.
+            bitptr, bitcount, handle, crc_ok = gen2.parse_readbuffer(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None
+                            and np.array_equal(handle, ts.handle)
+                            and ts.response_buffer is not None
+                            and bitptr + bitcount <= ts.response_buffer.size):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.read_reply_bits(
+                                ts.response_buffer[bitptr: bitptr + bitcount],
+                                ts.handle))))
         elif kind == "access":
             # Gen2 6.3.2.12.3.6: two cover-coded password halves (MSB half
             # first); each valid half is echoed with the handle, the second

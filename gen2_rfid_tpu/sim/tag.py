@@ -145,6 +145,11 @@ class Tag:
     # Per-word USER-bank permalock bits (BlockPermalock, Gen2 6.3.2.12.3.9;
     # block granularity modeled as one 16-bit word).
     user_permalock: Optional[np.ndarray] = None
+    # Gen2 v2 authentication keys: key_id -> 16-byte AES-128 key (ISO
+    # 29167-10 crypto suite).  None/absent key_id = suite unsupported; the
+    # tag stays silent on Authenticate (Gen2 v2 error behavior for an
+    # unsupported CSI is modeled as no reply).
+    aes_keys: Optional[dict] = None
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -364,6 +369,21 @@ class Tag:
             if mask[k]:
                 self.user_permalock[16 * blockptr + k] = 1
         return True
+
+    def tam1_answer(self, csi: int, key_id: int,
+                    challenge96: np.ndarray) -> Optional[np.ndarray]:
+        """ISO 29167-10 TAM1 tag response: AES-128-encrypt
+        IChallenge(96) || TRnd(32) under the selected key.  None when the
+        tag lacks the key / crypto suite (tag stays silent)."""
+        from ..protocol.crypto import CSI_AES128, tam1_response
+
+        if csi != CSI_AES128 or not self.aes_keys:
+            return None
+        key = self.aes_keys.get(key_id)
+        if key is None:
+            return None
+        trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
+        return tam1_response(bytes(key), challenge96, trnd)
 
     def draw_rn16(self) -> np.ndarray:
         return self._rng.integers(0, 2, size=16).astype(np.int64)
