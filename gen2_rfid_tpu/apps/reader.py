@@ -244,6 +244,17 @@ def cmd_live(args) -> int:
     from ..runtime.stats import InventoryStats, N_TAG_BINS, print_results
 
     cfg = _cfg_from_args(args)
+    def _parse_auth(spec):
+        """KEYID:KEYHEX -> (key_id, 16-byte AES-128 key)."""
+        if spec is None:
+            return None
+        kid, keyhex = spec.split(":")
+        key = bytes.fromhex(keyhex)
+        assert len(key) == 16, "AES-128 key must be 32 hex chars"
+        return int(kid, 0), key
+
+    auth = _parse_auth(args.auth)
+    challenge_auth = _parse_auth(args.challenge_auth)
     if args.radio == "uhd":
         from ..io.radio import RadioChannel, UhdDriver
 
@@ -252,10 +263,15 @@ def cmd_live(args) -> int:
         from ..sim.channel import SimTagChannel
         from ..sim.tag import Tag
 
+        # Simulated tags are provisioned with the reader's key (the CLI
+        # demonstrates the success path; key-mismatch behavior is covered
+        # in tests/test_auth.py).
+        keys = {spec[0]: spec[1]
+                for spec in (auth, challenge_auth) if spec} or None
         # Distinct magnitudes and phases per tag (distinct ranges - also
         # what makes collided slots separable for --sic).
         tags = [
-            Tag.with_id(t, seed=i,
+            Tag.with_id(t, seed=i, aes_keys=keys,
                         backscatter=0.08 * 0.75 ** i * np.exp(1.1j * i))
             for i, t in enumerate(args.tags)
         ]
@@ -283,7 +299,8 @@ def cmd_live(args) -> int:
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
                     target_ab=args.session_ab, select_mask=select_mask,
-                    access_read=access_read, access_write=access_write)
+                    access_read=access_read, access_write=access_write,
+                    authenticate=auth, challenge_auth=challenge_auth)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -320,6 +337,10 @@ def cmd_live(args) -> int:
             hexw = "".join(f"{int(''.join(map(str, words[k:k+16])), 2):04x} "
                            for k in range(0, len(words), 16))
             print(f"| Tag {tid:#x} read data: {hexw.strip()}")
+    if st.n_auth_ok or st.n_auth_fail or st.n_buffer_auth_ok:
+        print(f"| Authentication: {st.n_auth_ok} TAM1 OK, "
+              f"{st.n_buffer_auth_ok} buffered OK, "
+              f"{st.n_auth_fail} crypto failures")
     return 0
 
 
@@ -474,6 +495,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Gen2 Write: store the 16-bit HEX word at word "
                          "PTR (BANK epc|user, default user; EPC-bank "
                          "writes re-label the tag), cover-coded per spec")
+    lv.add_argument("--auth", metavar="KEYID:KEYHEX",
+                    help="Gen2 v2 tag authentication (ISO 29167-10 AES-128 "
+                         "TAM1): after each correct EPC send Authenticate "
+                         "with a fresh 96-bit challenge and crypto-verify "
+                         "the 128-bit response (KEYHEX = 32 hex chars)")
+    lv.add_argument("--challenge-auth", metavar="KEYID:KEYHEX",
+                    help="broadcast-Challenge variant: tags precompute the "
+                         "TAM1 response; ReadBuffer fetches + verifies it "
+                         "after singulation")
     lv.add_argument("--select-id", type=lambda s: int(s, 0),
                     help="transmit a Gen2 Select first and inventory only "
                          "tags whose ID byte (EPC bits 88:96) matches")

@@ -154,6 +154,15 @@ def test_live_challenge_power_down_invalidates_buffer():
     assert st.n_buffer_auth_ok == 3 and st.n_auth_fail == 0
 
 
+def test_cli_live_auth(capsys):
+    from gen2_rfid_tpu.apps.reader import main as cli_main
+
+    assert cli_main(["live", "--rounds", "2", "--tags", "27",
+                     "--auth", "1:" + KEY.hex()]) == 0
+    out = capsys.readouterr().out
+    assert "2 TAM1 OK" in out and "0 crypto failures" in out
+
+
 def test_live_auth_composes_with_access_and_read():
     """Authentication composes with the rest of the access sequence
     (Access -> Secured, Read) on the same handle."""
