@@ -529,6 +529,55 @@ def parse_readbuffer(bits: np.ndarray):
         np.array_equal(_crc16_any(b[:40]), b[40:]))
 
 
+UNTRACEABLE_CODE = (1, 1, 1, 0, 0, 0, 0, 0)
+UNTRACE_TID = {"none": (0, 0), "some": (0, 1), "all": (1, 0)}
+UNTRACE_RANGE = {"normal": (0, 0), "toggle": (0, 1), "reduced": (1, 0)}
+
+
+def untraceable_bits(handle: np.ndarray, u: int = 0,
+                     epc_words: int = None, tid: str = "none",
+                     hide_user: int = 0,
+                     range_: str = "normal") -> np.ndarray:
+    """Untraceable = 11100000 + RFU(2) + U(1) + Hide-EPC(1) + EPC-Len(5) +
+    TID(2) + User(1) + Range(2) + handle(16) + CRC-16 (Gen2 v2
+    6.3.2.12.3.13) - the privacy command: permanently (until re-issued
+    from Secured) hides memory and/or reduces the tag's operating range.
+
+    ``epc_words``: None = EPC exposure unchanged; N = tag thereafter
+    backscatters only its first N EPC words (PC length field adjusted).
+    ``tid``: "none" / "some" (allocation-class + designer ID words stay
+    readable) / "all".  ``hide_user``: USER bank unreadable.  ``range_``:
+    "reduced" = persistently reduced operating range ("toggle" not
+    modeled).  Secured state required; delayed Write-style success reply.
+    """
+    handle = np.asarray(handle, dtype=np.int64)
+    assert handle.size == 16
+    hide_epc = int(epc_words is not None)
+    n = 0 if epc_words is None else int(epc_words)
+    assert 0 <= n < 32
+    bits = list(UNTRACEABLE_CODE) + [0, 0, int(u), hide_epc]
+    bits += [(n >> k) & 1 for k in range(4, -1, -1)]
+    bits += list(UNTRACE_TID[tid]) + [int(hide_user)]
+    bits += list(UNTRACE_RANGE[range_])
+    body = np.concatenate([np.array(bits, dtype=np.int64), handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_untraceable(bits: np.ndarray):
+    """-> (u, epc_words | None, tid, hide_user, range_, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == UNTRACEABLE_CODE
+    u = int(b[10])
+    epc_words = (int("".join(map(str, b[12:17])), 2) if b[11] else None)
+    tid = {v: k for k, v in UNTRACE_TID.items()}[(int(b[17]), int(b[18]))]
+    hide_user = int(b[19])
+    range_ = {v: k for k, v in UNTRACE_RANGE.items()}[
+        (int(b[20]), int(b[21]))]
+    handle = b[22:38]
+    crc_ok = bool(np.array_equal(_crc16_any(b[:38]), b[38:]))
+    return u, epc_words, tid, hide_user, range_, handle, crc_ok
+
+
 def pwd_halves(pwd32: int):
     """A 32-bit password as (MSB half bits, LSB half bits) - the order the
     two Access / Kill steps transmit them (Gen2 6.3.2.12.3.4/6)."""

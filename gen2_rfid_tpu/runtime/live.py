@@ -93,6 +93,7 @@ class LiveStats:
     n_auth_ok: int = 0         # TAM1 Authenticate responses verified
     n_auth_fail: int = 0       # Authenticate replies that failed crypto
     n_buffer_auth_ok: int = 0  # Challenge-precomputed (ReadBuffer) verifies
+    n_untraceable_ok: int = 0  # Untraceable success replies verified
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
@@ -324,6 +325,11 @@ class LiveReader:
     (6.3.2.12.3.10): one Challenge before inventory lets every tag
     precompute its response; after singulation a ReadBuffer (6.3.2.12.3.12)
     fetches and verifies it, amortizing the crypto across the population.
+    ``untraceable``: kwargs dict for ``gen2.untraceable_bits`` (e.g.
+    ``dict(epc_words=2, tid="all", range_="reduced")``) — the Gen2 v2
+    privacy command (6.3.2.12.3.13), issued from the Secured state after
+    each correct EPC: the tag thereafter exposes a truncated EPC, hides
+    TID/USER memory, and/or answers at reduced backscatter power.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -355,6 +361,7 @@ class LiveReader:
         kill_pwd: Optional[int] = None,
         authenticate=None,
         challenge_auth=None,
+        untraceable=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -389,6 +396,9 @@ class LiveReader:
         # Gen2 v2 authentication: (key_id, 16-byte AES-128 key).
         self.authenticate = authenticate
         self.challenge_auth = challenge_auth
+        # Gen2 v2 Untraceable kwargs (needs Secured: pair with access_pwd
+        # unless the tag's access password is zero).
+        self.untraceable = untraceable
         self._challenge = None       # outstanding broadcast challenge bits
         self._auth_rng = np.random.default_rng(0x29167)
         self.cfg = cfg
@@ -451,7 +461,7 @@ class LiveReader:
             self.access_read, self.access_write, self.access_pwd,
             self.lock, self.block_write, self.block_erase,
             self.block_permalock, self.kill_pwd, self.authenticate,
-            self.challenge_auth))
+            self.challenge_auth, self.untraceable))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -560,6 +570,15 @@ class LiveReader:
                     _log.debug("READBUFFER AUTH OK | tag %#x", tid)
                 else:
                     st.n_auth_fail += 1
+
+        if self.untraceable is not None:
+            ub = gen2.untraceable_bits(handle, **self.untraceable)
+            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("untraceable", ub, self.enc.command(ub),
+                                  cw)
+            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                st.n_untraceable_ok += 1
+                _log.debug("UNTRACEABLE OK | tag %#x", tid)
 
         if self.lock is not None:
             lb = gen2.lock_bits(handle, self.lock)

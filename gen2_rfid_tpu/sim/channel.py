@@ -402,6 +402,19 @@ class SimTagChannel:
                             ts.pending_flip = False
                         else:
                             ts.kill_step = 0
+        elif kind == "untraceable":
+            # Gen2 v2 6.3.2.12.3.13: Secured state required (it mutates
+            # privacy state); delayed Write-style success reply.
+            (u, epc_words, tid, hide_user, range_, handle,
+             crc_ok) = gen2.parse_untraceable(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.secured
+                            and np.array_equal(handle, ts.handle)
+                            and ts.tag.apply_untraceable(
+                                u, epc_words, tid, hide_user, range_)):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.write_reply_bits(ts.handle))))
         elif kind == "lock":
             # Gen2 6.3.2.12.3.5: Secured state only; permalocked fields
             # reject changes (no reply); success reply mirrors Write's.

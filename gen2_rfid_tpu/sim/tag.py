@@ -150,6 +150,13 @@ class Tag:
     # tag stays silent on Authenticate (Gen2 v2 error behavior for an
     # unsupported CSI is modeled as no reply).
     aes_keys: Optional[dict] = None
+    # Gen2 v2 Untraceable privacy state (6.3.2.12.3.13), set over the air
+    # from the Secured state: EPC truncated to the first N words (None =
+    # full), TID exposure, USER-bank hiding, reduced operating range.
+    hide_epc_words: Optional[int] = None
+    hide_tid: str = "none"            # "none" | "some" | "all"
+    hide_user: bool = False
+    reduced_range: bool = False
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -186,16 +193,36 @@ class Tag:
             epc[16 * n_words - 8 + k] = (tag_id >> (7 - k)) & 1
         return cls(epc96=epc, **kw)
 
+    def visible_epc(self) -> np.ndarray:
+        """EPC bits the tag exposes: truncated to the first
+        ``hide_epc_words`` words when Untraceable hid the tail
+        (Gen2 v2 6.3.2.12.3.13)."""
+        if self.hide_epc_words is None:
+            return self.epc96
+        return self.epc96[: 16 * self.hide_epc_words]
+
+    def _visible_pc(self) -> np.ndarray:
+        """PC word with the length field tracking the *exposed* EPC (an
+        untraceably-truncated tag backscatters a correspondingly smaller
+        PC length, Gen2 v2 6.3.2.12.3.13)."""
+        if self.hide_epc_words is None:
+            return self.pc16
+        pc = self.pc16.copy()
+        n_words = self.visible_epc().size // 16
+        pc[:5] = [(n_words >> (4 - k)) & 1 for k in range(5)]
+        return pc
+
     def epc_frame_bits(self) -> np.ndarray:
-        """128-bit EPC reply payload: PC + EPC + CRC16 over PC+EPC."""
-        body = np.concatenate([self.pc16, self.epc96])
+        """EPC reply payload: PC + (visible) EPC + CRC16 over PC+EPC."""
+        body = np.concatenate([self._visible_pc(), self.visible_epc()])
         return np.concatenate([body, crc16_bits(body)])
 
     def epc_bank_bits(self) -> np.ndarray:
         """EPC memory bank (bank 01) layout per Gen2 6.3.2.1: StoredCRC at
         0x00, PC at 0x10, EPC from 0x20 - the address space Select masks
-        point into."""
-        body = np.concatenate([self.pc16, self.epc96])
+        point into.  Reflects Untraceable hiding (hidden words are simply
+        absent from the exposed bank)."""
+        body = np.concatenate([self._visible_pc(), self.visible_epc()])
         return np.concatenate([crc16_bits(body), body])
 
     def reserved_bank_bits(self) -> np.ndarray:
@@ -239,8 +266,18 @@ class Tag:
         if mb == (0, 1):
             return self.epc_bank_bits()
         if mb == (1, 0):
-            return self.tid_bank_bits()
+            tid = self.tid_bank_bits()
+            # Untraceable TID hiding: "some" keeps the allocation-class +
+            # designer/model words (first 2) readable, "all" hides the
+            # bank entirely (-1 sentinel: Read must refuse).
+            if self.hide_tid == "some":
+                tid[32:] = -1
+            elif self.hide_tid == "all":
+                tid[:] = -1
+            return tid
         if mb == (1, 1):
+            if self.hide_user:
+                return np.full_like(self.user_bank, -1)
             return self.user_bank
         return None
 
@@ -370,6 +407,27 @@ class Tag:
                 self.user_permalock[16 * blockptr + k] = 1
         return True
 
+    #: Backscatter amplitude scale in the reduced-range state (Untraceable
+    #: Range=reduced): ~-12 dB of reply power, comfortably decodable at
+    #: close range and lost at the far edge - the privacy intent.
+    REDUCED_RANGE_SCALE = 0.25
+
+    def apply_untraceable(self, u: int, epc_words: Optional[int], tid: str,
+                          hide_user: int, range_: str) -> bool:
+        """Apply an Untraceable command (Gen2 v2 6.3.2.12.3.13).  Fails
+        (no reply) when the requested EPC exposure exceeds the stored EPC
+        or the range profile is unsupported ("toggle" not modeled)."""
+        if range_ == "toggle":
+            return False
+        if epc_words is not None:
+            if 16 * epc_words > self.epc96.size:
+                return False
+            self.hide_epc_words = epc_words
+        self.hide_tid = tid
+        self.hide_user = bool(hide_user)
+        self.reduced_range = range_ == "reduced"
+        return True
+
     def tam1_answer(self, csi: int, key_id: int,
                     challenge96: np.ndarray) -> Optional[np.ndarray]:
         """ISO 29167-10 TAM1 tag response: AES-128-encrypt
@@ -404,13 +462,16 @@ class Tag:
         across one reply (motion rotates < 0.2 rad over a 3.4 ms EPC frame
         even at 1.5 m/s; model per-frame rotation via ``cfo_hz`` if needed).
         Magnitude is NOT path-loss scaled - the link budget is set directly
-        through ``backscatter``."""
+        through ``backscatter`` (times REDUCED_RANGE_SCALE in the
+        Untraceable reduced-range state)."""
+        bs = complex(self.backscatter)
+        if self.reduced_range:
+            bs *= self.REDUCED_RANGE_SCALE
         if self.distance_m is None:
-            return complex(self.backscatter)
+            return bs
         d = self.distance_m + self.velocity_mps * t_s
         return complex(
-            self.backscatter
-            * np.exp(-4j * np.pi * cfg.freq_hz * d / C_LIGHT)
+            bs * np.exp(-4j * np.pi * cfg.freq_hz * d / C_LIGHT)
         )
 
 
