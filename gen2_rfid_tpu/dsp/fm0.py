@@ -129,10 +129,17 @@ def _grid_params(cfg: ReaderConfig) -> Tuple[float, int]:
     return cfg.epc_grid_frac, cfg.epc_grid_steps
 
 
-def epc_period_grid(cfg: ReaderConfig, n_probe: int = 256):
+def epc_period_grid(cfg: ReaderConfig, n_probe: int = None):
     """Static half-period candidate grid (tag_decoder_impl.cc:151-166):
     T/2 in [T/2*(1-frac), T/2*(1+frac)] - float32 like the reference
-    (which uses frac=1/100, 20 steps; native widens via epc_grid_frac)."""
+    (which uses frac=1/100, 20 steps; native widens via epc_grid_frac).
+
+    ``n_probe`` (energy half-bit probe count) defaults to the frame's own
+    half-bit count 2*(epc_bits-1) - the reference's fixed 256 for its
+    fixed 129-bit frames (tag_decoder_impl.cc:157: i < 256); deriving it
+    keeps short-EPC windows (epc_bits < 129) from probing past the frame."""
+    if n_probe is None:
+        n_probe = 2 * (cfg.epc_bits - 1)
     frac, number_steps = _grid_params(cfg)
     half = np.float32(cfg.n_samples_tag_bit / 2.0)
     if frac == 0.01:
@@ -181,7 +188,7 @@ def _bit_selection_matrix(cfg: ReaderConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _energy_selection_matrix(cfg: ReaderConfig, n_probe: int = 256):
+def _energy_selection_matrix(cfg: ReaderConfig, n_probe: int = None):
     """(K, steps) 0/1 matrix S with S[p, t] = #{i : floor(i*T_t) == p}.
 
     Turns the reference's 20 x 256 gather-and-sum energy grid
@@ -189,7 +196,7 @@ def _energy_selection_matrix(cfg: ReaderConfig, n_probe: int = 256):
     |frame|^2 window: energy = aligned @ S - XLA gathers are slow on TPU,
     matmuls are free.
     """
-    cand, _ = epc_period_grid(cfg, n_probe)
+    cand, n_probe = epc_period_grid(cfg, n_probe)
     number_steps = cand.shape[0]
     k = int(np.floor(np.float32(n_probe - 1) * cand.max())) + 1
     s = np.zeros((k, number_steps), dtype=np.float32)

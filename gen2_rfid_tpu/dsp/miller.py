@@ -123,40 +123,66 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
     return tuple(tables)
 
 
+def default_seg_bits(m: int) -> int:
+    """Segment length (bits) for the re-alignment cascade: shorter at
+    higher M so intra-segment clock-error drift stays well under half a
+    chip (edge misalignment ~ eps * seg_bits * m chips - constant
+    ~32*eps across M with seg_bits = 32/M, i.e. ~0.3 chip at the 1% BLF
+    error the FM0 path's reference grid covers)."""
+    return max(4, 32 // m)
+
+
 def miller_detect(
     frame: jnp.ndarray,
     index: jnp.ndarray,
     h_est: jnp.ndarray,
     cfg: ReaderConfig,
     n_bits: int,
-    seg_bits: int = 16,
+    seg_bits: int = None,
     n_offsets: int = 25,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Decode n_bits Miller-M bits with per-segment sub-chip re-alignment.
+    """Decode n_bits Miller-M bits with a drift-tracking segment cascade.
 
     A global chip-period grid search (the FM0 approach,
     tag_decoder_impl.cc:151-166) aliases for Miller: the subcarrier energy
     metric is nearly invariant under full-chip shifts, so over the ~2000
     chips of an M=8 EPC the search lands on a comb tooth and the frame tail
     desynchronizes.  Instead the frame is decoded in segments of
-    ``seg_bits``; each segment independently searches a +-1.5 chip offset
-    maximizing subcarrier correlation energy (which *does* peak sharply at
-    sub-chip alignment), so accumulated timing drift is re-absorbed every
-    segment regardless of its source.  Full-chip ambiguity per segment is
-    harmless: a whole-chip shift flips both half-bit correlations
-    consistently and the within-bit comparison is invariant.
+    ``seg_bits``; each segment searches a +-1.5 chip offset grid maximizing
+    subcarrier correlation energy (which *does* peak sharply at sub-chip
+    alignment) around a *predicted* base.  The prediction is the cascade:
+    tag BLF error makes timing drift grow linearly across the frame, so
+    each segment's base extrapolates the last two measured offsets
+    (pred = 2*drift_g - drift_{g-1}, centers one segment apart).  This
+    keeps the true alignment at the center of every segment's search
+    window, where it outscores the +-1-chip comb teeth - an un-predicted
+    window drifting past ~1 chip locks onto a tooth and decodes the whole
+    segment complemented (a one-chip shift swaps each half-bit correlation
+    onto its neighbor, inverting the within-bit comparison).  Measured
+    envelope: exact decode through ~+-1% BLF error across M (the FM0
+    reference grid's coverage, tag_decoder_impl.cc:151-169; Gen2 tags are
+    allowed several-percent FT - see tests/test_miller.py tolerance sweep).
     """
     m = cfg.miller_m
+    if seg_bits is None:
+        seg_bits = default_seg_bits(m)
     tables = _miller_segment_selection(cfg, n_bits, seg_bits, n_offsets)
     hi = SEL_PRECISION
     w = frame.shape[0]
     fr, fi = jnp.real(frame), jnp.imag(frame)
+    d = np.float32(cfg.n_samples_chip)
+    # Offset values of the table's search grid (samples, segment-relative).
+    off_vals = jnp.asarray(
+        np.linspace(-1.5, 1.5, n_offsets).astype(np.float32) * d)
+    pred = jnp.float32(0.0)       # predicted drift at this segment's center
+    prev = jnp.float32(0.0)       # measured drift one segment earlier
     q_segs = []
-    for s0, span, d_np in tables:
+    for g, (s0, span, d_np) in enumerate(tables):
         # One dynamic slice per segment, then a shared-weight +-1 selection
         # matmul computing every offset's subcarrier correlations at once
         # (per-frame chip gathers serialize on TPU).
-        start = jnp.clip(index + s0, 0, w - span)
+        shift = jnp.round(pred).astype(jnp.int32)
+        start = jnp.clip(index + s0 + shift, 0, w - span)
         slr = jax.lax.dynamic_slice(fr, (start,), (span,))
         sli = jax.lax.dynamic_slice(fi, (start,), (span,))
         dj = jnp.asarray(d_np)
@@ -165,6 +191,9 @@ def miller_detect(
         e = jnp.sum(qr ** 2 + qi ** 2, axis=1)
         b = jnp.argmax(e)
         q_segs.append(jax.lax.complex(qr[b], qi[b]))
+        drift = shift.astype(jnp.float32) + off_vals[b]
+        pred = 2.0 * drift - prev          # linear extrapolation
+        prev = drift
 
     q = jnp.concatenate(q_segs)[: 2 * n_bits]
     stat = jnp.real(q * jnp.conj(h_est))

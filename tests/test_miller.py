@@ -74,3 +74,25 @@ def test_miller_channel_tracking_cfo(m, adc, decim):
     assert run(800.0, False) == 0
     # Tracking must be free on clean tags.
     assert run(0.0, True) == 3
+
+
+@pytest.mark.parametrize("m,adc,decim", [(2, 2e6, 2), (8, 8e6, 2)])
+def test_miller_blf_offset_tolerance(m, adc, decim):
+    """Tag BLF error through +-1% decodes exactly across M - the coverage
+    of the FM0 path's reference period grid (tag_decoder_impl.cc:151-169).
+    The drift-tracking segment cascade (miller_detect: each segment's
+    search window extrapolates the last two measured offsets) is what
+    makes this work: without prediction the window drifts onto a +-1-chip
+    comb tooth and whole segments decode complemented (the pre-fix
+    envelope was ~+-0.1%)."""
+    def run(off):
+        cfg = ReaderConfig(miller_m=m, adc_rate=adc, decim=decim,
+                           max_events=64)
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, blf_offset=off)], n_rounds=3,
+            seed=5)
+        stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+        return int(stats.n_epc_correct)
+
+    for off in (-0.01, -0.0023, 0.005, 0.01):
+        assert run(off) == 3, off
