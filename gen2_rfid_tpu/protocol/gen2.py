@@ -503,6 +503,47 @@ def parse_authenticate(bits: np.ndarray):
         np.array_equal(_crc16_any(body), b[48 + n:]))
 
 
+KEYUPDATE_CODE = (1, 1, 1, 0, 0, 0, 1, 0)
+
+
+def keyupdate_bits(handle: np.ndarray, key_id: int,
+                   enc_key128: np.ndarray) -> np.ndarray:
+    """KeyUpdate = 11100010 + RFU(2) + SenRep(1)=1 + IncRepLen(1)=0 +
+    CSI(8) + Length(12) + Message + handle(16) + CRC-16 (Gen2 v2
+    6.3.2.12.3.14 shape; crypto-suite payload per ISO 29167-10).
+
+    Message = KeyID(8) + the new 128-bit key encrypted under the tag's
+    *current* key for that KeyID (AES-128 ECB, one block) - the key never
+    travels in clear.  Secured state required; the tag replies with the
+    delayed Write-style success report only after installing the key."""
+    handle = np.asarray(handle, dtype=np.int64)
+    enc_key128 = np.asarray(enc_key128, dtype=np.int64)
+    assert handle.size == 16 and enc_key128.size == 128
+    assert 0 <= key_id < 256
+    msg = np.concatenate([
+        np.array([(key_id >> k) & 1 for k in range(7, -1, -1)],
+                 dtype=np.int64), enc_key128])
+    bits = list(KEYUPDATE_CODE) + [0, 0, 1, 0]
+    bits += [0] * 8                               # CSI 0x00 = AES-128
+    bits += _len12(msg.size)
+    body = np.concatenate([np.array(bits, dtype=np.int64), msg, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_keyupdate(bits: np.ndarray):
+    """-> (csi, key_id, enc_key128, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == KEYUPDATE_CODE
+    csi = int("".join(map(str, b[12:20])), 2)
+    n = int("".join(map(str, b[20:32])), 2)
+    key_id = int("".join(map(str, b[32:40])), 2)
+    enc = b[40: 32 + n]
+    handle = b[32 + n: 48 + n]
+    body = b[: 48 + n]
+    return csi, key_id, enc, handle, bool(
+        np.array_equal(_crc16_any(body), b[48 + n:]))
+
+
 def readbuffer_bits(handle: np.ndarray, bitptr: int = 0,
                     bitcount: int = 128) -> np.ndarray:
     """ReadBuffer = 11010010 + WordPtr(EBV-8, bit address / 16) +

@@ -94,6 +94,7 @@ class LiveStats:
     n_auth_fail: int = 0       # Authenticate replies that failed crypto
     n_buffer_auth_ok: int = 0  # Challenge-precomputed (ReadBuffer) verifies
     n_untraceable_ok: int = 0  # Untraceable success replies verified
+    n_keyupdate_ok: int = 0    # KeyUpdate success replies verified
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
@@ -330,6 +331,11 @@ class LiveReader:
     privacy command (6.3.2.12.3.13), issued from the Secured state after
     each correct EPC: the tag thereafter exposes a truncated EPC, hides
     TID/USER memory, and/or answers at reduced backscatter power.
+    ``key_update``: (key_id, old_key16, new_key16) — over-the-air key
+    provisioning (Gen2 v2 KeyUpdate shape + ISO 29167-10): the new key
+    travels AES-encrypted under the current key, from the Secured state;
+    the delayed success reply is verified.  Combine with ``authenticate``
+    under the new key on a later pass to prove installation.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -362,6 +368,7 @@ class LiveReader:
         authenticate=None,
         challenge_auth=None,
         untraceable=None,
+        key_update=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -399,6 +406,8 @@ class LiveReader:
         # Gen2 v2 Untraceable kwargs (needs Secured: pair with access_pwd
         # unless the tag's access password is zero).
         self.untraceable = untraceable
+        # (key_id, old_key, new_key) over-the-air key provisioning.
+        self.key_update = key_update
         self._challenge = None       # outstanding broadcast challenge bits
         self._auth_rng = np.random.default_rng(0x29167)
         self.cfg = cfg
@@ -461,7 +470,7 @@ class LiveReader:
             self.access_read, self.access_write, self.access_pwd,
             self.lock, self.block_write, self.block_erase,
             self.block_permalock, self.kill_pwd, self.authenticate,
-            self.challenge_auth, self.untraceable))
+            self.challenge_auth, self.untraceable, self.key_update))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -570,6 +579,21 @@ class LiveReader:
                     _log.debug("READBUFFER AUTH OK | tag %#x", tid)
                 else:
                     st.n_auth_fail += 1
+
+        if self.key_update is not None:
+            # Over-the-air key provisioning: new key encrypted under the
+            # current key (ISO 29167-10; nothing travels in clear).
+            from ..protocol import crypto
+
+            key_id, old_key, new_key = self.key_update
+            enc = crypto.bytes_to_bits(
+                crypto.aes128_encrypt_block(bytes(old_key), bytes(new_key)))
+            kb = gen2.keyupdate_bits(handle, key_id, enc)
+            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("keyupdate", kb, self.enc.command(kb), cw)
+            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                st.n_keyupdate_ok += 1
+                _log.debug("KEYUPDATE OK | tag %#x key %d", tid, key_id)
 
         if self.untraceable is not None:
             ub = gen2.untraceable_bits(handle, **self.untraceable)

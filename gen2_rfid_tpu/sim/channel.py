@@ -402,6 +402,18 @@ class SimTagChannel:
                             ts.pending_flip = False
                         else:
                             ts.kill_step = 0
+        elif kind == "keyupdate":
+            # Gen2 v2 shape + ISO 29167-10 key provisioning: Secured state
+            # required; the new key travels encrypted under the current
+            # key; delayed Write-style success reply after installation.
+            csi, key_id, enc, handle, crc_ok = gen2.parse_keyupdate(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is not None and ts.secured
+                            and np.array_equal(handle, ts.handle)
+                            and ts.tag.install_key(csi, key_id, enc)):
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.write_reply_bits(ts.handle))))
         elif kind == "untraceable":
             # Gen2 v2 6.3.2.12.3.13: Secured state required (it mutates
             # privacy state); delayed Write-style success reply.

@@ -443,6 +443,23 @@ class Tag:
         trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
         return tam1_response(bytes(key), challenge96, trnd)
 
+    def install_key(self, csi: int, key_id: int,
+                    enc_key128: np.ndarray) -> bool:
+        """KeyUpdate: decrypt the new key under the *current* key for
+        ``key_id`` and install it (ISO 29167-10 key provisioning).  False
+        (no reply) when the tag lacks the suite or that key slot."""
+        from ..protocol.crypto import (CSI_AES128, aes128_decrypt_block,
+                                       bits_to_bytes)
+
+        if csi != CSI_AES128 or not self.aes_keys:
+            return False
+        cur = self.aes_keys.get(key_id)
+        if cur is None:
+            return False
+        self.aes_keys[key_id] = aes128_decrypt_block(
+            bytes(cur), bits_to_bytes(enc_key128))
+        return True
+
     def draw_rn16(self) -> np.ndarray:
         return self._rng.integers(0, 2, size=16).astype(np.int64)
 

@@ -154,6 +154,47 @@ def test_live_challenge_power_down_invalidates_buffer():
     assert st.n_buffer_auth_ok == 3 and st.n_auth_fail == 0
 
 
+def test_keyupdate_bit_synthesis():
+    rng = np.random.default_rng(12)
+    h = rng.integers(0, 2, 16)
+    enc = rng.integers(0, 2, 128)
+    kb = gen2.keyupdate_bits(h, 7, enc)
+    csi, kid, e, hh, ok = gen2.parse_keyupdate(kb)
+    assert ok and csi == crypto.CSI_AES128 and kid == 7
+    np.testing.assert_array_equal(e, enc)
+    np.testing.assert_array_equal(hh, h)
+
+
+def test_live_keyupdate_provisions_new_key():
+    """Pass A installs KEY2 over the air (encrypted under KEY); pass B
+    authenticates under KEY2; the retired KEY then fails crypto."""
+    tag = _tag(aes_keys={1: KEY})
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, key_update=(1, KEY, KEY2)).run_inventory(ch, 1)
+    assert st.n_keyupdate_ok == 1
+    assert bytes(tag.aes_keys[1]) == KEY2
+
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, authenticate=(1, KEY2)).run_inventory(ch, 1)
+    assert st.n_auth_ok == 1 and st.n_auth_fail == 0
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, authenticate=(1, KEY)).run_inventory(ch, 1)
+    assert st.n_auth_ok == 0 and st.n_auth_fail == 1
+
+
+def test_live_keyupdate_needs_secured():
+    """A nonzero access password without the Access sequence leaves the
+    tag Open: KeyUpdate is refused and the key is unchanged."""
+    tag = _tag(aes_keys={1: KEY}, access_pwd=0x13572468)
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, key_update=(1, KEY, KEY2)).run_inventory(ch, 1)
+    assert st.n_keyupdate_ok == 0 and bytes(tag.aes_keys[1]) == KEY
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, access_pwd=0x13572468,
+                    key_update=(1, KEY, KEY2)).run_inventory(ch, 1)
+    assert st.n_keyupdate_ok == 1 and bytes(tag.aes_keys[1]) == KEY2
+
+
 def test_cli_live_auth(capsys):
     from gen2_rfid_tpu.apps.reader import main as cli_main
 
