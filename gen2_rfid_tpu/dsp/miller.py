@@ -172,8 +172,19 @@ def miller_detect(
     fr, fi = jnp.real(frame), jnp.imag(frame)
     d = np.float32(cfg.n_samples_chip)
     # Offset values of the table's search grid (samples, segment-relative).
-    off_vals = jnp.asarray(
-        np.linspace(-1.5, 1.5, n_offsets).astype(np.float32) * d)
+    chips = np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
+    off_vals = jnp.asarray(chips * d)
+    # Prediction-centered prior on the offset decision: segment energy is
+    # nearly flat across whole-chip shifts (the comb), and under strong
+    # in-channel interference the tone can out-shine the backscatter on a
+    # short segment - a soft Gaussian prior (sigma 1.25 chips; sweep in
+    # session notes: 0.75 costs decode margin at +-1% BLF error under
+    # noise, 1.0-1.5 passes both the tolerance and the -20 dBc
+    # dense-reader scenarios) around the predicted position breaks both
+    # ties toward the tracked alignment while costing a sharply-peaked
+    # true offset almost nothing.
+    prior = jnp.asarray(np.exp(-(chips ** 2) / (2.0 * 1.25 ** 2)))
+    max_step = jnp.float32(0.75 * d)   # slope clamp (samples per segment)
     pred = jnp.float32(0.0)       # predicted drift at this segment's center
     prev = jnp.float32(0.0)       # measured drift one segment earlier
     q_segs = []
@@ -189,10 +200,14 @@ def miller_detect(
         qr = jnp.matmul(slr, dj, precision=hi).reshape(n_offsets, -1)
         qi = jnp.matmul(sli, dj, precision=hi).reshape(n_offsets, -1)
         e = jnp.sum(qr ** 2 + qi ** 2, axis=1)
-        b = jnp.argmax(e)
+        b = jnp.argmax(e * prior)
         q_segs.append(jax.lax.complex(qr[b], qi[b]))
         drift = shift.astype(jnp.float32) + off_vals[b]
-        pred = 2.0 * drift - prev          # linear extrapolation
+        # Linear extrapolation with a clamped slope: real BLF-error drift
+        # grows by well under a chip per segment, so one interference-
+        # corrupted measurement cannot launch the cascade off the frame.
+        slope = jnp.clip(drift - prev, -max_step, max_step)
+        pred = drift + slope
         prev = drift
 
     q = jnp.concatenate(q_segs)[: 2 * n_bits]
