@@ -225,3 +225,81 @@ def tam1_verify(key: bytes, challenge96: np.ndarray,
     ok = bool(np.array_equal(plain[:96],
                              np.asarray(challenge96, dtype=np.int64)))
     return ok, plain[96:]
+
+
+# ---- TAM2 (authenticated *confidential* memory read) -----------------------
+# ISO 29167-10's second method: the tag proves key possession AND returns
+# memory encrypted in the same response, so the data never travels in
+# clear.  Modeled construction: block 0 = AES_K(IChallenge || TRnd32)
+# (identical to TAM1 - the authentication part), then the requested memory
+# in 128-bit blocks under CBC with block 0 as the IV:
+# c_i = AES_K(p_i XOR c_{i-1}).  The tag-random IV makes every read of the
+# same words produce a different ciphertext (replay/traffic analysis
+# resistance); the reader decrypts sequentially after verifying the
+# challenge.
+
+TAM2_BLOCK_BITS = 128
+
+
+def tam2_message(key_id: int, challenge96: np.ndarray, membank,
+                 wordptr: int, n_blocks: int) -> np.ndarray:
+    """Authenticate Message field for TAM2: AuthMethod(2)=01, Custom(1)=0,
+    RFU(5)=0, KeyID(8), IChallenge(96), MemBank(2), WordPtr(EBV-8),
+    BlockCount(4) - each block is 128 bits = 8 words of tag memory."""
+    c = np.asarray(challenge96, dtype=np.int64)
+    assert c.size == TAM1_CHALLENGE_BITS and 0 <= key_id < 256
+    assert 0 <= wordptr < 256 and 0 < n_blocks < 16
+    head = [0, 1, 0] + [0] * 5
+    head += [(key_id >> k) & 1 for k in range(7, -1, -1)]
+    tail = list(membank)
+    tail += [(wordptr >> k) & 1 for k in range(7, -1, -1)]
+    tail += [(n_blocks >> k) & 1 for k in range(3, -1, -1)]
+    return np.concatenate([np.array(head, dtype=np.int64), c,
+                           np.array(tail, dtype=np.int64)])
+
+
+def parse_tam2_message(msg: np.ndarray):
+    """-> (key_id, challenge96, membank, wordptr, n_blocks) or None."""
+    m = np.asarray(msg, dtype=np.int64)
+    if m.size != 126 or m[0] != 0 or m[1] != 1 or np.any(m[2:8] != 0):
+        return None
+    key_id = int("".join(map(str, m[8:16])), 2)
+    membank = (int(m[112]), int(m[113]))
+    wordptr = int("".join(map(str, m[114:122])), 2)
+    n_blocks = int("".join(map(str, m[122:126])), 2)
+    return key_id, m[16:112], membank, wordptr, n_blocks
+
+
+def tam2_response(key: bytes, challenge96: np.ndarray, trnd32: np.ndarray,
+                  data_bits: np.ndarray) -> np.ndarray:
+    """Tag side: auth block + CBC-encrypted memory (IV = auth block)."""
+    data = np.asarray(data_bits, dtype=np.int64)
+    assert data.size % TAM2_BLOCK_BITS == 0
+    out = [tam1_response(key, challenge96, trnd32)]
+    prev = bits_to_bytes(out[0])
+    for i in range(data.size // TAM2_BLOCK_BITS):
+        p = bits_to_bytes(data[128 * i: 128 * i + 128])
+        c = aes128_encrypt_block(key, bytes(a ^ b for a, b in zip(p, prev)))
+        out.append(bytes_to_bits(c))
+        prev = c
+    return np.concatenate(out)
+
+
+def tam2_verify(key: bytes, challenge96: np.ndarray, response: np.ndarray):
+    """Reader side: verify the auth block, then CBC-decrypt the memory.
+
+    Returns ``(ok, data_bits)`` - data is empty unless ``ok``.
+    """
+    r = np.asarray(response, dtype=np.int64)
+    assert r.size % TAM2_BLOCK_BITS == 0 and r.size >= TAM2_BLOCK_BITS
+    ok, _ = tam1_verify(key, challenge96, r[:128])
+    if not ok:
+        return False, np.zeros(0, dtype=np.int64)
+    data = []
+    prev = bits_to_bytes(r[:128])
+    for i in range(1, r.size // TAM2_BLOCK_BITS):
+        c = bits_to_bytes(r[128 * i: 128 * i + 128])
+        p = aes128_decrypt_block(key, c)
+        data.append(bytes_to_bits(bytes(a ^ b for a, b in zip(p, prev))))
+        prev = c
+    return True, np.concatenate(data)

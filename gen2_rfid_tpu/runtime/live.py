@@ -95,6 +95,9 @@ class LiveStats:
     n_buffer_auth_ok: int = 0  # Challenge-precomputed (ReadBuffer) verifies
     n_untraceable_ok: int = 0  # Untraceable success replies verified
     n_keyupdate_ok: int = 0    # KeyUpdate success replies verified
+    n_tam2_ok: int = 0         # TAM2 confidential reads verified
+    secure_read_words: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)  # tag id -> last TAM2-decrypted data bits
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
@@ -336,6 +339,12 @@ class LiveReader:
     travels AES-encrypted under the current key, from the Secured state;
     the delayed success reply is verified.  Combine with ``authenticate``
     under the new key on a later pass to prove installation.
+    ``authenticate_read``: (key_id, key16, wordptr, n_blocks[, bank]) —
+    TAM2 authenticated *confidential* read: one Authenticate both proves
+    the key and returns ``n_blocks`` 128-bit blocks of tag memory
+    CBC-encrypted under it (IV = the tag-random auth block, so repeated
+    reads of the same words never produce the same ciphertext).  Decrypted
+    words land in ``LiveStats.secure_read_words[tag_id]``.
     """
 
     #: E[tags per collided slot] at the framed-Aloha optimum (Schoute).
@@ -369,6 +378,7 @@ class LiveReader:
         challenge_auth=None,
         untraceable=None,
         key_update=None,
+        authenticate_read=None,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -408,6 +418,8 @@ class LiveReader:
         self.untraceable = untraceable
         # (key_id, old_key, new_key) over-the-air key provisioning.
         self.key_update = key_update
+        # (key_id, key, wordptr, n_blocks[, bank]) TAM2 confidential read.
+        self.authenticate_read = authenticate_read
         self._challenge = None       # outstanding broadcast challenge bits
         self._auth_rng = np.random.default_rng(0x29167)
         self.cfg = cfg
@@ -470,7 +482,8 @@ class LiveReader:
             self.access_read, self.access_write, self.access_pwd,
             self.lock, self.block_write, self.block_erase,
             self.block_permalock, self.kill_pwd, self.authenticate,
-            self.challenge_auth, self.untraceable, self.key_update))
+            self.challenge_auth, self.untraceable, self.key_update,
+            self.authenticate_read))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -555,6 +568,40 @@ class LiveReader:
                 else:
                     st.n_auth_fail += 1
                     _log.debug("AUTHENTICATE CRYPTO FAIL | tag %#x", tid)
+
+        if self.authenticate_read is not None:
+            # TAM2 authenticated confidential read: one exchange proves
+            # the key AND returns CBC-encrypted memory (never in clear).
+            from ..protocol import crypto
+
+            key_id, key, wordptr, n_blocks = self.authenticate_read[:4]
+            bank = (self.authenticate_read[4]
+                    if len(self.authenticate_read) > 4 else "user")
+            chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
+            ab = gen2.authenticate_bits(
+                handle, crypto.tam2_message(key_id, chal,
+                                            self._bank_code(bank),
+                                            wordptr, n_blocks))
+            resp_bits = 128 * (1 + n_blocks)
+            nb = 1 + resp_bits + 32
+            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+            rx = channel.exchange("authenticate", ab, self.enc.command(ab),
+                                  cw)
+            out = self._decode_window(rx, f"acc:{nb}")
+            if (out is not None and out[0] == 0
+                    and np.array_equal(out[1 + resp_bits: 17 + resp_bits],
+                                       handle)
+                    and np.array_equal(gen2._crc16_any(out[: nb - 16]),
+                                       out[nb - 16:])):
+                ok, data = crypto.tam2_verify(bytes(key), chal,
+                                              out[1: 1 + resp_bits])
+                if ok:
+                    st.n_tam2_ok += 1
+                    st.secure_read_words[tid] = data
+                    _log.debug("TAM2 SECURE READ OK | tag %#x words=%d",
+                               tid, 8 * n_blocks)
+                else:
+                    st.n_auth_fail += 1
 
         if self.challenge_auth is not None and self._challenge is not None:
             # Fetch the Challenge-precomputed response (6.3.2.12.3.12) and

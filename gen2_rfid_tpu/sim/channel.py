@@ -321,21 +321,31 @@ class SimTagChannel:
         elif kind == "authenticate":
             # Gen2 v2 6.3.2.12.3.11 (SenRep=1): the handle-addressed tag
             # computes the crypto response and backscatters it immediately
-            # as header-0 + response + handle + CRC-16.  No key / wrong
-            # suite = silence.
-            from ..protocol.crypto import parse_tam1_message
+            # as header-0 + response + handle + CRC-16.  The message's
+            # AuthMethod field selects TAM1 (authenticate only) or TAM2
+            # (authenticate + confidential memory read).  No key / wrong
+            # suite / hidden words = silence.
+            from ..protocol.crypto import (parse_tam1_message,
+                                           parse_tam2_message)
 
             senrep, csi, message, handle, crc_ok = gen2.parse_authenticate(
                 bits)
             if crc_ok and senrep == 1:
-                parsed = parse_tam1_message(message)
+                t1 = parse_tam1_message(message)
+                t2 = parse_tam2_message(message)
                 for ts in self.tags:
-                    if (parsed is not None and ts.handle is not None
-                            and np.array_equal(handle, ts.handle)):
-                        resp = ts.tag.tam1_answer(csi, parsed[0], parsed[1])
-                        if resp is not None:
-                            replies.append((ts, reply_chips(
-                                cfg, gen2.read_reply_bits(resp, ts.handle))))
+                    if ts.handle is None or not np.array_equal(
+                            handle, ts.handle):
+                        continue
+                    resp = None
+                    if t1 is not None:
+                        resp = ts.tag.tam1_answer(csi, t1[0], t1[1])
+                    elif t2 is not None:
+                        resp = ts.tag.tam2_answer(csi, *t2,
+                                                  secured=ts.secured)
+                    if resp is not None:
+                        replies.append((ts, reply_chips(
+                            cfg, gen2.read_reply_bits(resp, ts.handle))))
         elif kind == "readbuffer":
             # Gen2 v2 6.3.2.12.3.12: backscatter bits of the stored
             # (Challenge-precomputed) response; empty buffer / out-of-range

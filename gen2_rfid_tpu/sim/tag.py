@@ -443,6 +443,27 @@ class Tag:
         trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
         return tam1_response(bytes(key), challenge96, trnd)
 
+    def tam2_answer(self, csi: int, key_id: int, challenge96: np.ndarray,
+                    membank, wordptr: int, n_blocks: int,
+                    secured: bool = False) -> Optional[np.ndarray]:
+        """TAM2: authenticated confidential memory read - auth block +
+        CBC-encrypted memory words (protocol/crypto.py::tam2_response).
+        Silent when keyless, out of range, or the words are hidden
+        (Untraceable) / password-locked outside Secured."""
+        from ..protocol.crypto import CSI_AES128, tam2_response
+
+        if csi != CSI_AES128 or not self.aes_keys:
+            return None
+        key = self.aes_keys.get(key_id)
+        if key is None:
+            return None
+        mem = self.bank_bits(membank, secured=secured)
+        lo, hi = 16 * wordptr, 16 * wordptr + 128 * n_blocks
+        if mem is None or hi > mem.size or np.any(mem[lo:hi] < 0):
+            return None
+        trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
+        return tam2_response(bytes(key), challenge96, trnd, mem[lo:hi])
+
     def install_key(self, csi: int, key_id: int,
                     enc_key128: np.ndarray) -> bool:
         """KeyUpdate: decrypt the new key under the *current* key for

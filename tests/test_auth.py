@@ -154,6 +154,57 @@ def test_live_challenge_power_down_invalidates_buffer():
     assert st.n_buffer_auth_ok == 3 and st.n_auth_fail == 0
 
 
+def test_tam2_roundtrip_and_rejection():
+    rng = np.random.default_rng(21)
+    chal = rng.integers(0, 2, 96)
+    data = rng.integers(0, 2, 256)                # 2 blocks
+    r1 = crypto.tam2_response(KEY, chal, rng.integers(0, 2, 32), data)
+    r2 = crypto.tam2_response(KEY, chal, rng.integers(0, 2, 32), data)
+    ok, d = crypto.tam2_verify(KEY, chal, r1)
+    assert ok
+    np.testing.assert_array_equal(d, data)
+    # Tag-random IV: same words, different ciphertext every read.
+    assert not np.array_equal(r1[128:], r2[128:])
+    ok2, d2 = crypto.tam2_verify(KEY, chal, r2)
+    assert ok2
+    np.testing.assert_array_equal(d2, data)
+    # Wrong key: auth block fails, no data recovered.
+    ok3, d3 = crypto.tam2_verify(KEY2, chal, r1)
+    assert not ok3 and d3.size == 0
+
+    msg = crypto.tam2_message(9, chal, gen2.MEMBANK_USER, 4, 2)
+    kid, c, mb, ptr, nb = crypto.parse_tam2_message(msg)
+    assert kid == 9 and mb == gen2.MEMBANK_USER and ptr == 4 and nb == 2
+    np.testing.assert_array_equal(c, chal)
+    # TAM1 and TAM2 messages are disjoint (AuthMethod field).
+    assert crypto.parse_tam1_message(msg) is None
+    assert crypto.parse_tam2_message(crypto.tam1_message(9, chal)) is None
+
+
+def test_live_tam2_confidential_read():
+    """One Authenticate proves the key AND returns USER-bank words
+    CBC-encrypted; the decrypted words match tag memory exactly."""
+    rng = np.random.default_rng(31)
+    tag = _tag(aes_keys={1: KEY})
+    tag.user_bank[:] = rng.integers(0, 2, tag.user_bank.size)
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, authenticate_read=(1, KEY, 0, 1, "user")
+                    ).run_inventory(ch, 2)
+    assert st.n_tam2_ok == 2 and st.n_auth_fail == 0
+    np.testing.assert_array_equal(st.secure_read_words[0x2B],
+                                  tag.user_bank[:128])
+
+
+def test_live_tam2_refuses_hidden_memory():
+    """Untraceable-hidden USER memory stays hidden even from a keyed
+    TAM2 read (the privacy state outranks the crypto read)."""
+    tag = _tag(aes_keys={1: KEY}, hide_user=True)
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, authenticate_read=(1, KEY, 0, 1, "user")
+                    ).run_inventory(ch, 2)
+    assert st.n_tam2_ok == 0 and not st.secure_read_words
+
+
 def test_keyupdate_bit_synthesis():
     rng = np.random.default_rng(12)
     h = rng.integers(0, 2, 16)
