@@ -182,7 +182,7 @@ def _sync_rn16(frame: jnp.ndarray, cfg: ReaderConfig):
 
         idx, h = miller.miller_sync(frame, cfg)
         bits, margin = miller.miller_rn16_soft(frame, idx, h, cfg)
-        b0 = miller._miller_sync_selection(cfg)[3]
+        b0 = miller.preamble_len_samples(cfg)
     return idx, h, bits, margin, b0
 
 
@@ -267,7 +267,7 @@ def _sync_epc(frame: jnp.ndarray, cfg: ReaderConfig):
 
         idx, h = miller.miller_sync(frame, cfg)
         bits, _ = miller.miller_epc(frame, idx, h, cfg)
-        b0 = miller._miller_sync_selection(cfg)[3]
+        b0 = miller.preamble_len_samples(cfg)
     return idx, h, bits, b0
 
 

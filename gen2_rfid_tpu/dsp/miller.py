@@ -36,25 +36,52 @@ def _preamble_pm(m: int, trext: int = 0) -> np.ndarray:
     return chips.astype(np.float32) * 2.0 - 1.0
 
 
+#: Preamble-correlation clock-error hypotheses: +-2% in 0.5% steps.  Gen2
+#: tags are allowed percent-level frequency tolerance (FT, Gen2 table
+#: 6.9); at M=8 the preamble is ~160 chips long, so even 1% of clock
+#: error smears a nominal-period correlation by ~1.6 chips and sync dies
+#: before the data cascade ever runs.  Correlating against a small grid
+#: of period-scaled templates (one shared-weight matmul, n_eps x n_off
+#: columns) keeps the residual smear under ~0.4 chip across the grid.
+SYNC_EPS = np.linspace(-0.02, 0.02, 9).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=32)
 def _miller_sync_selection(cfg: ReaderConfig):
-    """(span, n_off) preamble-correlation + channel-mean selection matrices
-    (the FM0 pattern, sync.py::_sync_selection: per-frame chip gathers
-    serialize on TPU; tiny shared-weight matmuls do not)."""
+    """(span, n_eps*n_off) preamble-correlation + channel-mean selection
+    matrices (the FM0 pattern, sync.py::_sync_selection: per-frame chip
+    gathers serialize on TPU; tiny shared-weight matmuls do not), one
+    column group per clock-error hypothesis."""
     m = cfg.miller_m
     pm = _preamble_pm(m, cfg.trext)
     n_chips = pm.shape[0]
     d = cfg.n_samples_chip
     n_off = cfg.sync_search
-    pos = np.floor(np.arange(n_chips) * d).astype(np.int32)
-    span = int(pos[-1]) + n_off
-    s = np.zeros((span, n_off), dtype=np.float32)
-    sh = np.zeros((span, n_off), dtype=np.float32)
+    n_eps = SYNC_EPS.shape[0]
+    spans = []
+    for e in SYNC_EPS:
+        spans.append(int(np.floor((n_chips - 1) * d * (1.0 + e))) + n_off)
+    span = max(spans)
+    s = np.zeros((span, n_eps * n_off), dtype=np.float32)
+    sh = np.zeros((span, n_eps * n_off), dtype=np.float32)
+    dshift = np.zeros(n_eps, dtype=np.int32)
     offs = np.arange(n_off)
-    for j in range(n_chips):
-        np.add.at(s, (pos[j] + offs, offs), pm[j])
-        np.add.at(sh, (pos[j] + offs, offs), pm[j] / n_chips)
-    return s, sh, span, int(round(n_chips * d))
+    for t, e in enumerate(SYNC_EPS):
+        pos = np.floor(np.arange(n_chips) * d * (1.0 + e)).astype(np.int32)
+        dshift[t] = int(round(n_chips * d * (1.0 + e)))
+        for j in range(n_chips):
+            cols = t * n_off + offs
+            np.add.at(s, (pos[j] + offs, cols), pm[j])
+            np.add.at(sh, (pos[j] + offs, cols), pm[j] / n_chips)
+    return s, sh, span, dshift, n_off
+
+
+def preamble_len_samples(cfg: ReaderConfig) -> int:
+    """Nominal-clock preamble length in samples (data-start offset from
+    the sync window start) - the b0 the SIC template bank anchors on."""
+    m = cfg.miller_m
+    n_chips = _preamble_pm(m, cfg.trext).shape[0]
+    return int(round(n_chips * cfg.n_samples_chip))
 
 
 def miller_sync(
@@ -62,9 +89,10 @@ def miller_sync(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Locate the Miller preamble; return (chip0_index, h_est).
 
-    chip0_index points at the first *data* chip (offset of preamble end).
+    chip0_index points at the first *data* chip (offset of preamble end,
+    under the winning clock-error hypothesis).
     """
-    s_np, sh_np, span, dshift = _miller_sync_selection(cfg)
+    s_np, sh_np, span, dshift_np, n_off = _miller_sync_selection(cfg)
     x = jax.lax.slice(frame, (0,), (span,))
     xr, xi = jnp.real(x), jnp.imag(x)
     hi = SEL_PRECISION
@@ -78,7 +106,7 @@ def miller_sync(
         jnp.matmul(xr, sh, precision=hi), jnp.matmul(xi, sh, precision=hi)
     )
     h_est = h_all[best]
-    data_index = best + jnp.int32(dshift)
+    data_index = best % n_off + jnp.asarray(dshift_np)[best // n_off]
     return data_index, h_est
 
 
@@ -127,9 +155,11 @@ def default_seg_bits(m: int) -> int:
     """Segment length (bits) for the re-alignment cascade: shorter at
     higher M so intra-segment clock-error drift stays well under half a
     chip (edge misalignment ~ eps * seg_bits * m chips - constant
-    ~32*eps across M with seg_bits = 32/M, i.e. ~0.3 chip at the 1% BLF
-    error the FM0 path's reference grid covers)."""
-    return max(4, 32 // m)
+    ~16*eps across M with seg_bits = 16/M, i.e. ~0.3 chip at 2% BLF
+    error; measured envelope in tests/test_miller.py).  Shorter still
+    (8/M) buys ~3% for M=2 but breaks the -20 dBc dense-reader case -
+    the offset decision integrates too little signal."""
+    return max(2, 16 // m)
 
 
 def miller_detect(
