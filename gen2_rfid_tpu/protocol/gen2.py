@@ -70,6 +70,14 @@ def parse_query_sel(bits: np.ndarray):
     return (int(b[8]), int(b[9]))
 
 
+def parse_query_session(bits: np.ndarray) -> int:
+    """Session field of a transmitted Query (bits 10:12) -> 0..3 (S0-S3),
+    EPC Gen2 spec 6.3.2.12.1: which session's inventoried flag the round
+    reads and toggles."""
+    b = np.asarray(bits, dtype=np.int64)
+    return int(b[10] * 2 + b[11])
+
+
 def parse_query_target(bits: np.ndarray) -> int:
     """Target field of a transmitted Query (bit 12): which inventoried-flag
     population (0=A / 1=B) shall participate, EPC Gen2 spec 6.3.2.12.1."""
@@ -633,7 +641,23 @@ def pwd_halves(pwd32: int):
 # sub-population selection, paired with Query's Sel field.
 SELECT_CODE = (1, 0, 1, 0)
 SELECT_TARGET_SL = (1, 0, 0)      # modify the SL flag
+# Targets 000-011: the inventoried flag of session S0-S3 (Gen2 table 6.28).
+SELECT_TARGET_S = {0: (0, 0, 0), 1: (0, 0, 1), 2: (0, 1, 0), 3: (0, 1, 1)}
 MEMBANK_EPC = (0, 1)
+
+# Select action table (Gen2 table 6.29): per action, what matching /
+# non-matching tags do to the targeted flag.  "assert" = SL asserted or
+# inventoried -> A; "deassert" = SL deasserted or inventoried -> B.
+SELECT_ACTIONS = {
+    0: ("assert", "deassert"),
+    1: ("assert", "none"),
+    2: ("none", "deassert"),
+    3: ("negate", "none"),
+    4: ("deassert", "assert"),
+    5: ("deassert", "none"),
+    6: ("none", "assert"),
+    7: ("none", "negate"),
+}
 
 
 def select_bits(mask: np.ndarray, pointer: int = 0x20,

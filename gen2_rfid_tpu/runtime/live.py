@@ -295,7 +295,11 @@ class LiveReader:
     power-up and after every power-down, asserting SL on tags whose EPC
     bank matches ``mask_bits`` at bit address ``pointer`` (0x20 = EPC
     field start); Queries then carry Sel=SL so only the masked
-    sub-population is inventoried.
+    sub-population is inventoried.  ``select_bank`` ("epc"/"tid"/"user"),
+    ``select_target`` ("sl", or "s0".."s3" to pre-position a session's
+    inventoried flags instead — pair with ``target_ab``), and
+    ``select_action`` (0-7, table 6.29) generalize it; Untraceable-hidden
+    words never match.
     ``access_read``: (wordptr, wordcount[, bank]) — after every correct
     EPC, run the Gen2 access sequence (6.3.2.12.3; the reference never
     leaves inventory): Req_RN(RN16) → CRC-checked 16-bit handle →
@@ -365,6 +369,9 @@ class LiveReader:
         sic: bool = False,
         target_ab: bool = False,
         select_mask=None,
+        select_bank: str = "epc",
+        select_target: str = "sl",
+        select_action: int = 0,
         select_truncate: bool = False,
         access_read=None,
         access_write=None,
@@ -384,7 +391,17 @@ class LiveReader:
         self.target_ab = target_ab
         self.target = int(cfg.target)
         self.select_mask = select_mask
-        self._sel = gen2.SEL_SL if select_mask is not None else None
+        # Select generality (Gen2 6.3.2.12.1.1): bank (epc/tid/user),
+        # target ("sl" or "s0".."s3" = a session's inventoried flag) and
+        # action (0-7, table 6.29).  Queries carry Sel=SL only when the
+        # Select targets SL; session-flag Selects pre-position the A/B
+        # populations instead.
+        self.select_bank = select_bank
+        self.select_target = select_target
+        self.select_action = select_action
+        self._sel = (gen2.SEL_SL
+                     if select_mask is not None and select_target == "sl"
+                     else None)
         # Select Truncate=1 (Gen2 6.3.2.12.1.1): ACKed tags backscatter
         # only the EPC following the mask (+ header-0 + CRC-16) - the
         # air-time saving for long masks.  The reader derives the reply
@@ -763,11 +780,16 @@ class LiveReader:
         if self.select_mask is None:
             return
         mask, pointer = self.select_mask
+        target = (gen2.SELECT_TARGET_SL if self.select_target == "sl"
+                  else gen2.SELECT_TARGET_S[int(self.select_target[1])])
         sb = gen2.select_bits(np.asarray(mask), pointer,
+                              membank=self._bank_code(self.select_bank),
+                              target=target, action=self.select_action,
                               truncate=int(self.select_truncate))
         channel.exchange("select", sb, self.enc.select(sb),
                          float(self.cfg.cw_us))
-        _log.debug("SELECT | ptr=%#x len=%d", pointer, len(mask))
+        _log.debug("SELECT | ptr=%#x len=%d tgt=%s act=%d", pointer,
+                   len(mask), self.select_target, self.select_action)
 
     def _send_challenge(self, channel) -> None:
         """Broadcast the Gen2 v2 Challenge (6.3.2.12.3.10): tags holding

@@ -25,7 +25,11 @@ class _TagState:
     tag: Tag
     slot: int = -1               # current slot counter (-1 = not participating)
     rn16: Optional[np.ndarray] = None
-    flag_b: bool = False         # session inventoried flag (False=A, True=B)
+    # Per-session inventoried flags S0-S3 (False=A, True=B), Gen2 6.3.2.3:
+    # each session's flag is independent, so readers inventorying in
+    # different sessions do not clobber each other's passes.
+    flags: List[bool] = dataclasses.field(
+        default_factory=lambda: [False] * 4)
     sl: bool = False             # SL flag (asserted/deasserted by Select)
     acked: bool = False          # in Acknowledged state (valid ACK received)
     handle: Optional[np.ndarray] = None   # Open-state handle (post Req_RN)
@@ -45,6 +49,17 @@ class _TagState:
     #                              next non-NAK command (Gen2 6.3.2.4: a NAK
     #                              returns the tag to arbitrate WITHOUT
     #                              toggling its inventoried flag)
+    flip_session: int = 0        # which session's flag the pending flip hits
+
+    # Legacy single-session view (S0, the default config session) used by
+    # existing tests and the reference-parity paths.
+    @property
+    def flag_b(self) -> bool:
+        return self.flags[0]
+
+    @flag_b.setter
+    def flag_b(self, v: bool) -> None:
+        self.flags[0] = bool(v)
 
 
 class SimTagChannel:
@@ -89,19 +104,21 @@ class SimTagChannel:
     # ---- tag protocol reactions ----
 
     def _commit_flips(self):
-        """Acknowledged tags toggle their inventoried flag at the next
-        command (any command except NAK, which cancels the transition)."""
+        """Acknowledged tags toggle their (round's session's) inventoried
+        flag at the next command (any command except NAK, which cancels
+        the transition)."""
         for ts in self.tags:
             if ts.pending_flip:
-                ts.flag_b = not ts.flag_b
+                ts.flags[ts.flip_session] = not ts.flags[ts.flip_session]
                 ts.pending_flip = False
 
-    def _on_query(self, q: int, target: int = 0, sel=(0, 0)):
+    def _on_query(self, q: int, target: int = 0, sel=(0, 0),
+                  session: int = 0):
         from ..protocol.gen2 import SEL_NOT_SL, SEL_SL
 
         for ts in self.tags:
             participates = ((not self.session_ab
-                             or ts.flag_b == bool(target))
+                             or ts.flags[session] == bool(target))
                             and not ts.tag.killed)
             if sel == SEL_SL:
                 participates = participates and ts.sl
@@ -138,46 +155,79 @@ class SimTagChannel:
         elif kind != "cw":
             self._commit_flips()
         if kind == "select":
-            # Gen2 6.3.2.12.1.1: matching tags apply the action to the
-            # targeted flag.  Modeled: SL target, action 0 (matching assert
-            # SL / non-matching deassert), EPC membank.
+            # Gen2 6.3.2.12.1.1: every tag evaluates the mask against its
+            # memory and applies the action's matching / non-matching
+            # operation (table 6.29) to the targeted flag - SL (target
+            # 100) or the inventoried flag of session S0-S3 (000-011).
+            # Banks: EPC / TID / USER (RESERVED is not selectable);
+            # Untraceable-hidden words (-1 sentinel) never match.
             tgt, action, membank, ptr, mask, truncate, crc_ok = (
                 gen2.parse_select(bits))
-            if (crc_ok and tgt == gen2.SELECT_TARGET_SL
-                    and membank == gen2.MEMBANK_EPC and action == 0):
+            s_tgt = {v: k for k, v in gen2.SELECT_TARGET_S.items()}.get(tgt)
+            if (crc_ok and membank != gen2.MEMBANK_RESERVED
+                    and (tgt == gen2.SELECT_TARGET_SL or s_tgt is not None)
+                    and action in gen2.SELECT_ACTIONS):
                 for ts in self.tags:
-                    mem = ts.tag.epc_bank_bits()
-                    seg = mem[ptr: ptr + mask.size]
-                    ts.sl = (seg.size == mask.size
+                    mem = ts.tag.bank_bits(membank)
+                    seg = (mem[ptr: ptr + mask.size]
+                           if mem is not None else np.zeros(0, np.int64))
+                    match = (seg.size == mask.size and np.all(seg >= 0)
                              and bool(np.array_equal(seg, mask)))
-                    # Truncate=1 (Gen2 6.3.2.12.1.1): a matching tag's ACK
-                    # reply carries only the EPC portion following the
-                    # mask; persists until the next Select / power loss.
-                    ts.truncate_from = (
-                        ptr + mask.size
-                        if (truncate and ts.sl and ptr >= 0x20) else None)
+                    op = gen2.SELECT_ACTIONS[action][0 if match else 1]
+                    if tgt == gen2.SELECT_TARGET_SL:
+                        if op == "assert":
+                            ts.sl = True
+                        elif op == "deassert":
+                            ts.sl = False
+                        elif op == "negate":
+                            ts.sl = not ts.sl
+                        # Truncate=1 (Gen2 6.3.2.12.1.1): a matching tag's
+                        # ACK reply carries only the EPC portion following
+                        # the mask; persists until the next Select / power
+                        # loss.
+                        ts.truncate_from = (
+                            ptr + mask.size
+                            if (truncate and match
+                                and membank == gen2.MEMBANK_EPC
+                                and ptr >= 0x20) else None)
+                    else:
+                        # "assert" -> inventoried A (False), "deassert" ->
+                        # B (True), per table 6.29's flag column.
+                        if op == "assert":
+                            ts.flags[s_tgt] = False
+                        elif op == "deassert":
+                            ts.flags[s_tgt] = True
+                        elif op == "negate":
+                            ts.flags[s_tgt] = not ts.flags[s_tgt]
         elif kind == "query":
             self.q = gen2.parse_query_q(bits)
             self._target = gen2.parse_query_target(bits)
             self._sel = gen2.parse_query_sel(bits)
-            self._on_query(self.q, self._target, self._sel)
+            self._session = gen2.parse_query_session(bits)
+            self._on_query(self.q, self._target, self._sel, self._session)
         elif kind == "query_adjust":
             self.q = int(np.clip(
                 self.q + gen2.parse_query_adjust_updn(bits), 0, 15))
             self._on_query(self.q, getattr(self, "_target", 0),
-                           getattr(self, "_sel", (0, 0)))
+                           getattr(self, "_sel", (0, 0)),
+                           getattr(self, "_session", 0))
         elif kind == "query_rep":
             for ts in self.tags:
                 if ts.slot > 0:
                     ts.slot -= 1
                 ts.rn16 = None
         elif kind == "power_down":
-            # Unpowered tags lose all inventory state (EPC Gen2: persistence
-            # of session S0 flags does not survive power loss).
+            # Unpowered tags lose their volatile state.  Gen2 6.3.2.3
+            # persistence: the S0 inventoried flag dies with power; S1
+            # decays on its own timer and S2/S3 persist through short
+            # power gaps - modeled as S1-S3 surviving the power-down.
+            # SL is modeled volatile (its spec persistence matches S2/S3,
+            # but the reference-era reader re-Selects after power-up and
+            # the live loop does too - see LiveReader._send_select).
             for ts in self.tags:
                 ts.slot = -1
                 ts.rn16 = None
-                ts.flag_b = False
+                ts.flags[0] = False
                 ts.sl = False
                 ts.pending_flip = False
                 ts.truncate_from = None
@@ -468,10 +518,12 @@ class SimTagChannel:
                             cfg, ts.tag.epc_frame_bits())))
                     ts.acked = True      # Acknowledged state: Req_RN valid
                     if self.session_ab:
-                        # Valid ACK: flag toggles at the next non-NAK
-                        # command (the tag believes it was read even if the
-                        # reader's EPC CRC later fails).
+                        # Valid ACK: this round's session flag toggles at
+                        # the next non-NAK command (the tag believes it
+                        # was read even if the reader's EPC CRC later
+                        # fails).
                         ts.pending_flip = True
+                        ts.flip_session = getattr(self, "_session", 0)
                 # Slot is over either way: acked tags are inventoried,
                 # un-acked (collided / mis-decoded) tags back off to the
                 # next Query round.

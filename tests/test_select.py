@@ -133,3 +133,106 @@ def test_select_truncate_reads_remainder():
     ch2 = SimTagChannel(cfg, [t_match, t_other], seed=6)
     st2 = LiveReader(cfg, select_mask=(mask, 0x20)).run_inventory(ch2, 2)
     assert st2.n_epc_correct == 2 and st2.n_truncated_reads == 0
+
+
+def _q(ch, cfg, q=0, target=0, sel=None):
+    from gen2_rfid_tpu.tx.pie import PieEncoder
+
+    bits = gen2.query_bits(cfg, q=q, target=target, sel=sel)
+    ch.exchange("query", bits, PieEncoder(cfg).query(q, target, sel), 400.0)
+
+
+def test_select_action_table():
+    """All 8 Select actions (Gen2 table 6.29) on the SL flag: matching and
+    non-matching tags each apply their column."""
+    t_match, t_other = _tags()[0], _tags()[2]
+    mask = np.array([1, 0, 1, 0], dtype=np.int64)        # matches family 0xA
+
+    def send(ch, action, preset=None):
+        if preset is not None:
+            for ts, v in zip(ch.tags, preset):
+                ts.sl = v
+        sb = gen2.select_bits(mask, 0x20, action=action)
+        from gen2_rfid_tpu.tx.pie import PieEncoder
+
+        ch.exchange("select", sb, PieEncoder(CFG).select(sb), 250.0)
+        return [ts.sl for ts in ch.tags]
+
+    ch = SimTagChannel(CFG, [t_match, t_other], seed=1)
+    assert send(ch, 0) == [True, False]                  # assert / deassert
+    assert send(ch, 4) == [False, True]                  # deassert / assert
+    assert send(ch, 1, preset=[False, True]) == [True, True]    # assert / -
+    assert send(ch, 2, preset=[True, True]) == [True, False]    # - / deassert
+    assert send(ch, 3, preset=[False, False]) == [True, False]  # negate / -
+    assert send(ch, 3) == [False, False]                 # negate again
+    assert send(ch, 5, preset=[True, True]) == [False, True]    # deassert / -
+    assert send(ch, 6, preset=[False, False]) == [False, True]  # - / assert
+    assert send(ch, 7, preset=[False, False]) == [False, True]  # - / negate
+
+
+def test_select_tid_bank():
+    """Select masks address TID memory too: the seed-derived TID serial
+    singulates exactly one tag even when EPCs collide."""
+    t1, t2 = Tag.with_id(9, seed=31), Tag.with_id(9, seed=32)   # same EPC!
+    mask = t1.tid_bank_bits()[32:56]                     # t1's serial head
+    ch = SimTagChannel(CFG, [t1, t2], seed=3)
+    rd = LiveReader(CFG, select_mask=(mask, 32), select_bank="tid")
+    rd.run_inventory(ch, 1)
+    assert [ts.sl for ts in ch.tags] == [True, False]
+
+
+def test_select_hidden_memory_never_matches():
+    """Untraceable-hidden words (-1 sentinel) fail any Select mask."""
+    t = Tag.with_id(9, seed=31, hide_tid="all")
+    mask = t.tid_bank_bits()[:8]                         # 0xE2 class byte
+    ch = SimTagChannel(CFG, [t], seed=3)
+    sb = gen2.select_bits(mask, 0, membank=gen2.MEMBANK_TID)
+    from gen2_rfid_tpu.tx.pie import PieEncoder
+
+    ch.exchange("select", sb, PieEncoder(CFG).select(sb), 250.0)
+    assert not ch.tags[0].sl
+
+
+def test_select_session_flag_target():
+    """Select targeting a session's inventoried flag (target 000-011)
+    pre-positions the A/B populations: matching tags moved to B drop out
+    of an A-target pass in that session - and other sessions' flags are
+    untouched."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, session=(1, 0))      # S2
+    tags = _tags()
+    mask = np.array([1, 0, 1, 0], dtype=np.int64)        # family 0xA -> B
+    ch = SimTagChannel(cfg2, tags, seed=9, session_ab=True)
+    sb = gen2.select_bits(mask, 0x20, target=gen2.SELECT_TARGET_S[2],
+                          action=5)                      # match -> B
+    from gen2_rfid_tpu.tx.pie import PieEncoder
+
+    ch.exchange("select", sb, PieEncoder(cfg2).select(sb), 250.0)
+    assert [ts.flags[2] for ts in ch.tags] == [True, True, False, False]
+    assert all(not ts.flags[s] for ts in ch.tags for s in (0, 1, 3))
+    # An S2 target-A query: only the un-selected family participates.
+    _q(ch, cfg2, q=0, target=0)
+    assert [ts.slot == 0 for ts in ch.tags] == [False, False, True, True]
+
+
+def test_session_flags_are_independent():
+    """A pass in one session must not consume another session's flags:
+    two readers inventorying in S1 and S2 each read every tag."""
+    import dataclasses
+
+    tags = [Tag.with_id(27, seed=7)]
+    cfg_s1 = dataclasses.replace(CFG, session=(0, 1))
+    cfg_s2 = dataclasses.replace(CFG, session=(1, 0))
+    ch = SimTagChannel(cfg_s1, tags, seed=5, session_ab=True)
+    st1 = LiveReader(cfg_s1).run_inventory(ch, 1)
+    assert int(st1.tag_reads[27]) == 1
+    # The flip commits at the NEXT command (Gen2 6.3.2.4) - pending here.
+    assert ch.tags[0].pending_flip and ch.tags[0].flip_session == 1
+    # Reader 2, session S2, same channel state: reader 2's first Query
+    # commits the S1 flip, and the tag still participates (its S2 flag is
+    # untouched) - each reader reads the tag once in its own session.
+    st2 = LiveReader(cfg_s2).run_inventory(ch, 1)
+    assert int(st2.tag_reads[27]) == 1
+    assert ch.tags[0].flags[1]
+    assert ch.tags[0].pending_flip and ch.tags[0].flip_session == 2
