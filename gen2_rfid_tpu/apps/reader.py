@@ -341,6 +341,10 @@ def cmd_live(args) -> int:
         print(f"| Authentication: {st.n_auth_ok} TAM1 OK, "
               f"{st.n_buffer_auth_ok} buffered OK, "
               f"{st.n_auth_fail} crypto failures")
+    if st.error_counts:
+        errs = ", ".join(f"{n}x {name}"
+                         for name, n in sorted(st.error_counts.items()))
+        print(f"| Tag error replies: {errs}")
     return 0
 
 

@@ -627,6 +627,55 @@ def parse_untraceable(bits: np.ndarray):
     return u, epc_words, tid, hide_user, range_, handle, crc_ok
 
 
+# Tag error-specific replies (Gen2 Annex I / v2 table I-2): when a
+# handle-addressed access command fails, the tag backscatters header-1 +
+# ErrorCode(8) + handle + CRC-16 instead of its success reply (password
+# failures excepted - a wrong Access/Kill half is silence by spec).  The
+# reference never leaves inventory so it has no analogue; commercial
+# readers surface these as LLRP access-op result codes.
+ERROR_CODES = {
+    "other": 0b00000000,
+    "not supported": 0b00000001,
+    "insufficient privileges": 0b00000010,
+    "memory overrun": 0b00000011,
+    "memory locked": 0b00000100,
+    "crypto suite": 0b00000101,
+    "not encapsulated": 0b00000110,
+    "buffer overflow": 0b00000111,
+    "security timeout": 0b00001000,
+    "insufficient power": 0b00001011,
+    "non-specific": 0b00001111,
+}
+_ERROR_NAMES = {v: k for k, v in ERROR_CODES.items()}
+ERROR_REPLY_BITS = 1 + 8 + 16 + 16
+
+
+def error_reply_bits(error: str, handle: np.ndarray) -> np.ndarray:
+    """Tag error reply: header-1 + ErrorCode(8) + handle(16) + CRC-16
+    over header+code+handle (Gen2 Annex I)."""
+    code = ERROR_CODES[error]
+    handle = np.asarray(handle, dtype=np.int64)
+    body = np.concatenate([
+        np.ones(1, np.int64),
+        np.array([(code >> k) & 1 for k in range(7, -1, -1)], np.int64),
+        handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_error_reply(bits: np.ndarray):
+    """-> (error_name, handle, ok) - ok iff header-1 + CRC-16 verify and
+    the code is a known Annex-I value."""
+    b = np.asarray(bits, dtype=np.int64)
+    if b.size < ERROR_REPLY_BITS or b[0] != 1:
+        return None, None, False
+    b = b[:ERROR_REPLY_BITS]
+    code = int("".join(map(str, b[1:9])), 2)
+    handle = b[9:25]
+    ok = (code in _ERROR_NAMES
+          and bool(np.array_equal(_crc16_any(b[:25]), b[25:])))
+    return _ERROR_NAMES.get(code), handle, ok
+
+
 def pwd_halves(pwd32: int):
     """A 32-bit password as (MSB half bits, LSB half bits) - the order the
     two Access / Kill steps transmit them (Gen2 6.3.2.12.3.4/6)."""

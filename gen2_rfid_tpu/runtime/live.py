@@ -98,6 +98,10 @@ class LiveStats:
     n_tam2_ok: int = 0         # TAM2 confidential reads verified
     secure_read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last TAM2-decrypted data bits
+    # Tag error-specific replies (Gen2 Annex I) decoded from failed access
+    # commands: error name -> count.  The LLRP access-op result-code
+    # analogue; empty when tags stay silent on failure.
+    error_counts: Dict[str, int] = dataclasses.field(default_factory=dict)
     read_words: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> last Read data bits
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
@@ -507,7 +511,35 @@ class LiveReader:
         Kill): header-0 + handle echo + CRC-16 over header+handle."""
         return (out is not None and out[0] == 0
                 and np.array_equal(out[1:17], handle)
-                and np.array_equal(gen2._crc16_any(out[:17]), out[17:]))
+                and np.array_equal(gen2._crc16_any(out[:17]), out[17:33]))
+
+    def _record_error(self, out, handle) -> bool:
+        """Check a decoded window (>= 41 bits) for an Annex-I error reply
+        addressed to ``handle``; record it in ``error_counts``."""
+        if out is None or len(out) < gen2.ERROR_REPLY_BITS:
+            return False
+        name, h, ok = gen2.parse_error_reply(out)
+        if not (ok and np.array_equal(h, handle)):
+            return False
+        st = self.stats
+        st.error_counts[name] = st.error_counts.get(name, 0) + 1
+        _log.debug("TAG ERROR | %s", name)
+        return True
+
+    def _delayed_exchange(self, channel, kind, bits, handle) -> bool:
+        """Transmit a delayed-reply access command; decode success
+        (header-0 + handle + CRC) or an Annex-I error reply (header-1 +
+        code + handle + CRC, 41 bits - the window covers both)."""
+        cfg = self.cfg
+        pre = 1 + cfg.effective_preamble_bits
+        nb = gen2.ERROR_REPLY_BITS              # 41 >= the 33-bit success
+        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+        rx = channel.exchange(kind, bits, self.enc.command(bits), cw)
+        out = self._decode_window(rx, f"acc:{nb}")
+        if self._delayed_ok(out, handle):
+            return True
+        self._record_error(out, handle)
+        return False
 
     def _pwd_step(self, channel, handle, half, kind: str):
         """One cover-coded password half (Access or Kill): Req_RN(handle)
@@ -653,26 +685,19 @@ class LiveReader:
             enc = crypto.bytes_to_bits(
                 crypto.aes128_encrypt_block(bytes(old_key), bytes(new_key)))
             kb = gen2.keyupdate_bits(handle, key_id, enc)
-            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("keyupdate", kb, self.enc.command(kb), cw)
-            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+            if self._delayed_exchange(channel, "keyupdate", kb, handle):
                 st.n_keyupdate_ok += 1
                 _log.debug("KEYUPDATE OK | tag %#x key %d", tid, key_id)
 
         if self.untraceable is not None:
             ub = gen2.untraceable_bits(handle, **self.untraceable)
-            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("untraceable", ub, self.enc.command(ub),
-                                  cw)
-            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+            if self._delayed_exchange(channel, "untraceable", ub, handle):
                 st.n_untraceable_ok += 1
                 _log.debug("UNTRACEABLE OK | tag %#x", tid)
 
         if self.lock is not None:
             lb = gen2.lock_bits(handle, self.lock)
-            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("lock", lb, self.enc.command(lb), cw)
-            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+            if self._delayed_exchange(channel, "lock", lb, handle):
                 st.n_lock_ok += 1
                 _log.debug("LOCK OK | tag %#x", tid)
 
@@ -684,11 +709,7 @@ class LiveReader:
                 wb = gen2.write_bits(
                     handle, (np.asarray(data) + cover) % 2,
                     membank=self._bank_code(bank), wordptr=wordptr)
-                cw = float(cfg.t1_us + cfg.t2_us
-                           + (33 + pre) * cfg.tag_bit_us)
-                rx = channel.exchange("write", wb, self.enc.command(wb), cw)
-                if self._delayed_ok(self._decode_window(rx, "acc:33"),
-                                    handle):
+                if self._delayed_exchange(channel, "write", wb, handle):
                     st.n_write_ok += 1
                     _log.debug("WRITE OK | tag %#x word %d", tid, wordptr)
 
@@ -698,9 +719,7 @@ class LiveReader:
             bw = gen2.blockwrite_bits(handle, np.asarray(data),
                                       membank=self._bank_code(bank),
                                       wordptr=wordptr)
-            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("blockwrite", bw, self.enc.command(bw), cw)
-            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+            if self._delayed_exchange(channel, "blockwrite", bw, handle):
                 st.n_blockwrite_ok += 1
                 _log.debug("BLOCKWRITE OK | tag %#x words=%d", tid,
                            len(data) // 16)
@@ -710,9 +729,7 @@ class LiveReader:
             bank = self.block_erase[2] if len(self.block_erase) > 2 else "user"
             eb = gen2.blockerase_bits(handle, membank=self._bank_code(bank),
                                       wordptr=wordptr, wordcount=wordcount)
-            cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("blockerase", eb, self.enc.command(eb), cw)
-            if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+            if self._delayed_exchange(channel, "blockerase", eb, handle):
                 st.n_blockerase_ok += 1
                 _log.debug("BLOCKERASE OK | tag %#x words=%d", tid, wordcount)
 
@@ -732,15 +749,15 @@ class LiveReader:
                         and np.array_equal(gen2._crc16_any(out[:33]),
                                            out[33:])):
                     st.permalock_status[tid] = np.asarray(out[1:17])
+                else:
+                    self._record_error(out, handle)
             else:
                 mask = np.asarray(mask, dtype=np.int64)
                 pb = gen2.blockpermalock_bits(
                     handle, read_lock=1, blockptr=blockptr,
                     blockrange=mask.size // 16, mask=mask)
-                cw = float(cfg.t1_us + cfg.t2_us + (33 + pre) * cfg.tag_bit_us)
-                rx = channel.exchange("blockpermalock", pb,
-                                      self.enc.command(pb), cw)
-                if self._delayed_ok(self._decode_window(rx, "acc:33"), handle):
+                if self._delayed_exchange(channel, "blockpermalock", pb,
+                                          handle):
                     st.n_blockpermalock_ok += 1
                     _log.debug("BLOCKPERMALOCK OK | tag %#x", tid)
 
@@ -763,6 +780,9 @@ class LiveReader:
                     st.n_read_ok += 1
                     st.read_words[tid] = np.asarray(data)
                     _log.debug("READ OK | tag %#x words=%d", tid, wordcount)
+                else:
+                    # Annex-I error reply (41 bits <= any Read window).
+                    self._record_error(out, handle)
 
         if self.kill_pwd is not None:
             hi, lo = gen2.pwd_halves(self.kill_pwd)

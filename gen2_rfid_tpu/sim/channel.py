@@ -75,6 +75,7 @@ class SimTagChannel:
         tag_t1_us: float = 262.5,
         seed: int = 99,
         session_ab: bool = False,
+        error_replies: bool = True,
     ):
         self.cfg = cfg
         self.tags = [_TagState(t) for t in tags]
@@ -86,6 +87,11 @@ class SimTagChannel:
         # one tag on the golden trace, README.md:52-53; S0 persistence is
         # short against its ~2 s capture).
         self.session_ab = session_ab
+        # Gen2 Annex I error-specific replies: a failed handle-addressed
+        # access command backscatters header-1 + ErrorCode + handle + CRC
+        # instead of staying silent (password failures stay silent by
+        # spec).  False models older silicon that just doesn't answer.
+        self.error_replies = error_replies
         self.leak = np.complex64(leak)
         self.noise = noise
         self.tag_t1_us = tag_t1_us
@@ -253,6 +259,13 @@ class SimTagChannel:
         cw = np.full(n_cw, self.leak, dtype=np.complex64)
 
         replies = []
+
+        def err(ts, name):
+            """Queue an Annex-I error reply (no-op when error_replies is
+            off - older-silicon silence)."""
+            if self.error_replies:
+                replies.append((ts, reply_chips(
+                    cfg, gen2.error_reply_bits(name, ts.handle))))
         if kind in ("query", "query_rep", "query_adjust"):
             for ts in self.tags:
                 ts.acked = False
@@ -293,10 +306,15 @@ class SimTagChannel:
                             handle, ts.handle):
                         mem = ts.tag.bank_bits(membank, secured=ts.secured)
                         lo, hi = 16 * wordptr, 16 * (wordptr + wordcount)
-                        # -1 sentinel = pwd-locked words unreadable outside
-                        # the Secured state (Gen2 6.3.2.10): no reply.
-                        if (mem is not None and hi <= mem.size
-                                and np.all(mem[lo:hi] >= 0)):
+                        # -1 sentinel = pwd-locked / Untraceable-hidden
+                        # words unreadable in this state (Gen2 6.3.2.10).
+                        if mem is None:
+                            err(ts, "not supported")
+                        elif hi > mem.size:
+                            err(ts, "memory overrun")
+                        elif np.any(mem[lo:hi] < 0):
+                            err(ts, "memory locked")
+                        else:
                             replies.append((ts, reply_chips(
                                 cfg, gen2.read_reply_bits(
                                     mem[lo:hi], ts.handle))))
@@ -315,6 +333,13 @@ class SimTagChannel:
                                              secured=ts.secured):
                             replies.append((ts, reply_chips(
                                 cfg, gen2.write_reply_bits(ts.handle))))
+                        elif (not ts.tag.write_allowed(membank, ts.secured)
+                              or (tuple(membank) == (1, 1)
+                                  and wordptr < ts.tag.user_permalock.size
+                                  and ts.tag.user_permalock[wordptr])):
+                            err(ts, "memory locked")
+                        else:
+                            err(ts, "memory overrun")
         elif kind == "blockwrite":
             # Gen2 6.3.2.12.3.7: multi-word write, plaintext data; same
             # lock gating and success reply as Write.
@@ -325,7 +350,10 @@ class SimTagChannel:
                     if ts.handle is not None and np.array_equal(
                             handle, ts.handle):
                         nw = data.size // 16
-                        ok = ts.tag.write_allowed(membank, ts.secured)
+                        if not ts.tag.write_allowed(membank, ts.secured):
+                            err(ts, "memory locked")
+                            continue
+                        ok = True
                         for w in range(nw):
                             ok = ok and ts.tag.write_word(
                                 membank, wordptr + w,
@@ -334,6 +362,8 @@ class SimTagChannel:
                         if ok:
                             replies.append((ts, reply_chips(
                                 cfg, gen2.write_reply_bits(ts.handle))))
+                        else:
+                            err(ts, "memory overrun")
         elif kind == "blockerase":
             # Gen2 6.3.2.12.3.8: zero a word range; atomic, lock-gated like
             # Write (plus per-word USER permalocks); delayed success reply.
@@ -341,12 +371,20 @@ class SimTagChannel:
                 bits)
             if crc_ok:
                 for ts in self.tags:
-                    if (ts.handle is not None
-                            and np.array_equal(handle, ts.handle)
-                            and ts.tag.erase_words(membank, wordptr,
-                                                   wordcount, ts.secured)):
-                        replies.append((ts, reply_chips(
-                            cfg, gen2.write_reply_bits(ts.handle))))
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        if ts.tag.erase_words(membank, wordptr, wordcount,
+                                              ts.secured):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+                        elif not ts.tag.write_allowed(membank, ts.secured):
+                            err(ts, "memory locked")
+                        elif (tuple(membank) == (1, 1) and np.any(
+                                ts.tag.user_permalock[
+                                    wordptr: wordptr + wordcount])):
+                            err(ts, "memory locked")
+                        else:
+                            err(ts, "memory overrun")
         elif kind == "blockpermalock":
             # Gen2 6.3.2.12.3.9: Read/Lock=0 backscatters the permalock
             # status (Read-style reply); =1 permalocks masked blocks
@@ -364,10 +402,16 @@ class SimTagChannel:
                         if status is not None:
                             replies.append((ts, reply_chips(
                                 cfg, gen2.read_reply_bits(status, ts.handle))))
-                    elif ts.secured and ts.tag.apply_block_permalock(
-                            membank, blockptr, mask):
+                        else:
+                            err(ts, "not supported")
+                    elif not ts.secured:
+                        err(ts, "insufficient privileges")
+                    elif ts.tag.apply_block_permalock(membank, blockptr,
+                                                      mask):
                         replies.append((ts, reply_chips(
                             cfg, gen2.write_reply_bits(ts.handle))))
+                    else:
+                        err(ts, "memory overrun")
         elif kind == "authenticate":
             # Gen2 v2 6.3.2.12.3.11 (SenRep=1): the handle-addressed tag
             # computes the crypto response and backscatters it immediately
@@ -469,11 +513,15 @@ class SimTagChannel:
             csi, key_id, enc, handle, crc_ok = gen2.parse_keyupdate(bits)
             if crc_ok:
                 for ts in self.tags:
-                    if (ts.handle is not None and ts.secured
-                            and np.array_equal(handle, ts.handle)
-                            and ts.tag.install_key(csi, key_id, enc)):
-                        replies.append((ts, reply_chips(
-                            cfg, gen2.write_reply_bits(ts.handle))))
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        if not ts.secured:
+                            err(ts, "insufficient privileges")
+                        elif ts.tag.install_key(csi, key_id, enc):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+                        else:
+                            err(ts, "crypto suite")
         elif kind == "untraceable":
             # Gen2 v2 6.3.2.12.3.13: Secured state required (it mutates
             # privacy state); delayed Write-style success reply.
@@ -481,23 +529,31 @@ class SimTagChannel:
              crc_ok) = gen2.parse_untraceable(bits)
             if crc_ok:
                 for ts in self.tags:
-                    if (ts.handle is not None and ts.secured
-                            and np.array_equal(handle, ts.handle)
-                            and ts.tag.apply_untraceable(
-                                u, epc_words, tid, hide_user, range_)):
-                        replies.append((ts, reply_chips(
-                            cfg, gen2.write_reply_bits(ts.handle))))
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        if not ts.secured:
+                            err(ts, "insufficient privileges")
+                        elif ts.tag.apply_untraceable(
+                                u, epc_words, tid, hide_user, range_):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+                        else:
+                            err(ts, "other")
         elif kind == "lock":
             # Gen2 6.3.2.12.3.5: Secured state only; permalocked fields
             # reject changes (no reply); success reply mirrors Write's.
             payload, handle, crc_ok = gen2.parse_lock(bits)
             if crc_ok:
                 for ts in self.tags:
-                    if (ts.handle is not None and ts.secured
-                            and np.array_equal(handle, ts.handle)
-                            and ts.tag.apply_lock(payload)):
-                        replies.append((ts, reply_chips(
-                            cfg, gen2.write_reply_bits(ts.handle))))
+                    if ts.handle is not None and np.array_equal(
+                            handle, ts.handle):
+                        if not ts.secured:
+                            err(ts, "insufficient privileges")
+                        elif ts.tag.apply_lock(payload):
+                            replies.append((ts, reply_chips(
+                                cfg, gen2.write_reply_bits(ts.handle))))
+                        else:
+                            err(ts, "memory locked")   # permalocked field
         elif kind == "ack":
             acked = np.asarray(bits[2:18], dtype=np.int64)
             for ts in self._responders():
