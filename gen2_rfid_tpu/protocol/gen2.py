@@ -769,15 +769,16 @@ def parse_select(bits: np.ndarray):
 def parse_epc_frame(bits: np.ndarray):
     """Parse a decoded EPC reply payload by its PC length field.
 
-    Gen2 6.3.2.1.2.2: PC bits 0-4 give the EPC length L in 16-bit words, so
-    the frame is PC16 + EPC(16L) + CRC16.  The reference hard-pins L=6
-    (EPC_BITS=129, global_vars.h:107) and reads the id at bits[104:112]
-    (tag_decoder_impl.cc:348-352); this generalizes both.  ``bits`` may be
-    longer than the frame (the decoder slices the maximum window) - the
-    trailing bits are ignored.
+    Gen2 6.3.2.1.2.2: PC bits 0-4 give the backscattered payload length L
+    in 16-bit words (XPC word included when the XI bit announces one,
+    Gen2 v2 6.3.2.1.2.4), so the frame is PC16 + 16L payload + CRC16.
+    The reference hard-pins L=6 (EPC_BITS=129, global_vars.h:107) and
+    reads the id at bits[104:112] (tag_decoder_impl.cc:348-352); this
+    generalizes both.  ``bits`` may be longer than the frame (the decoder
+    slices the maximum window) - the trailing bits are ignored.
 
-    Returns (crc_ok, epc_words, tag_id) with tag_id = the last EPC byte
-    (-1 when the frame cannot be validated).
+    Returns (crc_ok, payload_words, tag_id) with tag_id = the last EPC
+    byte (-1 when the frame cannot be validated).
     """
     b = np.asarray(bits, dtype=np.int64)
     l = int("".join(map(str, b[:5])), 2)
@@ -787,3 +788,21 @@ def parse_epc_frame(bits: np.ndarray):
     ok = bool(np.array_equal(_crc16_any(b[:dl]), b[dl: dl + 16]))
     tid = int("".join(map(str, b[dl - 8: dl])), 2)
     return ok, l, tid
+
+
+def parse_epc_frame_full(bits: np.ndarray):
+    """Full EPC-frame parse incl. the Gen2 v2 XPC word.
+
+    Returns a dict: ``ok``, ``tag_id``, ``epc`` (the EPC bits proper,
+    XPC excluded), ``xi`` (XPC word present, PC bit 16h), ``u`` (the
+    Untraceable flag riding XPC_W1), ``umi`` (PC bit 15h).
+    """
+    b = np.asarray(bits, dtype=np.int64)
+    ok, l, tid = parse_epc_frame(b)
+    xi = bool(b[6])
+    umi = bool(b[5])
+    off = 16 + (16 if xi else 0)
+    u = bool(xi and b[17] == 1)          # modeled XPC_W1 bit 1 = U
+    epc = b[off: 16 + 16 * l] if ok else np.zeros(0, np.int64)
+    return {"ok": ok, "tag_id": tid, "epc": epc, "xi": xi, "u": u,
+            "umi": umi}

@@ -133,7 +133,7 @@ def tag_report_records(dec, cfg, freq_hz: float = None) -> list:
     (rad), and the carrier (MHz) when given.  Serializes to JSON lines
     (CLI decode --report).
     """
-    from ..protocol.gen2 import parse_epc_frame
+    from ..protocol.gen2 import parse_epc_frame_full
 
     valid = np.asarray(dec.valid) & np.asarray(dec.epc_pass)
     idx = np.asarray(dec.index)[valid]
@@ -143,20 +143,23 @@ def tag_report_records(dec, cfg, freq_hz: float = None) -> list:
     hc = h[:, 0] + 1j * h[:, 1]
     out = []
     for k in range(idx.size):
-        ok, l, _ = parse_epc_frame(bits[k])
-        epc = bits[k][16: 16 + 16 * l]
+        fr = parse_epc_frame_full(bits[k])
+        epc = fr["epc"]                   # XPC word (if any) excluded
         epc_hex = "".join(
             f"{int(''.join(map(str, epc[j: j + 4])), 2):x}"
-            for j in range(0, epc.size, 4)) if ok else ""
+            for j in range(0, epc.size, 4)) if fr["ok"] else ""
         rec = {
             "time_s": round(float(idx[k] / cfg.sample_rate), 6),
             "epc": epc_hex,
-            "epc_words": int(l),
+            "epc_words": epc.size // 16,
             "tag_id": int(tid[k]),
             "rssi_dbfs": round(float(
                 10 * np.log10(max(abs(hc[k]) ** 2, 1e-30))), 2),
             "phase_rad": round(float(np.angle(hc[k])), 4),
         }
+        if fr["xi"]:
+            # Gen2 v2 XPC word present: surface the untraceable flag.
+            rec["u_flag"] = fr["u"]
         if freq_hz:
             rec["channel_mhz"] = round(freq_hz / 1e6, 3)
         out.append(rec)

@@ -157,6 +157,10 @@ class Tag:
     hide_tid: str = "none"            # "none" | "some" | "all"
     hide_user: bool = False
     reduced_range: bool = False
+    # Untraceable U flag: when asserted the tag backscatters an XPC_W1
+    # word between PC and EPC (PC XI bit set, Gen2 v2 6.3.2.1.2.4) so
+    # readers can see the tag is in the untraceable state.
+    u_flag: bool = False
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -201,27 +205,50 @@ class Tag:
             return self.epc96
         return self.epc96[: 16 * self.hide_epc_words]
 
+    def xpc_w1_bits(self) -> Optional[np.ndarray]:
+        """XPC_W1 word (Gen2 v2 6.3.2.1.2.4), backscattered between PC
+        and EPC when any XPC bit is asserted (modeled bits: 0 = XEB
+        (XPC_W2, never set), 1 = U untraceable flag; rest zero)."""
+        if not self.u_flag:
+            return None
+        xpc = np.zeros(16, dtype=np.int64)
+        xpc[1] = 1
+        return xpc
+
     def _visible_pc(self) -> np.ndarray:
-        """PC word with the length field tracking the *exposed* EPC (an
-        untraceably-truncated tag backscatters a correspondingly smaller
-        PC length, Gen2 v2 6.3.2.12.3.13)."""
-        if self.hide_epc_words is None:
+        """PC word with the length field tracking the *backscattered*
+        payload: XPC word (if any) + exposed EPC, in 16-bit words (Gen2 v2
+        6.3.2.1.2.2-4: the length field counts the words between PC and
+        CRC, an untraceably-truncated tag reports a correspondingly
+        smaller length, and the XI bit announces the XPC word)."""
+        xi = self.u_flag
+        if self.hide_epc_words is None and not xi:
             return self.pc16
         pc = self.pc16.copy()
-        n_words = self.visible_epc().size // 16
+        n_words = self.visible_epc().size // 16 + (1 if xi else 0)
         pc[:5] = [(n_words >> (4 - k)) & 1 for k in range(5)]
+        if xi:
+            pc[6] = 1                    # XI bit (PC address 16h)
         return pc
 
     def epc_frame_bits(self) -> np.ndarray:
-        """EPC reply payload: PC + (visible) EPC + CRC16 over PC+EPC."""
-        body = np.concatenate([self._visible_pc(), self.visible_epc()])
+        """EPC reply payload: PC + [XPC_W1] + (visible) EPC + CRC16 over
+        everything before the CRC."""
+        xpc = self.xpc_w1_bits()
+        parts = [self._visible_pc()]
+        if xpc is not None:
+            parts.append(xpc)
+        parts.append(self.visible_epc())
+        body = np.concatenate(parts)
         return np.concatenate([body, crc16_bits(body)])
 
     def epc_bank_bits(self) -> np.ndarray:
         """EPC memory bank (bank 01) layout per Gen2 6.3.2.1: StoredCRC at
         0x00, PC at 0x10, EPC from 0x20 - the address space Select masks
         point into.  Reflects Untraceable hiding (hidden words are simply
-        absent from the exposed bank)."""
+        absent from the exposed bank).  The XPC word lives at 210h in the
+        spec, far above the EPC field, and is not separately readable in
+        this model - it rides the EPC reply only (xpc_w1_bits)."""
         body = np.concatenate([self._visible_pc(), self.visible_epc()])
         return np.concatenate([crc16_bits(body), body])
 
@@ -426,6 +453,9 @@ class Tag:
         self.hide_tid = tid
         self.hide_user = bool(hide_user)
         self.reduced_range = range_ == "reduced"
+        # U flag asserted -> the tag announces the untraceable state via
+        # the XPC_W1 word in its EPC replies (PC XI bit set).
+        self.u_flag = bool(u)
         return True
 
     def tam1_answer(self, csi: int, key_id: int,

@@ -129,3 +129,57 @@ def test_live_untraceable_reduced_range_drops_rssi():
     drop = rssi[0] - rssi[1:].mean()
     expect = -20 * np.log10(Tag.REDUCED_RANGE_SCALE)
     assert drop == pytest.approx(expect, abs=1.5)
+
+
+def test_xpc_word_rides_epc_reply():
+    """U flag asserted (Untraceable u=1): the tag backscatters PC with
+    the XI bit + an XPC_W1 word carrying U (Gen2 v2 6.3.2.1.2.4); the
+    PC-aware parse returns the proper EPC (XPC excluded) and the flag."""
+    t = Tag.with_id(0x2B, n_words=2, seed=7)
+    assert t.apply_untraceable(1, None, "none", 0, "normal")
+    fr = t.epc_frame_bits()
+    # PC + XPC + 2 EPC words + CRC: the length field counts XPC + EPC.
+    assert fr.size == 16 + 16 + 32 + 16
+    ok, l, tid = gen2.parse_epc_frame(fr)
+    assert ok and l == 3 and tid == 0x2B
+    full = gen2.parse_epc_frame_full(fr)
+    assert full["xi"] and full["u"] and full["tag_id"] == 0x2B
+    np.testing.assert_array_equal(full["epc"], t.epc96)
+    # Without U the frame is the plain PC+EPC+CRC.
+    t2 = Tag.with_id(0x2B, n_words=2, seed=7)
+    full2 = gen2.parse_epc_frame_full(t2.epc_frame_bits())
+    assert not full2["xi"] and not full2["u"]
+
+
+def test_xpc_decodes_over_the_air_and_reports_u():
+    """A U-flagged tag inventories normally (the PC-aware validation
+    absorbs the extra word) and the per-read report surfaces u_flag."""
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.stats import tag_report_records
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg = ReaderConfig(max_events=64)
+    tag = Tag.with_id(0x2B, n_words=2, seed=7)
+    tag.apply_untraceable(1, None, "none", 0, "normal")
+    tr = synthesize_inventory(cfg, [tag], n_rounds=3, seed=5)
+    stats, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    assert int(stats.n_epc_correct) == 3
+    assert int(stats.tag_reads[0x2B]) == 3
+    recs = tag_report_records(dec, cfg)
+    assert len(recs) == 3
+    assert all(r["u_flag"] and r["epc_words"] == 2 for r in recs)
+    # EPC hex excludes the XPC word: 2 words ending in the id byte.
+    assert all(r["epc"].endswith("2b") and len(r["epc"]) == 8 for r in recs)
+
+
+def test_live_untraceable_u_flag_over_the_air():
+    """LiveReader(untraceable=dict(u=1)): the flag is applied via the
+    access sequence and later reads carry the XPC word - inventory keeps
+    working through the frame-format change."""
+    tag = Tag.with_id(0x2B, n_words=2, seed=7)
+    ch = SimTagChannel(CFG, [tag], seed=2)
+    st = LiveReader(CFG, untraceable=dict(u=1)).run_inventory(ch, 3)
+    assert st.n_untraceable_ok == 3 and tag.u_flag
+    assert st.n_epc_correct == 3 and int(st.tag_reads[0x2B]) == 3
