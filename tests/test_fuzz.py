@@ -60,7 +60,10 @@ def _scenario(seed: int):
             int(rng.integers(1, 255)), n_words=int(w), seed=int(rng.integers(1 << 16)),
             backscatter=float(rng.uniform(0.05, 0.1))
             * np.exp(2j * np.pi * rng.uniform()),
-            blf_offset=float(rng.uniform(-3e-3, 3e-3)),
+            # Inside both decode envelopes: FM0's reference period grid
+            # covers +-1% (test_impairments.py), Miller's cascade +-2%
+            # (test_miller.py) - sample to 0.8% so the oracle stays exact.
+            blf_offset=float(rng.uniform(-8e-3, 8e-3)),
             cfo_hz=float(rng.uniform(-25, 25)),
             amp_ramp=float(rng.uniform(-0.1, 0.1)),
         )
@@ -69,7 +72,7 @@ def _scenario(seed: int):
     return cfg, tags, rng
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_random_link_roundtrip(seed):
     cfg, tags, rng = _scenario(seed)
     tr = synthesize_inventory(cfg, tags, n_rounds=3,
