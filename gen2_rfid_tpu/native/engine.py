@@ -47,6 +47,8 @@ class _Params(ctypes.Structure):
         ("max_queries", ctypes.c_int32),
         ("max_unique", ctypes.c_int32),
         ("pc_length", ctypes.c_int32),
+        ("miller_m", ctypes.c_int32),
+        ("trext", ctypes.c_int32),
     ]
 
 
@@ -121,6 +123,8 @@ def _params(cfg: ReaderConfig) -> _Params:
         # Native mode parses the PC length field (variable-length EPC);
         # compat pins the reference's fixed-length check.
         pc_length=0 if cfg.mode == "compat" else 1,
+        miller_m=cfg.miller_m,
+        trext=cfg.trext,
     )
 
 

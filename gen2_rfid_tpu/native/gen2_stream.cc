@@ -45,6 +45,8 @@ struct Params {
   int32_t max_queries;      // termination limit
   int32_t max_unique;       // termination limit
   int32_t pc_length;        // 1 = PC-driven variable-length EPC validation
+  int32_t miller_m;         // 1 = FM0, 2/4/8 = Miller subcarrier
+  int32_t trext;            // Miller spin-up length select (4 vs 16 bits)
 };
 
 struct Stats {
@@ -76,6 +78,30 @@ uint16_t crc16_ccitt(const uint8_t* bits, int n_bits) {
   return ~crc;
 }
 
+// Miller-M baseband+subcarrier chips of the Gen2 preamble as +-1 (the
+// same rules as sim/tag.py::miller_chips: data-1 inverts phase mid-bit,
+// consecutive data-0s invert at the boundary, M subcarrier half-cycles
+// per half-bit; preamble = 4 (TRext=0) / 16 (TRext=1) spin-up zeros then
+// 010111).
+std::vector<float> miller_preamble_pm(int m, int trext) {
+  std::vector<int> bits;
+  for (int i = 0; i < (trext ? 16 : 4); ++i) bits.push_back(0);
+  for (int b : {0, 1, 0, 1, 1, 1}) bits.push_back(b);
+  std::vector<float> chips;
+  int cur = 1, prev_bit = 1;
+  for (size_t i = 0; i < bits.size(); ++i) {
+    if (i > 0 && bits[i] == 0 && prev_bit == 0) cur = -cur;
+    for (int k = 0; k < 2 * m; ++k) {
+      int sub = (k % 2 == 0) ? 1 : -1;
+      int flip = (bits[i] == 1 && k >= m) ? -1 : 1;  // data-1 mid-bit
+      chips.push_back(static_cast<float>(cur * sub * flip));
+    }
+    if (bits[i] == 1) cur = -cur;
+    prev_bit = bits[i];
+  }
+  return chips;
+}
+
 class Engine {
  public:
   Engine(const Params& p) : p_(p) {
@@ -83,6 +109,8 @@ class Engine {
     dcbuf_.assign(p.dc_length, cf(0.f, 0.f));
     fir_hist_.assign(p.n_taps, cf(0.f, 0.f));
     window_.reserve(p.epc_window);
+    if (p.miller_m > 1)
+      miller_pm_ = miller_preamble_pm(p.miller_m, p.trext);
     std::memset(&st_, 0, sizeof(st_));
     st_.cur_round = 1;
     st_.cur_slot = 1;
@@ -170,6 +198,7 @@ class Engine {
 
   // ---- frame sync: preamble correlation + channel estimate ----
   int sync(cf* h_out) const {
+    if (p_.miller_m > 1) return miller_sync(h_out);
     const float half = p_.n_samples_tag_bit / 2.f;
     int n_off = static_cast<int>(1.5f * p_.n_samples_tag_bit);
     float best = 0.f;
@@ -191,6 +220,48 @@ class Engine {
            static_cast<int>(p_.tag_preamble_bits * p_.n_samples_tag_bit + half);
   }
 
+  // Miller sync: +-1 chip-template correlation (dsp/miller.py::miller_sync
+  // semantics, nominal clock); returns the first data-chip index and the
+  // channel estimate h = corr / n_chips.
+  int miller_sync(cf* h_out) const {
+    const float d = chip_d();
+    const int n_chips = static_cast<int>(miller_pm_.size());
+    int n_off = static_cast<int>(1.5f * p_.n_samples_tag_bit);
+    float best = 0.f;
+    int best_i = 0;
+    cf best_h(0.f, 0.f);
+    for (int i = 0; i < n_off; ++i) {
+      cf corr(0.f, 0.f);
+      for (int j = 0; j < n_chips; ++j)
+        corr += window_[i + static_cast<int>(j * d)] * miller_pm_[j];
+      float pw = std::norm(corr);
+      if (pw > best) {
+        best = pw;
+        best_i = i;
+        best_h = corr / cf(static_cast<float>(n_chips), 0.f);
+      }
+    }
+    *h_out = best_h;
+    return best_i + static_cast<int>(std::lround(n_chips * d));
+  }
+
+  float chip_d() const {
+    return p_.n_samples_tag_bit / (2.f * p_.miller_m);
+  }
+
+  // Half-bit subcarrier correlation q_hb = sum_a x[hb*m + a] * (-1)^a.
+  cf miller_halfbit(int idx, int hb) const {
+    const float d = chip_d();
+    const int m = p_.miller_m;
+    cf q(0.f, 0.f);
+    for (int a = 0; a < m; ++a) {
+      int k = idx + static_cast<int>((static_cast<float>(hb) * m + a) * d);
+      if (k < static_cast<int>(window_.size()))
+        q += window_[k] * ((a % 2 == 0) ? 1.f : -1.f);
+    }
+    return q;
+  }
+
   void decode_window() {
     cf h;
     int idx = sync(&h);
@@ -202,33 +273,46 @@ class Engine {
       check_limits();
       return;
     }
-    // EPC path: symbol-period grid search on |window|^2 then FM0 slicing.
+    // EPC path.  FM0: symbol-period grid search on |window|^2 then FM0
+    // slicing.  Miller: per-half-bit subcarrier correlation with the
+    // within-bit phase comparison (dsp/miller.py semantics, nominal
+    // clock - the JAX path owns the impaired-tag tolerance envelope).
     expect_epc_ = false;
     ++st_.cur_slot;
-    const float half = p_.n_samples_tag_bit / 2.f;
-    const float lo = half - half / 100.f, hi = half + half / 100.f;
-    float best_e = -1.f, T = half;
-    for (int t = 0; t < 20; ++t) {
-      float cand = lo + t * (hi - lo) / 19.f;
-      float e = 0.f;
-      for (int i = 0; i < 256; ++i) {
-        int k = static_cast<int>(i * cand) + idx;
-        if (k < static_cast<int>(window_.size())) e += std::norm(window_[k]);
-      }
-      if (e > best_e) {
-        best_e = e;
-        T = cand;
-      }
-    }
     uint8_t bits[256];
-    int prev = 1;
-    for (int j = 0; j < p_.epc_data_bits; ++j) {
-      int i1 = static_cast<int>(j * (2 * T) + idx);
-      int i2 = static_cast<int>(j * 2 * T + T + idx);
-      float r = std::real((window_[i1] - window_[i2]) * std::conj(h));
-      int s = r > 0 ? 1 : -1;
-      bits[j] = (s != prev) ? 1 : 0;
-      prev = s;
+    if (p_.miller_m > 1) {
+      for (int j = 0; j < p_.epc_data_bits; ++j) {
+        cf q1 = miller_halfbit(idx, 2 * j);
+        cf q2 = miller_halfbit(idx, 2 * j + 1);
+        float s1 = std::real(q1 * std::conj(h));
+        float s2 = std::real(q2 * std::conj(h));
+        bits[j] = ((s1 > 0) != (s2 > 0)) ? 1 : 0;
+      }
+    } else {
+      const float half = p_.n_samples_tag_bit / 2.f;
+      const float lo = half - half / 100.f, hi = half + half / 100.f;
+      float best_e = -1.f, T = half;
+      for (int t = 0; t < 20; ++t) {
+        float cand = lo + t * (hi - lo) / 19.f;
+        float e = 0.f;
+        for (int i = 0; i < 256; ++i) {
+          int k = static_cast<int>(i * cand) + idx;
+          if (k < static_cast<int>(window_.size())) e += std::norm(window_[k]);
+        }
+        if (e > best_e) {
+          best_e = e;
+          T = cand;
+        }
+      }
+      int prev = 1;
+      for (int j = 0; j < p_.epc_data_bits; ++j) {
+        int i1 = static_cast<int>(j * (2 * T) + idx);
+        int i2 = static_cast<int>(j * 2 * T + T + idx);
+        float r = std::real((window_[i1] - window_[i2]) * std::conj(h));
+        int s = r > 0 ? 1 : -1;
+        bits[j] = (s != prev) ? 1 : 0;
+        prev = s;
+      }
     }
     // Frame validation: fixed length (the reference's EPC_BITS=129 check,
     // tag_decoder_impl.cc:317-327) or PC-driven variable length (Gen2
@@ -283,6 +367,7 @@ class Engine {
   int run_ = 0, pulses_ = 0;
   bool state_pos_ = false, open_ = false, expect_epc_ = false;
   int64_t y_index_ = 0;
+  std::vector<float> miller_pm_;  // Miller preamble +-1 chip template
 };
 
 }  // namespace
