@@ -270,8 +270,10 @@ def cmd_live(args) -> int:
                 for spec in (auth, challenge_auth) if spec} or None
         # Distinct magnitudes and phases per tag (distinct ranges - also
         # what makes collided slots separable for --sic).
+        dists = args.tag_distance or []
         tags = [
             Tag.with_id(t, seed=i, aes_keys=keys,
+                        distance_m=dists[i] if i < len(dists) else None,
                         backscatter=0.08 * 0.75 ** i * np.exp(1.1j * i))
             for i, t in enumerate(args.tags)
         ]
@@ -300,7 +302,8 @@ def cmd_live(args) -> int:
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
                     target_ab=args.session_ab, select_mask=select_mask,
                     access_read=access_read, access_write=access_write,
-                    authenticate=auth, challenge_auth=challenge_auth)
+                    authenticate=auth, challenge_auth=challenge_auth,
+                    hop_mhz=args.hop_mhz)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -345,6 +348,14 @@ def cmd_live(args) -> int:
         errs = ", ".join(f"{n}x {name}"
                          for name, n in sorted(st.error_counts.items()))
         print(f"| Tag error replies: {errs}")
+    if args.hop_mhz:
+        for tid in sorted(np.nonzero(np.asarray(st.tag_reads))[0]):
+            est = rd.stats.range_estimate(int(tid))
+            if est:
+                print(f"| Tag {tid:#04x}: live PDOA range "
+                      f"{est['range_m']:.3f} m (fit residual "
+                      f"{est['resid_rad']:.3f} rad over "
+                      f"{len(args.hop_mhz)} carriers)")
     return 0
 
 
@@ -516,6 +527,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "when singulated; the reader flips its Query "
                          "target on an empty round (one read per tag per "
                          "pass)")
+    lv.add_argument("--hop-mhz", type=float, nargs="+", metavar="F",
+                    help="FCC frequency hopping: cycle these carriers "
+                         "(MHz) each Query round; a hopping session "
+                         "yields per-tag live PDOA range")
+    lv.add_argument("--tag-distance", type=float, nargs="*",
+                    help="per-tag range in meters for the simulated air "
+                         "interface (the hopping PDOA observable)")
     lv.add_argument("--seed", type=int, default=99)
     lv.set_defaults(fn=cmd_live)
     return p

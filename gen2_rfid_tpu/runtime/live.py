@@ -107,8 +107,10 @@ class LiveStats:
     permalock_status: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)  # tag id -> BlockPermalock status bits
     # Per-read localization observables: tag id -> [(t_s, phase_rad,
-    # rssi_dbfs), ...] from each correct EPC's channel estimate - the live
-    # counterpart of runtime/ranging.py::tag_phase_series.
+    # rssi_dbfs, carrier_hz), ...] from each correct EPC's channel
+    # estimate - the live counterpart of runtime/ranging.py::
+    # tag_phase_series, with the hop carrier recorded so a hopping
+    # session yields live PDOA range.
     phase_reads: Dict[int, List[tuple]] = dataclasses.field(
         default_factory=dict)
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
@@ -121,13 +123,31 @@ class LiveStats:
             self.tag_reads = np.zeros(N_TAG_BINS, np.int64)
 
     def phase_series(self, tag_id: int) -> Dict[str, np.ndarray]:
-        """(time_s, phase_rad, rssi_dbfs) arrays for one tag - feed to
-        runtime.ranging.estimate_velocity / range_from_captures."""
+        """(time_s, phase_rad, rssi_dbfs, freq_hz) arrays for one tag -
+        feed to runtime.ranging.estimate_velocity (one carrier) or
+        ``range_estimate`` (hopping session)."""
         rows = np.asarray(self.phase_reads.get(tag_id, []), dtype=np.float64)
         if rows.size == 0:
-            rows = rows.reshape(0, 3)
+            rows = rows.reshape(0, 4)
         return {"time_s": rows[:, 0], "phase_rad": rows[:, 1],
-                "rssi_dbfs": rows[:, 2]}
+                "rssi_dbfs": rows[:, 2], "freq_hz": rows[:, 3]}
+
+    def range_estimate(self, tag_id: int):
+        """Live PDOA range from a frequency-hopping session: the per-read
+        phases are grouped by hop carrier (circular mean each) and fit
+        across frequency (runtime.ranging.estimate_range).  None unless
+        the tag was read on >= 2 carriers."""
+        from .ranging import circular_mean, estimate_range
+
+        s = self.phase_series(tag_id)
+        by_f: Dict[float, list] = {}
+        for ph, f in zip(s["phase_rad"], s["freq_hz"]):
+            by_f.setdefault(float(f), []).append(float(ph))
+        if len(by_f) < 2:
+            return None
+        fs = sorted(by_f)
+        return estimate_range(fs, [circular_mean(np.asarray(by_f[f]))
+                                   for f in fs])
 
     def latency_summary(self) -> Dict[str, float]:
         lat = np.asarray(self.slot_latency_s, dtype=np.float64)
@@ -390,6 +410,8 @@ class LiveReader:
         untraceable=None,
         key_update=None,
         authenticate_read=None,
+        hop_mhz=None,
+        hop_every: int = 1,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -441,6 +463,14 @@ class LiveReader:
         self.key_update = key_update
         # (key_id, key, wordptr, n_blocks[, bank]) TAM2 confidential read.
         self.authenticate_read = authenticate_read
+        # FCC frequency hopping: cycle these carriers (MHz), retuning the
+        # channel every ``hop_every`` Query rounds.  A hopping session's
+        # per-read phases span multiple carriers -> live PDOA range
+        # (``LiveStats.range_estimate``).  The FCC plan is 50 channels /
+        # 500 kHz in 902.75-927.25; any >= 2 distinct carriers work.
+        self.hop_mhz = list(hop_mhz) if hop_mhz else None
+        self.hop_every = max(1, int(hop_every))
+        self._carrier_hz = float(cfg.freq_hz)
         self._challenge = None       # outstanding broadcast challenge bits
         self._auth_rng = np.random.default_rng(0x29167)
         self.cfg = cfg
@@ -923,6 +953,15 @@ class LiveReader:
                         self._send_select(channel)
                         self._send_challenge(channel)
                         self._reset_ctx()
+                    if (self.hop_mhz
+                            and (rounds_issued - 1) % self.hop_every == 0):
+                        # FCC dwell boundary: hop to the next carrier.
+                        k = ((rounds_issued - 1) // self.hop_every) % len(
+                            self.hop_mhz)
+                        self._carrier_hz = self.hop_mhz[k] * 1e6
+                        if hasattr(channel, "retune"):
+                            channel.retune(self._carrier_hz)
+                        _log.debug("HOP | %.2f MHz", self.hop_mhz[k])
                     kind, bits = "query", gen2.query_bits(
                         cfg, self.q, self.target, self._sel)
                     tx = self.enc.query(self.q, self.target, self._sel)
@@ -1024,7 +1063,8 @@ class LiveReader:
                         st.phase_reads.setdefault(tid, []).append(
                             (t_s, float(np.angle(h_read)),
                              float(10 * np.log10(max(abs(h_read) ** 2,
-                                                     1e-30)))))
+                                                     1e-30))),
+                             self._carrier_hz))
                     st.tag_reads[tid] += 1
                     _log.debug("EPC CORRECTLY DECODED | tag %#x", tid)
                     if slot_state == SLOT_COLLISION and self.sic:

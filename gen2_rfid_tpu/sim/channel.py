@@ -106,6 +106,14 @@ class SimTagChannel:
         # Running capture time (samples at ADC rate) so moving tags'
         # round-trip phase evolves across exchanges (Tag.channel_phasor).
         self.t_samples = 0
+        # Current carrier (FCC hopping: LiveReader.retune mid-session
+        # changes the round-trip phase per hop - the live PDOA observable).
+        self.carrier_hz = float(cfg.freq_hz)
+
+    def retune(self, freq_hz: float) -> None:
+        """Hop the reader carrier (FCC 902-928 MHz channel plan): tag
+        backscatter phase thereafter reflects the new frequency."""
+        self.carrier_hz = float(freq_hz)
 
     # ---- tag protocol reactions ----
 
@@ -588,7 +596,7 @@ class SimTagChannel:
         for ts, chips in replies:
             t_s = (self.t_samples + cmd.size) / cfg.adc_rate
             superpose_reply(cw, chips, self.tag_t1_us,
-                            ts.tag.channel_phasor(cfg, t_s),
+                            ts.tag.channel_phasor(cfg, t_s, self.carrier_hz),
                             ts.tag.chip_us(cfg), self.sp_us, cfg.adc_rate,
                             ts.tag.cfo_hz, ts.tag.amp_ramp)
 

@@ -521,7 +521,8 @@ class Tag:
         """Effective backscatter chip duration under this tag's BLF error."""
         return cfg.tag_bit_us / (2 * cfg.miller_m) / (1.0 + self.blf_offset)
 
-    def channel_phasor(self, cfg: ReaderConfig, t_s: float = 0.0) -> complex:
+    def channel_phasor(self, cfg: ReaderConfig, t_s: float = 0.0,
+                       freq_hz: float = None) -> complex:
         """Effective complex backscatter coefficient at capture time t_s.
 
         The monostatic round trip imposes phase -4*pi*f*d/c at the carrier
@@ -531,16 +532,16 @@ class Tag:
         even at 1.5 m/s; model per-frame rotation via ``cfo_hz`` if needed).
         Magnitude is NOT path-loss scaled - the link budget is set directly
         through ``backscatter`` (times REDUCED_RANGE_SCALE in the
-        Untraceable reduced-range state)."""
+        Untraceable reduced-range state).  ``freq_hz`` overrides the
+        config carrier (frequency-hopping channels retune mid-session)."""
         bs = complex(self.backscatter)
         if self.reduced_range:
             bs *= self.REDUCED_RANGE_SCALE
         if self.distance_m is None:
             return bs
+        f = cfg.freq_hz if freq_hz is None else freq_hz
         d = self.distance_m + self.velocity_mps * t_s
-        return complex(
-            bs * np.exp(-4j * np.pi * cfg.freq_hz * d / C_LIGHT)
-        )
+        return complex(bs * np.exp(-4j * np.pi * f * d / C_LIGHT))
 
 
 def superpose_reply(

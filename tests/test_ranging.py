@@ -140,3 +140,33 @@ def test_live_doppler_phase_series():
     assert s["time_s"].size == 25
     est = estimate_velocity(s["time_s"], s["phase_rad"], cfg.freq_hz)
     assert abs(est["velocity_mps"] - v_true) < 0.05, est
+
+
+def test_live_hopping_pdoa_range():
+    """FCC frequency hopping in the live loop: the reader retunes the
+    carrier every round, per-read phases span the hop plan, and
+    LiveStats.range_estimate fits the range live (the commercial-reader
+    PDOA workflow, fully closed-loop)."""
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+
+    cfg = ReaderConfig()
+    d_true = 1.73
+    tag = Tag.with_id(0x1B, seed=7, distance_m=d_true)
+    ch = SimTagChannel(cfg, [tag], seed=4, noise=0.002)
+    hops = [902.75, 907.25, 912.25, 917.25, 922.25, 927.25]
+    rd = LiveReader(cfg, hop_mhz=hops)
+    st = rd.run_inventory(ch, 12)
+    assert st.n_epc_correct == 12
+    s = st.phase_series(0x1B)
+    assert len(set(s["freq_hz"])) == len(hops)    # all carriers visited
+    est = rd.stats.range_estimate(0x1B)
+    assert est is not None
+    assert abs(est["range_m"] - d_true) < 0.05, est
+    assert est["resid_rad"] < 0.3
+    # A single-carrier session cannot range.
+    ch2 = SimTagChannel(cfg, [Tag.with_id(0x1B, seed=7, distance_m=d_true)],
+                        seed=4)
+    rd2 = LiveReader(cfg)
+    rd2.run_inventory(ch2, 3)
+    assert rd2.stats.range_estimate(0x1B) is None
