@@ -99,3 +99,33 @@ def test_live_session_inventory_one_read_per_pass():
     st2 = LiveReader(CFG, q_init=2).run_inventory(ch2, 8)
     reads2 = [int(st2.tag_reads[10 + i]) for i in range(4)]
     assert max(reads2) > min(reads2)
+
+
+def test_two_readers_interleaved_different_sessions():
+    """Two readers time-share the same tag population in different
+    sessions (the warehouse portal + handheld scenario): per-session
+    inventoried flags keep their passes independent - each reader reads
+    every tag exactly once per its own pass, interleaved command by
+    command on the shared medium."""
+    import dataclasses
+
+    from gen2_rfid_tpu.runtime.live import LiveReader
+
+    cfg_s1 = dataclasses.replace(CFG, session=(0, 1))
+    cfg_s2 = dataclasses.replace(CFG, session=(1, 0))
+    tags = [Tag.with_id(t, seed=i, backscatter=0.08 * np.exp(1.3j * i))
+            for i, t in enumerate((0x11, 0x22))]
+    ch = SimTagChannel(cfg_s1, tags, seed=6, session_ab=True)
+    rd_a = LiveReader(cfg_s1, q_init=2, target_ab=True)
+    rd_b = LiveReader(cfg_s2, q_init=2, target_ab=True)
+    # Interleave one Query round at a time.  Each reader completes two
+    # passes over the 4 rounds (a pass ends when its session's A (or B)
+    # population is exhausted and the target flips), reading every tag
+    # exactly once per pass - unperturbed by the other reader's traffic,
+    # because each session's inventoried flags are independent.
+    for _ in range(4):
+        rd_a.run_inventory(ch, 1)
+        rd_b.run_inventory(ch, 1)
+    for t in (0x11, 0x22):
+        assert int(rd_a.stats.tag_reads[t]) == 2, hex(t)
+        assert int(rd_b.stats.tag_reads[t]) == 2, hex(t)
