@@ -79,8 +79,13 @@ def fm0_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
     first = cx_prev
     second = 1 - cx
     data = jnp.stack([first, second], axis=-1).reshape(-1)
-    pre = jnp.asarray(np.asarray(TAG_PREAMBLE_BITS_PATTERN, np.int32))
-    return jnp.concatenate([pre, data])
+    pre = np.asarray(TAG_PREAMBLE_BITS_PATTERN, np.int32)
+    if cfg.trext:
+        # TRext=1: the pilot tone ((1,0) chip pairs) precedes the preamble
+        # (sim.tag.fm0_chips).
+        pre = np.concatenate(
+            [np.tile([1, 0], cfg.pilot_tone_bits).astype(np.int32), pre])
+    return jnp.concatenate([jnp.asarray(pre), data])
 
 
 def miller_chip_train(bits16: jnp.ndarray, cfg: ReaderConfig) -> jnp.ndarray:
@@ -137,15 +142,17 @@ def _template_bank(cfg: ReaderConfig, n_bits: int = 16):
     (its per-chip samples integrate a full MF window inside each chip);
     the 7 shift hypotheses then bracket the true start.
     """
-    assert cfg.trext == 0, "SIC: TRext pilot not modeled"
     decim = cfg.decim
     m = cfg.miller_m
     t = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / m)  # MF taps
     chip_adc = cfg.tag_bit_us / (2 * m) * cfg.adc_rate / 1e6  # float
     if m == 1:
         n_chips = 2 * cfg.tag_preamble_bits + 2 * (n_bits + 1)
+        if cfg.trext:
+            n_chips += 2 * cfg.pilot_tone_bits        # pilot tone chips
     else:
-        n_chips = (4 + 6 + n_bits + 1) * 2 * m
+        n_spin = 16 if cfg.trext else 4
+        n_chips = (n_spin + 6 + n_bits + 1) * 2 * m
     shift0 = -(max(int(round(t / decim)), 1) + 3)
     a_hyp_max = (N_SHIFTS - 1) * decim + (decim - 1)
     a_max = a_hyp_max + int(round(n_chips * chip_adc)) + 1
@@ -175,8 +182,7 @@ def _sync_rn16(frame: jnp.ndarray, cfg: ReaderConfig):
     if cfg.miller_m == 1:
         idx, h = sync.tag_sync(frame, cfg)
         bits, margin = fm0.rn16_detect_soft(frame, idx, h, cfg)
-        half = cfg.n_samples_tag_bit / 2.0
-        b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+        b0 = _fm0_b0(cfg)
     else:
         from . import miller
 
@@ -184,6 +190,18 @@ def _sync_rn16(frame: jnp.ndarray, cfg: ReaderConfig):
         bits, margin = miller.miller_rn16_soft(frame, idx, h, cfg)
         b0 = miller.preamble_len_samples(cfg)
     return idx, h, bits, margin, b0
+
+
+def _fm0_b0(cfg: ReaderConfig) -> int:
+    """Samples between the FM0 reply start and the sync data index:
+    preamble span + the half-bit shift (tag_decoder_impl.cc:107), plus the
+    pilot tone under TRext=1 (the template's chip train starts at the
+    pilot's first chip)."""
+    half = cfg.n_samples_tag_bit / 2.0
+    b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+    if cfg.trext:
+        b0 += int(round(cfg.pilot_tone_bits * cfg.n_samples_tag_bit))
+    return b0
 
 
 def _sic_pass(frame: jnp.ndarray, cfg: ReaderConfig):
@@ -260,8 +278,7 @@ def _sync_epc(frame: jnp.ndarray, cfg: ReaderConfig):
         m2 = (jnp.real(frame) ** 2 + jnp.imag(frame) ** 2).astype(
             jnp.float32)
         bits, _ = fm0.epc_detect(frame, m2, idx, h, cfg)
-        half = cfg.n_samples_tag_bit / 2.0
-        b0 = int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
+        b0 = _fm0_b0(cfg)
     else:
         from . import miller
 

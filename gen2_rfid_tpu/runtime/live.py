@@ -482,11 +482,11 @@ class LiveReader:
         self._round_k = 0.0      # sum of k_hat over this round's slots
         self._round_slots = 0
         # Capture-style collision recovery (dsp/collision.py, FM0 and
-        # Miller-M; TRext pilot not modeled): the SIC decoder's pass 1
-        # equals the plain RN16 decode, so on a collided slot the ACK
-        # carries the dominant tag's exact RN16 and its EPC is read
-        # instead of the slot being lost.
-        self.sic = sic and cfg.trext == 0
+        # Miller-M incl. TRext pilots): the SIC decoder's pass 1 equals
+        # the plain RN16 decode, so on a collided slot the ACK carries
+        # the dominant tag's exact RN16 and its EPC is read instead of
+        # the slot being lost.
+        self.sic = sic
         self.q = cfg.fixed_q if q_init is None else q_init
         self.qfp = float(self.q)
         self.q_c = q_c

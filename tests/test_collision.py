@@ -410,3 +410,42 @@ def test_miller_sic_two_tags(m, adc):
                              (b2, 0.045 - 0.035j, t1b)]), cfg)
         np.testing.assert_array_equal(np.asarray(r.bits1), b1)
         np.testing.assert_array_equal(np.asarray(r.bits2), b2)
+
+
+def test_chip_trains_match_simulator_trext():
+    """TRext=1 chip trains (FM0 pilot tone / Miller 16-bit spin-up) match
+    the simulator's sequential synthesis bit-for-bit."""
+    import dataclasses
+
+    from gen2_rfid_tpu.dsp.collision import chip_train
+    from gen2_rfid_tpu.sim.tag import miller_chips
+
+    rng = np.random.default_rng(12)
+    b = rng.integers(0, 2, 16)
+    cfg = dataclasses.replace(CFG, trext=1)
+    np.testing.assert_array_equal(
+        np.asarray(chip_train(jnp.asarray(b), cfg)),
+        fm0_chips(b, trext=1, pilot_bits=cfg.pilot_tone_bits))
+    cfg_m = ReaderConfig(miller_m=2, trext=1, adc_rate=2e6, decim=2)
+    np.testing.assert_array_equal(
+        np.asarray(chip_train(jnp.asarray(b), cfg_m)),
+        miller_chips(b, 2, trext=1))
+
+
+@pytest.mark.parametrize("m,adc,decim", [(1, 2e6, 5), (2, 2e6, 2)])
+def test_live_sic_trext(m, adc, decim):
+    """Collision recovery works under TRext=1 (the pilot/spin-up rides the
+    template bank): two tags at q=0 collide every slot and the dominant
+    tag's EPC is still read via SIC."""
+    from gen2_rfid_tpu.runtime.live import LiveReader
+    from gen2_rfid_tpu.sim.channel import SimTagChannel
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig(miller_m=m, trext=1, adc_rate=adc, decim=decim)
+    tags = [Tag.with_id(0x31, seed=5, backscatter=0.09 + 0.02j),
+            Tag.with_id(0x57, seed=6, backscatter=0.035 - 0.04j)]
+    ch = SimTagChannel(cfg, tags, seed=1)
+    st = LiveReader(cfg, sic=True).run_inventory(ch, 3)
+    assert st.n_epc_correct >= 3
+    assert int(st.tag_reads[0x31]) == 3           # dominant tag every slot
+    assert st.n_sic_recovered >= 3
