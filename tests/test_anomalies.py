@@ -239,3 +239,25 @@ def test_trigger_compaction_block_phase_invariance():
         assert idx.size >= base_idx.size, k
         np.testing.assert_array_equal(idx[-base_idx.size:], base_idx + k,
                                       err_msg=str(k))
+
+
+def test_empty_captures_decode_to_zero_stats():
+    """Edge probes: a pure-CW capture and a pure-noise capture contain no
+    commands - the pipeline must report zero events/queries/EPCs and not
+    crash (the all-invalid event-table path)."""
+    import jax.numpy as jnp
+
+    from gen2_rfid_tpu.runtime.inventory import decode_capture
+
+    cfg = ReaderConfig(max_events=16)
+    rng = np.random.default_rng(9)
+    n = 400_000
+    for label, iq in [
+        ("cw", np.full(n, 1.0, np.complex64)),
+        ("noise", (rng.normal(0, 0.02, n)
+                   + 1j * rng.normal(0, 0.02, n)).astype(np.complex64)),
+        ("silence", np.zeros(n, np.complex64)),
+    ]:
+        stats, dec = decode_capture(jnp.asarray(iq), cfg)
+        assert int(stats.n_epc_correct) == 0, label
+        assert int(np.asarray(stats.tag_reads).sum()) == 0, label
