@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 import time
 
@@ -241,7 +240,7 @@ def cmd_live(args) -> int:
     import numpy as np
 
     from ..runtime.live import LiveReader
-    from ..runtime.stats import InventoryStats, N_TAG_BINS, print_results
+    from ..runtime.stats import InventoryStats, print_results
 
     cfg = _cfg_from_args(args)
     def _parse_auth(spec):

@@ -14,7 +14,6 @@ bit-for-bit in compat mode.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Tuple
 

@@ -30,13 +30,13 @@ tests.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ReaderConfig
-from .filters import moving_sum, moving_sum_complex
+from .filters import moving_sum
 
 
 class GateEvents(NamedTuple):

@@ -22,7 +22,6 @@ FM0 only for now (the Miller path combines the same way if needed).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

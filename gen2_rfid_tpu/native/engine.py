@@ -13,7 +13,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -24,7 +24,7 @@ carried context tail (overlap-save), so that:
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Iterator, Tuple
+from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import ReaderConfig
 from ..dsp.filters import boxcar_taps
-from ..dsp.gate import GateEvents, gate_detect
+from ..dsp.gate import gate_detect
 from ..runtime.inventory import DecodedEvents, decode_events, replay_inventory
 from ..runtime.stats import InventoryStats
 from ..shard.decode_sharded import _fir_valid, halo_sizes

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ReaderConfig
 from ..dsp.filters import boxcar_taps
-from ..dsp.gate import GateEvents, gate_detect
+from ..dsp.gate import gate_detect
 from ..runtime.inventory import DecodedEvents, decode_events, replay_inventory
 from ..runtime.stats import InventoryStats
 from .mesh import CHAN_AXIS, TIME_AXIS

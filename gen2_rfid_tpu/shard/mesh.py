@@ -11,7 +11,7 @@ The reference is single-process with no parallelism of any kind
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

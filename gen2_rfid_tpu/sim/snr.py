@@ -19,7 +19,6 @@ import dataclasses
 import math
 from typing import List, Sequence
 
-import numpy as np
 
 from ..config import ReaderConfig
 from .tag import Tag
