@@ -130,7 +130,7 @@ def gate_front(
     y2, amp, avg, dc2 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((2, block_y), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

@@ -129,10 +129,12 @@ def tag_report_records(dec, cfg, freq_hz: float = None) -> list:
     summary, reader_impl.cc:173-192).
 
     One dict per CRC-passed EPC read: time (s, capture clock), the full
-    EPC (hex, PC-length-aware), tag id, RSSI (dBfs), backscatter phase
-    (rad), and the carrier (MHz) when given.  Serializes to JSON lines
-    (CLI decode --report).
+    EPC (hex, PC-length-aware), its GS1 TDS identity URI when the EPC
+    carries a known TDS header (``epc_uri``, protocol/tds.py), tag id,
+    RSSI (dBfs), backscatter phase (rad), and the carrier (MHz) when
+    given.  Serializes to JSON lines (CLI decode --report).
     """
+    from ..protocol import tds
     from ..protocol.gen2 import parse_epc_frame_full
 
     valid = np.asarray(dec.valid) & np.asarray(dec.epc_pass)
@@ -157,6 +159,10 @@ def tag_report_records(dec, cfg, freq_hz: float = None) -> list:
                 10 * np.log10(max(abs(hc[k]) ** 2, 1e-30))), 2),
             "phase_rad": round(float(np.angle(hc[k])), 4),
         }
+        if fr["ok"] and epc.size:
+            ident = tds.decode_epc(epc)
+            if "uri" in ident:
+                rec["epc_uri"] = ident["uri"]
         if fr["xi"]:
             # Gen2 v2 XPC word present: surface the untraceable flag.
             rec["u_flag"] = fr["u"]
