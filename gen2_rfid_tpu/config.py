@@ -98,6 +98,13 @@ class ReaderConfig:
     # reference grid).
     epc_grid_frac: float = 0.01
     epc_grid_steps: int = 20
+    # Miller BLF-error hypothesis span (fraction): the preamble-sync
+    # template grid and the per-segment joint (offset, period) search in
+    # dsp/miller.py cover +-miller_grid_frac of tag clock error, and
+    # native-mode Miller decode windows are sized for the slowest tag in
+    # the span.  Gen2 table 6.9 allows up to +-4..22% FT depending on
+    # link; 4% covers the BLF=160-640 kHz rows at their spec limits.
+    miller_grid_frac: float = 0.04
     # Use the fused Pallas gate front-end (kernels/gate_front.py) for
     # FIR + amplitude + moving sums instead of separate XLA passes
     # (interpret mode on CPU; validated on TPU hardware round 2).
@@ -269,8 +276,16 @@ class ReaderConfig:
         n_bits = self.epc_bits + self.effective_preamble_bits
         if self.mode == "compat":
             return n_bits * self.n_samples_tag_bit_i + self.window_slack
-        span = n_bits * self.n_samples_tag_bit * (1.0 + self.epc_grid_frac)
+        span = n_bits * self.n_samples_tag_bit * (1.0 + self._span_frac)
         return int(math.ceil(span)) + self.window_slack
+
+    @property
+    def _span_frac(self) -> float:
+        """Slowest-decodable-tag fraction for native window sizing: the
+        FM0 period grid's half-span, or the Miller joint-search span."""
+        if self.miller_m == 1:
+            return self.epc_grid_frac
+        return self.miller_grid_frac
 
     @property
     def rn16_half_bits(self) -> int:
@@ -285,8 +300,13 @@ class ReaderConfig:
         n_bits = n_data_bits + 1 + self.effective_preamble_bits
         if self.mode == "compat":
             return n_bits * self.n_samples_tag_bit_i + self.window_slack
-        return (int(math.ceil(n_bits * self.n_samples_tag_bit))
-                + self.window_slack)
+        span = n_bits * self.n_samples_tag_bit
+        if self.miller_m > 1:
+            # Size for the slowest tag the joint (offset, period) segment
+            # search can track (dsp/miller.py): long Miller access replies
+            # elongate past the slack at percent-level BLF error.
+            span *= 1.0 + self.miller_grid_frac
+        return int(math.ceil(span)) + self.window_slack
 
     @property
     def epc_data_bits(self) -> int:

@@ -186,8 +186,8 @@ def _sync_rn16(frame: jnp.ndarray, cfg: ReaderConfig):
     else:
         from . import miller
 
-        idx, h = miller.miller_sync(frame, cfg)
-        bits, margin = miller.miller_rn16_soft(frame, idx, h, cfg)
+        idx, h, eps = miller.miller_sync_full(frame, cfg)
+        bits, margin = miller.miller_rn16_soft(frame, idx, h, cfg, eps0=eps)
         b0 = miller.preamble_len_samples(cfg)
     return idx, h, bits, margin, b0
 
@@ -282,8 +282,8 @@ def _sync_epc(frame: jnp.ndarray, cfg: ReaderConfig):
     else:
         from . import miller
 
-        idx, h = miller.miller_sync(frame, cfg)
-        bits, _ = miller.miller_epc(frame, idx, h, cfg)
+        idx, h, eps = miller.miller_sync_full(frame, cfg)
+        bits, _ = miller.miller_epc(frame, idx, h, cfg, eps0=eps)
         b0 = miller.preamble_len_samples(cfg)
     return idx, h, bits, b0
 

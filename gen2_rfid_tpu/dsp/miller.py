@@ -36,14 +36,31 @@ def _preamble_pm(m: int, trext: int = 0) -> np.ndarray:
     return chips.astype(np.float32) * 2.0 - 1.0
 
 
-#: Preamble-correlation clock-error hypotheses: +-2% in 0.5% steps.  Gen2
-#: tags are allowed percent-level frequency tolerance (FT, Gen2 table
-#: 6.9); at M=8 the preamble is ~160 chips long, so even 1% of clock
-#: error smears a nominal-period correlation by ~1.6 chips and sync dies
-#: before the data cascade ever runs.  Correlating against a small grid
-#: of period-scaled templates (one shared-weight matmul, n_eps x n_off
-#: columns) keeps the residual smear under ~0.4 chip across the grid.
-SYNC_EPS = np.linspace(-0.02, 0.02, 9).astype(np.float32)
+def sync_eps_grid(frac: float) -> np.ndarray:
+    """Preamble-correlation clock-error hypotheses: +-frac in 0.5% steps.
+
+    Gen2 tags are allowed percent-level frequency tolerance (FT, Gen2
+    table 6.9); at M=8 the preamble is ~160 chips long, so even 1% of
+    clock error smears a nominal-period correlation by ~1.6 chips and
+    sync dies before the data cascade ever runs.  Correlating against a
+    small grid of period-scaled templates (one shared-weight matmul,
+    n_eps x n_off columns) keeps the residual smear under ~0.4 chip
+    across the grid.  ``frac`` comes from cfg.miller_grid_frac.
+    """
+    n = max(int(round(2 * frac / 0.005)) + 1, 3)
+    return np.linspace(-frac, frac, n).astype(np.float32)
+
+
+def seg_eps_grid(frac: float) -> np.ndarray:
+    """Joint-search chip-period hypotheses: +-frac in 1% steps.
+
+    The per-segment residual is +-0.5%, i.e. <=0.16 chip of intra-segment
+    smear over a 32-chip segment - the term that capped the pure-offset
+    cascade at ~+-2% (0.64 chip at the edge) no matter how well the
+    segment *start* was predicted.
+    """
+    n = max(int(round(2 * frac / 0.01)) + 1, 3)
+    return np.linspace(-frac, frac, n).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=32)
@@ -57,23 +74,24 @@ def _miller_sync_selection(cfg: ReaderConfig):
     n_chips = pm.shape[0]
     d = cfg.n_samples_chip
     n_off = cfg.sync_search
-    n_eps = SYNC_EPS.shape[0]
+    eps_grid = sync_eps_grid(cfg.miller_grid_frac)
+    n_eps = eps_grid.shape[0]
     spans = []
-    for e in SYNC_EPS:
+    for e in eps_grid:
         spans.append(int(np.floor((n_chips - 1) * d * (1.0 + e))) + n_off)
     span = max(spans)
     s = np.zeros((span, n_eps * n_off), dtype=np.float32)
     sh = np.zeros((span, n_eps * n_off), dtype=np.float32)
     dshift = np.zeros(n_eps, dtype=np.int32)
     offs = np.arange(n_off)
-    for t, e in enumerate(SYNC_EPS):
+    for t, e in enumerate(eps_grid):
         pos = np.floor(np.arange(n_chips) * d * (1.0 + e)).astype(np.int32)
         dshift[t] = int(round(n_chips * d * (1.0 + e)))
         for j in range(n_chips):
             cols = t * n_off + offs
             np.add.at(s, (pos[j] + offs, cols), pm[j])
             np.add.at(sh, (pos[j] + offs, cols), pm[j] / n_chips)
-    return s, sh, span, dshift, n_off
+    return s, sh, span, dshift, n_off, eps_grid
 
 
 def preamble_len_samples(cfg: ReaderConfig) -> int:
@@ -84,15 +102,18 @@ def preamble_len_samples(cfg: ReaderConfig) -> int:
     return int(round(n_chips * cfg.n_samples_chip))
 
 
-def miller_sync(
+def miller_sync_full(
     frame: jnp.ndarray, cfg: ReaderConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Locate the Miller preamble; return (chip0_index, h_est).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Locate the Miller preamble; return (chip0_index, h_est, eps_sync).
 
     chip0_index points at the first *data* chip (offset of preamble end,
-    under the winning clock-error hypothesis).
+    under the winning clock-error hypothesis); eps_sync is that
+    hypothesis's chip-period error — the frame's best single period
+    estimate (the preamble integrates 10-160 chips, far more than one
+    data segment), used to seed the segment cascade's eps tracker.
     """
-    s_np, sh_np, span, dshift_np, n_off = _miller_sync_selection(cfg)
+    s_np, sh_np, span, dshift_np, n_off, eps_np = _miller_sync_selection(cfg)
     x = jax.lax.slice(frame, (0,), (span,))
     xr, xi = jnp.real(x), jnp.imag(x)
     hi = SEL_PRECISION
@@ -107,27 +128,42 @@ def miller_sync(
     )
     h_est = h_all[best]
     data_index = best % n_off + jnp.asarray(dshift_np)[best // n_off]
+    eps_sync = jnp.asarray(eps_np)[best // n_off]
+    return data_index, h_est, eps_sync
+
+
+def miller_sync(
+    frame: jnp.ndarray, cfg: ReaderConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Locate the Miller preamble; return (chip0_index, h_est)."""
+    data_index, h_est, _ = miller_sync_full(frame, cfg)
     return data_index, h_est
 
 
 @functools.lru_cache(maxsize=32)
 def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
                               n_offsets: int):
-    """Per-segment (span, n_offsets * 2*seg_bits) subcarrier-correlation
-    selection tables.
+    """Per-segment (span, n_eps * n_offsets * 2*seg_bits) joint
+    (chip-period, offset) subcarrier-correlation selection tables.
 
-    Column o*2S+h of segment g sums +-frame[index + pos] over the m chips
-    of half-bit h at offset o, with pos = floor(g*(2S*m)*d + off_o + k*d)
-    (f32 arithmetic like the gather formulation it replaces; index is
-    integral so the floor splits exactly).  Returns a list of
-    (s0, span, D) with positions rebased to each segment's minimum s0.
+    Column (e*n_off + o)*2S + h of segment g sums +-frame[index + pos]
+    over the m chips of half-bit h at start offset o under chip-period
+    hypothesis d*(1+eps_e), with pos = floor(g*(2S*m)*d + off_o +
+    k*d*(1+eps_e)) (index is integral so the floor splits exactly).  The
+    joint grid is what extends BLF tolerance past ~+-2%: offset tracking
+    alone leaves an intra-segment chip-period mismatch of eps * 32 chips
+    that passes half a chip right around 2% (CLAUDE.md round-3 note);
+    with +-0.5% period residual the smear stays under 0.16 chip at any
+    in-span clock error.  Returns ((s0, span, D), ...) with positions
+    rebased to each segment's minimum s0, plus the eps grid.
     """
     m = cfg.miller_m
-    d = np.float32(cfg.n_samples_chip)
+    d = float(cfg.n_samples_chip)
     s = seg_bits
     n_seg = (n_bits + s - 1) // s
-    offsets = (np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
-               * d).astype(np.float32)
+    eps = seg_eps_grid(cfg.miller_grid_frac)
+    n_eps = eps.shape[0]
+    offsets = np.linspace(-1.5, 1.5, n_offsets) * d       # float64
     sub = ((-1.0) ** np.arange(m)).astype(np.float32)
     tables = []
     for g in range(n_seg):
@@ -136,19 +172,25 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
         # access reply in 16-bit segments otherwise decodes its last bit
         # against a mostly-empty segment and misaligns).
         sg = min(s, n_bits - g * s)
-        k = np.arange(2 * sg * m, dtype=np.float32)
-        base = np.float32(g) * np.float32(2.0 * s * m) * d
-        pos = (base + offsets[:, None] + k[None, :] * d).astype(np.int32)
+        k = np.arange(2 * sg * m, dtype=np.float64)
+        base = g * (2.0 * s * m) * d
+        step = d * (1.0 + eps.astype(np.float64))          # (n_eps,)
+        pos = np.floor(
+            base + offsets[None, :, None]
+            + k[None, None, :] * step[:, None, None]
+        ).astype(np.int64)                                 # (E, O, K)
         s0 = int(pos.min())
         span = int(pos.max()) - s0 + 1
-        dmat = np.zeros((span, n_offsets * 2 * sg), dtype=np.float32)
-        half = (np.arange(2 * sg * m) // m)[None, :]
-        cols = np.arange(n_offsets)[:, None] * (2 * sg) + half
-        np.add.at(dmat, (pos - s0, cols),
-                  np.broadcast_to(sub[None, np.tile(np.arange(m), 2 * sg)],
-                                  pos.shape))
+        dmat = np.zeros((span, n_eps * n_offsets * 2 * sg), dtype=np.float32)
+        half = np.arange(2 * sg * m) // m
+        cols = (np.arange(n_eps)[:, None, None] * (n_offsets * 2 * sg)
+                + np.arange(n_offsets)[None, :, None] * (2 * sg)
+                + half[None, None, :])
+        vals = np.broadcast_to(
+            sub[np.tile(np.arange(m), 2 * sg)][None, None, :], pos.shape)
+        np.add.at(dmat, (pos - s0, cols), vals)
         tables.append((s0, span, dmat))
-    return tuple(tables)
+    return tuple(tables), eps
 
 
 def default_seg_bits(m: int) -> int:
@@ -170,33 +212,49 @@ def miller_detect(
     n_bits: int,
     seg_bits: int = None,
     n_offsets: int = 25,
+    eps0: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Decode n_bits Miller-M bits with a drift-tracking segment cascade.
+    """Decode n_bits Miller-M bits with a drift-tracking joint
+    (offset, chip-period) segment cascade.
 
     A global chip-period grid search (the FM0 approach,
     tag_decoder_impl.cc:151-166) aliases for Miller: the subcarrier energy
     metric is nearly invariant under full-chip shifts, so over the ~2000
     chips of an M=8 EPC the search lands on a comb tooth and the frame tail
     desynchronizes.  Instead the frame is decoded in segments of
-    ``seg_bits``; each segment searches a +-1.5 chip offset grid maximizing
-    subcarrier correlation energy (which *does* peak sharply at sub-chip
-    alignment) around a *predicted* base.  The prediction is the cascade:
-    tag BLF error makes timing drift grow linearly across the frame, so
-    each segment's base extrapolates the last two measured offsets
-    (pred = 2*drift_g - drift_{g-1}, centers one segment apart).  This
-    keeps the true alignment at the center of every segment's search
-    window, where it outscores the +-1-chip comb teeth - an un-predicted
-    window drifting past ~1 chip locks onto a tooth and decodes the whole
-    segment complemented (a one-chip shift swaps each half-bit correlation
-    onto its neighbor, inverting the within-bit comparison).  Measured
-    envelope: exact decode through ~+-1% BLF error across M (the FM0
-    reference grid's coverage, tag_decoder_impl.cc:151-169; Gen2 tags are
-    allowed several-percent FT - see tests/test_miller.py tolerance sweep).
+    ``seg_bits``; each segment searches a +-1.5 chip offset grid x a
+    +-miller_grid_frac chip-period grid maximizing subcarrier correlation
+    energy (which *does* peak sharply at sub-chip alignment) around a
+    *predicted* base.  The two grid axes decouple the two failure modes
+    that capped the pure-offset cascade at ~+-2% (round-2 note): the
+    period axis absorbs intra-segment chip drift (eps * 32 chips passes
+    half a chip right at 2%) without shortening the segment, so the
+    integration stays long enough for the -20 dBc dense-reader case.
+
+    The cascade: tag BLF error makes timing drift grow linearly across
+    the frame, so each segment's base extrapolates the measured drift
+    with a slope clamped to within 0.75 chip/segment of the *measured
+    chip-period error's* implied slope (eps_track * segment chips) - a
+    keel the offset measurements cannot drag off course in one
+    interference-corrupted segment, yet one that tracks any in-span
+    clock error exactly.  eps_track itself is slew-limited to one grid
+    step per segment and steered by a Gaussian prior (sigma 1.5%) around
+    the previous value; the offset prior (sigma 1.25 chips, see round-2
+    sweep notes) breaks the +-1-chip comb ties toward the tracked
+    alignment.  An un-predicted window drifting past ~1 chip locks onto
+    a comb tooth and decodes the whole segment complemented (a one-chip
+    shift swaps each half-bit correlation onto its neighbor, inverting
+    the within-bit comparison).  Measured envelope: exact decode through
+    +-4% BLF error across M=2/4/8 (tests/test_miller.py), vs the FM0
+    reference grid's +-1% (tag_decoder_impl.cc:151-169); the -20 dBc
+    in-channel-interferer case stays exact (tests/test_dense_reader.py).
     """
     m = cfg.miller_m
     if seg_bits is None:
         seg_bits = default_seg_bits(m)
-    tables = _miller_segment_selection(cfg, n_bits, seg_bits, n_offsets)
+    tables, eps_np = _miller_segment_selection(cfg, n_bits, seg_bits,
+                                               n_offsets)
+    n_eps = eps_np.shape[0]
     hi = SEL_PRECISION
     w = frame.shape[0]
     fr, fi = jnp.real(frame), jnp.imag(frame)
@@ -204,6 +262,7 @@ def miller_detect(
     # Offset values of the table's search grid (samples, segment-relative).
     chips = np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
     off_vals = jnp.asarray(chips * d)
+    eps_vals = jnp.asarray(eps_np)
     # Prediction-centered prior on the offset decision: segment energy is
     # nearly flat across whole-chip shifts (the comb), and under strong
     # in-channel interference the tone can out-shine the backscatter on a
@@ -213,30 +272,61 @@ def miller_detect(
     # dense-reader scenarios) around the predicted position breaks both
     # ties toward the tracked alignment while costing a sharply-peaked
     # true offset almost nothing.
-    prior = jnp.asarray(np.exp(-(chips ** 2) / (2.0 * 1.25 ** 2)))
+    off_prior = jnp.asarray(np.exp(-(chips ** 2) / (2.0 * 1.25 ** 2)))
+    seg_chips = 2 * seg_bits * m       # full-segment chips (tail is last)
     max_step = jnp.float32(0.75 * d)   # slope clamp (samples per segment)
-    pred = jnp.float32(0.0)       # predicted drift at this segment's center
+    eps_sigma = jnp.float32(0.015)     # eps continuity prior width
+    eps_slew = jnp.float32(0.01)       # eps_track slew limit per segment
+    pred = jnp.float32(0.0)       # predicted drift at this segment's start
     prev = jnp.float32(0.0)       # measured drift one segment earlier
+    # Tracked chip-period error, seeded from the sync stage's winning
+    # period hypothesis when available (miller_sync_full: the preamble
+    # integrates 10-160 chips — the frame's best single eps estimate, and
+    # it lets even the first data segment run under the continuity prior,
+    # which matters at low SNR where an unpriored 9x-wider joint grid
+    # costs ~0.5 dB of waterfall).  None = cold acquisition (segment 0
+    # unpriored on the eps axis).
+    eps_track = eps0
     q_segs = []
     for g, (s0, span, d_np) in enumerate(tables):
         # One dynamic slice per segment, then a shared-weight +-1 selection
-        # matmul computing every offset's subcarrier correlations at once
-        # (per-frame chip gathers serialize on TPU).
+        # matmul computing every (period, offset) hypothesis's subcarrier
+        # correlations at once (per-frame chip gathers serialize on TPU).
         shift = jnp.round(pred).astype(jnp.int32)
         start = jnp.clip(index + s0 + shift, 0, w - span)
         slr = jax.lax.dynamic_slice(fr, (start,), (span,))
         sli = jax.lax.dynamic_slice(fi, (start,), (span,))
         dj = jnp.asarray(d_np)
-        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_offsets, -1)
-        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_offsets, -1)
-        e = jnp.sum(qr ** 2 + qi ** 2, axis=1)
-        b = jnp.argmax(e * prior)
-        q_segs.append(jax.lax.complex(qr[b], qi[b]))
-        drift = shift.astype(jnp.float32) + off_vals[b]
-        # Linear extrapolation with a clamped slope: real BLF-error drift
-        # grows by well under a chip per segment, so one interference-
-        # corrupted measurement cannot launch the cascade off the frame.
-        slope = jnp.clip(drift - prev, -max_step, max_step)
+        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_eps, n_offsets, -1)
+        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_eps, n_offsets, -1)
+        e = jnp.sum(qr ** 2 + qi ** 2, axis=2)             # (E, O)
+        if eps_track is None:
+            # Segment 0 acquires eps cold: the preamble sync already
+            # aligned the segment start, so the period axis is the only
+            # unknown and the energy peak is unambiguous.
+            prior = off_prior[None, :]
+        else:
+            eps_prior = jnp.exp(
+                -((eps_vals - eps_track) ** 2) / (2.0 * eps_sigma ** 2))
+            prior = eps_prior[:, None] * off_prior[None, :]
+        b = jnp.argmax((e * prior).reshape(-1))
+        be, bo = b // n_offsets, b % n_offsets
+        q_segs.append(jax.lax.complex(qr[be, bo], qi[be, bo]))
+        eps_meas = eps_vals[be]
+        eps_track = eps_meas if eps_track is None else jnp.clip(
+            eps_meas, eps_track - eps_slew, eps_track + eps_slew)
+        drift = shift.astype(jnp.float32) + off_vals[bo]
+        # Linear extrapolation: the measured drift slope, clamped to
+        # within max_step of the slope the tracked chip-period error
+        # implies - in-span clock error tracks exactly, while one
+        # interference-corrupted offset measurement cannot launch the
+        # cascade off the frame.
+        slope_eps = eps_track * jnp.float32(seg_chips) * d
+        if g == 0:
+            slope = slope_eps
+        else:
+            slope = jnp.clip(drift - prev,
+                             slope_eps - max_step, slope_eps + max_step)
         pred = drift + slope
         prev = drift
 
@@ -264,24 +354,36 @@ def miller_detect(
     # under collisions - see fm0.rn16_detect_soft.
     h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
     margin = jnp.mean(jnp.abs(stat)) / jnp.maximum(0.5 * m * h2, 1e-12)
-    return bits, jnp.float32(cfg.n_samples_chip), margin
+    # Estimated chip period (the Miller analogue of the FM0 t_half
+    # estimate): nominal scaled by the tracked chip-period error.
+    chip_est = jnp.float32(cfg.n_samples_chip) * (1.0 + eps_track)
+    return bits, chip_est, margin
 
 
-def miller_rn16(frame, index, h, cfg):
-    return miller_detect(frame, index, h, cfg, 16)[0]
+def miller_rn16(frame, index, h, cfg, eps0=None):
+    return miller_detect(frame, index, h, cfg, 16, eps0=eps0)[0]
 
 
-def miller_rn16_soft(frame, index, h, cfg):
-    bits, _, margin = miller_detect(frame, index, h, cfg, 16)
+def miller_rn16_soft(frame, index, h, cfg, eps0=None):
+    bits, _, margin = miller_detect(frame, index, h, cfg, 16, eps0=eps0)
     return bits, margin
 
 
-def miller_epc(frame, index, h, cfg):
-    bits, chip, _ = miller_detect(frame, index, h, cfg, cfg.epc_data_bits)
+def miller_epc(frame, index, h, cfg, eps0=None):
+    bits, chip, _ = miller_detect(frame, index, h, cfg, cfg.epc_data_bits,
+                                  eps0=eps0)
     return bits, chip
 
 
 miller_sync_batch = jax.vmap(miller_sync, in_axes=(0, None))
+miller_sync_full_batch = jax.vmap(miller_sync_full, in_axes=(0, None))
 miller_rn16_batch = jax.vmap(miller_rn16, in_axes=(0, 0, 0, None))
 miller_rn16_soft_batch = jax.vmap(miller_rn16_soft, in_axes=(0, 0, 0, None))
 miller_epc_batch = jax.vmap(miller_epc, in_axes=(0, 0, 0, None))
+# Sync-seeded variants: the per-frame eps estimate rides along.
+miller_rn16_soft_eps_batch = jax.vmap(
+    lambda f, i, h, e, cfg: miller_rn16_soft(f, i, h, cfg, eps0=e),
+    in_axes=(0, 0, 0, 0, None))
+miller_epc_eps_batch = jax.vmap(
+    lambda f, i, h, e, cfg: miller_epc(f, i, h, cfg, eps0=e),
+    in_axes=(0, 0, 0, 0, None))

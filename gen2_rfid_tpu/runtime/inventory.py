@@ -253,9 +253,11 @@ def _decode_frames(frames, magn2, cfg):
     else:
         from ..dsp import miller
 
-        index, h_est = miller.miller_sync_batch(frames, cfg)
-        rn16_bits, margin = miller.miller_rn16_soft_batch(frames, index, h_est, cfg)
-        epc_bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
+        index, h_est, eps = miller.miller_sync_full_batch(frames, cfg)
+        rn16_bits, margin = miller.miller_rn16_soft_eps_batch(
+            frames, index, h_est, eps, cfg)
+        epc_bits, t_half = miller.miller_epc_eps_batch(
+            frames, index, h_est, eps, cfg)
     return rn16_bits, epc_bits, t_half, h_est, margin
 
 
@@ -266,8 +268,9 @@ def _decode_rn16_frames(frames, cfg):
     else:
         from ..dsp import miller
 
-        index, h_est = miller.miller_sync_batch(frames, cfg)
-        bits, margin = miller.miller_rn16_soft_batch(frames, index, h_est, cfg)
+        index, h_est, eps = miller.miller_sync_full_batch(frames, cfg)
+        bits, margin = miller.miller_rn16_soft_eps_batch(
+            frames, index, h_est, eps, cfg)
     return bits, h_est, margin
 
 
@@ -278,8 +281,9 @@ def _decode_epc_frames(frames, magn2, cfg):
     else:
         from ..dsp import miller
 
-        index, h_est = miller.miller_sync_batch(frames, cfg)
-        bits, t_half = miller.miller_epc_batch(frames, index, h_est, cfg)
+        index, h_est, eps = miller.miller_sync_full_batch(frames, cfg)
+        bits, t_half = miller.miller_epc_eps_batch(
+            frames, index, h_est, eps, cfg)
     return bits, t_half, h_est
 
 

@@ -228,8 +228,9 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
                 di, h = sync.tag_sync(frame, cfg)
                 bits = fm0.payload_detect(frame, di, h, cfg, acc_bits)
             else:
-                di, h = miller.miller_sync(frame, cfg)
-                bits = miller.miller_detect(frame, di, h, cfg, acc_bits)[0]
+                di, h, eps = miller.miller_sync_full(frame, cfg)
+                bits = miller.miller_detect(frame, di, h, cfg, acc_bits,
+                                            eps0=eps)[0]
             return fits, bits
         if mode == "epc_sic":
             from ..dsp.collision import epc_sic
@@ -253,11 +254,12 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
             else:
                 bits, margin = fm0.rn16_detect_soft(frame, di, h, cfg)
         else:
-            di, h = miller.miller_sync(frame, cfg)
+            di, h, eps = miller.miller_sync_full(frame, cfg)
             if want_epc:
-                bits, _ = miller.miller_epc(frame, di, h, cfg)
+                bits, _ = miller.miller_epc(frame, di, h, cfg, eps0=eps)
             else:
-                bits, margin = miller.miller_rn16_soft(frame, di, h, cfg)
+                bits, margin = miller.miller_rn16_soft(frame, di, h, cfg,
+                                                       eps0=eps)
         if want_epc:
             # Mode-aware validation: native parses the PC length field
             # (variable-length EPC), compat pins the reference's fixed check.

@@ -41,3 +41,20 @@ def test_fm0_dies_under_in_channel_interferer():
 
 def test_miller4_survives_in_channel_interferer():
     assert _reads(4, 2e6, 1, -20.0) == 3     # exact where FM0 is dead
+
+
+def test_miller4_interferer_and_blf_error_compose():
+    """The round-3 joint (offset, chip-period) segment search decouples
+    BLF tolerance from interference robustness: the round-2 alternative
+    (shorter segments) reached +-3% but died here because the offset
+    decision integrated too little signal against the -20 dBc tone.
+    Now the period axis absorbs the chip drift at full segment length."""
+    cfg = ReaderConfig(miller_m=4, adc_rate=2e6, decim=1, max_events=64)
+    for off in (0.03, -0.03):
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, blf_offset=off)], n_rounds=3,
+            seed=1)
+        imp = RxImpairments(interferer_dbc=-20.0, interferer_hz=40e3)
+        iq = apply_rx_impairments(tr.iq, imp, cfg.adc_rate, seed=7)
+        stats, _ = decode_capture(jnp.asarray(iq), cfg)
+        assert int(stats.tag_reads[27]) == 3, off

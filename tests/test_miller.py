@@ -78,24 +78,48 @@ def test_miller_channel_tracking_cfo(m, adc, decim):
 
 @pytest.mark.parametrize("m,adc,decim", [(2, 2e6, 2), (8, 8e6, 2)])
 def test_miller_blf_offset_tolerance(m, adc, decim):
-    """Tag BLF error through +-2% decodes exactly across M - twice the
-    FM0 path's reference period grid (tag_decoder_impl.cc:151-169;
-    Gen2 table 6.9 allows percent-level tag FT).  Two mechanisms:
-    period-hypothesis sync (miller_sync correlates the preamble against
-    +-2% clock-scaled templates - at M=8 the ~160-chip preamble smears
-    ~1.6 chips per 1% under a nominal-period template) and the
-    drift-tracking segment cascade (each segment's search window
-    extrapolates the last two measured offsets; without prediction the
-    window drifts onto a +-1-chip comb tooth and whole segments decode
-    complemented - the pre-fix envelope was ~+-0.1%)."""
+    """Tag BLF error through +-4% (cfg.miller_grid_frac) decodes exactly
+    across M - 4x the FM0 path's reference period grid
+    (tag_decoder_impl.cc:151-169; Gen2 table 6.9 allows up to +-4..22%
+    tag FT depending on link).  Three mechanisms: period-hypothesis sync
+    (miller_sync correlates the preamble against clock-scaled templates -
+    at M=8 the ~160-chip preamble smears ~1.6 chips per 1% under a
+    nominal-period template), the joint (offset, chip-period) segment
+    search (the period axis absorbs intra-segment chip drift, which
+    passes half a chip right at +-2% and capped the round-2 pure-offset
+    cascade there), and the drift-tracking cascade whose slope clamp is
+    centered on the tracked chip-period error (so in-span clock error
+    tracks exactly while one corrupted offset measurement cannot launch
+    the window off the frame)."""
     def run(off):
         cfg = ReaderConfig(miller_m=m, adc_rate=adc, decim=decim,
                            max_events=64)
         tr = synthesize_inventory(
             cfg, [Tag.with_id(27, seed=7, blf_offset=off)], n_rounds=3,
             seed=5)
-        stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+        stats, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+        # RN16 windows must track the same clock error (truth check).
+        valid = np.asarray(dec.valid)
+        rn16 = np.asarray(dec.rn16_bits)[valid]
+        queries = [e for e in tr.events if e.kind in ("query", "query_rep")]
+        for k, ev in enumerate(queries):
+            np.testing.assert_array_equal(rn16[2 * k], ev.reply_bits)
         return int(stats.n_epc_correct)
 
-    for off in (-0.02, -0.01, -0.0023, 0.01, 0.02):
+    for off in (-0.04, -0.03, -0.02, -0.0023, 0.01, 0.02, 0.03, 0.04):
         assert run(off) == 3, off
+
+
+def test_miller_blf_offset_with_cfo_tracking():
+    """Clock error and carrier offset compose: the joint segment search
+    handles +-3% BLF error while decision-directed channel tracking rides
+    an 800 Hz CFO on top (measured envelope; 4% + 1.6 kHz combined is
+    past it)."""
+    cfg = ReaderConfig(miller_m=4, adc_rate=4e6, decim=2, max_events=64,
+                       track_channel=True)
+    for off in (0.03, -0.03):
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, blf_offset=off, cfo_hz=800.0)],
+            n_rounds=3, seed=1)
+        stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+        assert int(stats.n_epc_correct) == 3, off
