@@ -51,24 +51,32 @@ def _scenario(seed: int):
     q = int(rng.integers(3))
     n_tags = 1 if q == 0 else int(rng.integers(1, 3))
     words = rng.choice([2, 6, 8], size=n_tags)
+    # Gen2 v2 XPC: an occasional untraceable-flagged tag backscatters an
+    # extra XPC_W1 word between PC and EPC (PC counts it, so the window
+    # must be sized one word wider).
+    u_flags = rng.random(n_tags) < 0.25
     cfg = ReaderConfig.for_link(
         blf_hz=blf, tari_us=tari, dr=dr, miller_m=m, trext=trext,
         adc_rate=adc, decim=decim, fixed_q=q, max_events=64,
-        epc_bits=16 + 16 * int(words.max()) + 16 + 1)
+        epc_bits=16 + 16 * (int(words.max()) + int(u_flags.any())) + 16 + 1)
+    # Inside both decode envelopes: FM0's reference period grid covers
+    # +-1% (test_impairments.py), Miller's joint segment search +-4%
+    # (test_miller.py) - sample to 80% of each so the oracle stays exact.
+    blf_lim = 8e-3 if m == 1 else 0.032
     tags = [
         Tag.with_id(
             int(rng.integers(1, 255)), n_words=int(w), seed=int(rng.integers(1 << 16)),
             backscatter=float(rng.uniform(0.05, 0.1))
             * np.exp(2j * np.pi * rng.uniform()),
-            # Inside both decode envelopes: FM0's reference period grid
-            # covers +-1% (test_impairments.py), Miller's cascade +-2%
-            # (test_miller.py) - sample to 0.8% so the oracle stays exact.
-            blf_offset=float(rng.uniform(-8e-3, 8e-3)),
+            blf_offset=float(rng.uniform(-blf_lim, blf_lim)),
             cfo_hz=float(rng.uniform(-25, 25)),
             amp_ramp=float(rng.uniform(-0.1, 0.1)),
         )
         for w in words
     ]
+    for t, u in zip(tags, u_flags):
+        if u:
+            t.apply_untraceable(1, None, "none", 0, "normal")
     return cfg, tags, rng
 
 
