@@ -254,6 +254,26 @@ def cmd_live(args) -> int:
 
     auth = _parse_auth(args.auth)
     challenge_auth = _parse_auth(args.challenge_auth)
+
+    def _parse_secure(spec, is_read):
+        """KEYID:KEYHEX:PTR:COUNT|HEX[:BANK] -> LiveReader tuple."""
+        if spec is None:
+            return None
+        parts = spec.split(":")
+        kid, key = _parse_auth(":".join(parts[:2]))
+        ptr = int(parts[2], 0)
+        if is_read:
+            third = int(parts[3], 0)
+        else:
+            word = int(parts[3], 16)
+            third = np.array([(word >> (15 - k)) & 1 for k in range(16)],
+                             dtype=np.int64)
+        bank = parts[4] if len(parts) > 4 else "user"
+        return (kid, key, ptr, third, bank)
+
+    secure_read = _parse_secure(args.secure_read, True)
+    secure_write = _parse_secure(args.secure_write, False)
+    auth_comm_write = _parse_secure(args.auth_comm_write, False)
     if args.radio == "uhd":
         from ..io.radio import RadioChannel, UhdDriver
 
@@ -266,7 +286,8 @@ def cmd_live(args) -> int:
         # demonstrates the success path; key-mismatch behavior is covered
         # in tests/test_auth.py).
         keys = {spec[0]: spec[1]
-                for spec in (auth, challenge_auth) if spec} or None
+                for spec in (auth, challenge_auth, secure_read,
+                             secure_write, auth_comm_write) if spec} or None
         # Distinct magnitudes and phases per tag (distinct ranges - also
         # what makes collided slots separable for --sic).
         dists = args.tag_distance or []
@@ -302,6 +323,8 @@ def cmd_live(args) -> int:
                     target_ab=args.session_ab, select_mask=select_mask,
                     access_read=access_read, access_write=access_write,
                     authenticate=auth, challenge_auth=challenge_auth,
+                    secure_read=secure_read, secure_write=secure_write,
+                    auth_comm_write=auth_comm_write,
                     hop_mhz=args.hop_mhz)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
@@ -343,6 +366,14 @@ def cmd_live(args) -> int:
         print(f"| Authentication: {st.n_auth_ok} TAM1 OK, "
               f"{st.n_buffer_auth_ok} buffered OK, "
               f"{st.n_auth_fail} crypto failures")
+    if st.n_secure_read_ok or st.n_secure_write_ok or st.n_auth_comm_ok:
+        print(f"| SecureComm: {st.n_secure_read_ok} reads OK, "
+              f"{st.n_secure_write_ok} writes OK; AuthComm: "
+              f"{st.n_auth_comm_ok} OK")
+        for t, words in sorted(st.secure_read_words.items()):
+            w = "".join(f"{int(''.join(map(str, words[k: k + 16])), 2):04x}"
+                        for k in range(0, words.size, 16))
+            print(f"| Tag {t:#x} secure read data: {w}")
     if st.error_counts:
         errs = ", ".join(f"{n}x {name}"
                          for name, n in sorted(st.error_counts.items()))
@@ -518,6 +549,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="broadcast-Challenge variant: tags precompute the "
                          "TAM1 response; ReadBuffer fetches + verifies it "
                          "after singulation")
+    lv.add_argument("--secure-read", metavar="KEYID:KEYHEX:PTR:COUNT[:BANK]",
+                    help="Gen2 v2 SecureComm confidential read: TAM1 "
+                         "session + encrypted Read of COUNT words at PTR "
+                         "(default bank user) - the words never travel "
+                         "in clear")
+    lv.add_argument("--secure-write", metavar="KEYID:KEYHEX:PTR:HEX[:BANK]",
+                    help="Gen2 v2 SecureComm confidential write of the "
+                         "16-bit HEX word at PTR (default bank user)")
+    lv.add_argument("--auth-comm-write",
+                    metavar="KEYID:KEYHEX:PTR:HEX[:BANK]",
+                    help="Gen2 v2 AuthComm: MAC-authenticated (cleartext) "
+                         "Write - a keyless rogue reader cannot forge it")
     lv.add_argument("--select-id", type=lambda s: int(s, 0),
                     help="transmit a Gen2 Select first and inventory only "
                          "tags whose ID byte (EPC bits 88:96) matches")

@@ -303,3 +303,68 @@ def tam2_verify(key: bytes, challenge96: np.ndarray, response: np.ndarray):
         data.append(bytes_to_bits(bytes(a ^ b for a, b in zip(p, prev))))
         prev = c
     return True, np.concatenate(data)
+
+
+# ---- AuthComm / SecureComm session crypto (Gen2 v2 6.3.2.12.3.14-15) ------
+# Gen2 v2 defines two "in-process" encapsulation commands that carry an
+# ordinary access command inside a cryptographically protected envelope:
+# AuthComm authenticates the inner command (cleartext + MAC, so a rogue
+# reader cannot forge e.g. a Write), SecureComm additionally encrypts the
+# inner command and the secret part of the reply (confidentiality).  The
+# session secret is what a successful TAM1 exchange leaves on both sides:
+# (key, IChallenge, TRnd32) - the reader learns TRnd from the decrypted
+# response (tam1_verify), the tag generated it.
+#
+# Modeled session construction (the spec delegates the actual cipher
+# modes to the ISO 29167 crypto suite):
+#   block(n)       = AES_K(IChallenge || (TRnd XOR n)),  n != 0, so no
+#                    session block ever collides with the TAM1 response
+#                    itself (the n = 0 case);
+#   keystream      = block(n), n = dir<<31 | ctr+1   (CTR mode; dir 0 =
+#                    reader->tag, 1 = tag->reader; ctr counts SecureComm
+#                    exchanges within the session on both sides);
+#   MAC(bits)      = first 32 bits of CBC-MAC under K with IV =
+#                    block(dir<<31 | 1<<30 | ctr+1) over the 10*-padded
+#                    message (the 1<<30 bit separates the MAC domain from
+#                    the keystream domain).
+
+
+def _session_block(key: bytes, challenge96: np.ndarray, trnd32: np.ndarray,
+                   n: int) -> bytes:
+    c = np.asarray(challenge96, dtype=np.int64)
+    t = np.asarray(trnd32, dtype=np.int64).copy()
+    assert c.size == 96 and t.size == 32 and n != 0
+    for k in range(32):
+        t[k] ^= (n >> (31 - k)) & 1
+    return aes128_encrypt_block(key, bits_to_bytes(np.concatenate([c, t])))
+
+
+def session_keystream(key: bytes, challenge96: np.ndarray,
+                      trnd32: np.ndarray, ctr: int, n_bits: int,
+                      direction: int = 0) -> np.ndarray:
+    """``n_bits`` of session keystream for SecureComm exchange ``ctr``."""
+    out = []
+    i = 0
+    while 128 * len(out) < n_bits:
+        n = (direction << 31) | ((ctr + 1 + i) & 0x3FFFFFFF)
+        out.append(bytes_to_bits(
+            _session_block(key, challenge96, trnd32, n)))
+        i += 1
+    return np.concatenate(out)[:n_bits]
+
+
+def session_mac(key: bytes, challenge96: np.ndarray, trnd32: np.ndarray,
+                bits: np.ndarray, ctr: int = 0, direction: int = 0,
+                n_mac: int = 32) -> np.ndarray:
+    """Truncated CBC-MAC over ``bits`` under the session (AuthComm)."""
+    b = np.asarray(bits, dtype=np.int64)
+    pad = (-(b.size + 1)) % 128
+    msg = np.concatenate([b, np.ones(1, np.int64),
+                          np.zeros(pad, np.int64)])
+    n = (direction << 31) | (1 << 30) | ((ctr + 1) & 0x3FFFFFFF)
+    prev = _session_block(key, challenge96, trnd32, n)
+    for i in range(msg.size // 128):
+        p = bits_to_bytes(msg[128 * i: 128 * i + 128])
+        prev = aes128_encrypt_block(
+            key, bytes(a ^ x for a, x in zip(p, prev)))
+    return bytes_to_bits(prev)[:n_mac]

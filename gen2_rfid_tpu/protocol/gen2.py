@@ -511,6 +511,73 @@ def parse_authenticate(bits: np.ndarray):
         np.array_equal(_crc16_any(body), b[48 + n:]))
 
 
+AUTH_COMM_CODE = (1, 1, 0, 1, 0, 1, 1, 1)
+SECURE_COMM_CODE = (1, 1, 0, 1, 0, 1, 1, 0)
+
+
+def auth_comm_bits(handle: np.ndarray, inner_bits: np.ndarray,
+                   mac32: np.ndarray) -> np.ndarray:
+    """AuthComm = 11010111 + Length(12) + inner command (cleartext, the
+    full access-command frame incl. its own handle+CRC) + MAC(32) +
+    handle(16) + CRC-16 (Gen2 v2 6.3.2.12.3.14 shape).
+
+    The MAC is the TAM1-session CBC-MAC over the inner bits
+    (protocol/crypto.py::session_mac): command *integrity* - a reader
+    without the session key cannot forge e.g. a Write - while the data
+    still travels in clear (use SecureComm for confidentiality)."""
+    handle = np.asarray(handle, dtype=np.int64)
+    inner = np.asarray(inner_bits, dtype=np.int64)
+    mac = np.asarray(mac32, dtype=np.int64)
+    assert handle.size == 16 and mac.size == 32
+    bits = list(AUTH_COMM_CODE) + _len12(inner.size)
+    body = np.concatenate([np.array(bits, dtype=np.int64), inner, mac,
+                           handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_auth_comm(bits: np.ndarray):
+    """-> (inner_bits, mac32, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == AUTH_COMM_CODE
+    n = int("".join(map(str, b[8:20])), 2)
+    inner = b[20: 20 + n]
+    mac = b[20 + n: 52 + n]
+    handle = b[52 + n: 68 + n]
+    body = b[: 68 + n]
+    return inner, mac, handle, bool(
+        np.array_equal(_crc16_any(body), b[68 + n:]))
+
+
+def secure_comm_bits(handle: np.ndarray,
+                     enc_inner_bits: np.ndarray) -> np.ndarray:
+    """SecureComm = 11010110 + Length(12) + encrypted inner command +
+    handle(16) + CRC-16 (Gen2 v2 6.3.2.12.3.15 shape).
+
+    The inner access-command frame is XOR'd with the TAM1-session CTR
+    keystream (protocol/crypto.py::session_keystream, direction 0); the
+    secret part of the reply comes back under the direction-1 keystream
+    of the same exchange counter.  Both sides advance the counter per
+    SecureComm exchange."""
+    handle = np.asarray(handle, dtype=np.int64)
+    enc = np.asarray(enc_inner_bits, dtype=np.int64)
+    assert handle.size == 16
+    bits = list(SECURE_COMM_CODE) + _len12(enc.size)
+    body = np.concatenate([np.array(bits, dtype=np.int64), enc, handle])
+    return np.concatenate([body, _crc16_any(body)])
+
+
+def parse_secure_comm(bits: np.ndarray):
+    """-> (enc_inner_bits, handle, crc_ok)."""
+    b = np.asarray(bits, dtype=np.int64)
+    assert tuple(b[:8]) == SECURE_COMM_CODE
+    n = int("".join(map(str, b[8:20])), 2)
+    enc = b[20: 20 + n]
+    handle = b[20 + n: 36 + n]
+    body = b[: 36 + n]
+    return enc, handle, bool(
+        np.array_equal(_crc16_any(body), b[36 + n:]))
+
+
 KEYUPDATE_CODE = (1, 1, 1, 0, 0, 0, 1, 0)
 
 

@@ -96,8 +96,12 @@ class LiveStats:
     n_untraceable_ok: int = 0  # Untraceable success replies verified
     n_keyupdate_ok: int = 0    # KeyUpdate success replies verified
     n_tam2_ok: int = 0         # TAM2 confidential reads verified
+    n_secure_read_ok: int = 0  # SecureComm(Read) replies decrypted+verified
+    n_secure_write_ok: int = 0  # SecureComm(Write) success replies
+    n_auth_comm_ok: int = 0    # AuthComm-encapsulated command successes
     secure_read_words: Dict[int, np.ndarray] = dataclasses.field(
-        default_factory=dict)  # tag id -> last TAM2-decrypted data bits
+        default_factory=dict)  # tag id -> last TAM2/SecureComm-decrypted
+    #                            data bits (confidential reads)
     # Tag error-specific replies (Gen2 Annex I) decoded from failed access
     # commands: error name -> count.  The LLRP access-op result-code
     # analogue; empty when tags stay silent on failure.
@@ -412,6 +416,9 @@ class LiveReader:
         untraceable=None,
         key_update=None,
         authenticate_read=None,
+        secure_read=None,
+        secure_write=None,
+        auth_comm_write=None,
         hop_mhz=None,
         hop_every: int = 1,
     ):
@@ -465,6 +472,19 @@ class LiveReader:
         self.key_update = key_update
         # (key_id, key, wordptr, n_blocks[, bank]) TAM2 confidential read.
         self.authenticate_read = authenticate_read
+        # Gen2 v2 AuthComm/SecureComm encapsulation (6.3.2.12.3.14-15):
+        # one TAM1 exchange establishes the session, then
+        #   secure_read  = (key_id, key, wordptr, wordcount[, bank]) -
+        #     encrypted Read: the words never travel in clear;
+        #   secure_write = (key_id, key, wordptr, data_bits16[, bank]) -
+        #     encrypted Write (supersedes RN16 cover-coding);
+        #   auth_comm_write = (key_id, key, wordptr, data_bits16[, bank]) -
+        #     MAC-authenticated cleartext Write (a keyless rogue reader
+        #     cannot forge it).
+        # When several are set they share the first option's session.
+        self.secure_read = secure_read
+        self.secure_write = secure_write
+        self.auth_comm_write = auth_comm_write
         # FCC frequency hopping: cycle these carriers (MHz), retuning the
         # channel every ``hop_every`` Query rounds.  A hopping session's
         # per-read phases span multiple carriers -> live PDOA range
@@ -536,7 +556,8 @@ class LiveReader:
             self.lock, self.block_write, self.block_erase,
             self.block_permalock, self.kill_pwd, self.authenticate,
             self.challenge_auth, self.untraceable, self.key_update,
-            self.authenticate_read))
+            self.authenticate_read, self.secure_read, self.secure_write,
+            self.auth_comm_write))
 
     def _delayed_ok(self, out, handle) -> bool:
         """Verify a delayed success reply (Write/BlockWrite/Lock/final
@@ -572,6 +593,35 @@ class LiveReader:
             return True
         self._record_error(out, handle)
         return False
+
+    def _tam1_session(self, channel, handle, key_id: int, key):
+        """One TAM1 exchange establishing an AuthComm/SecureComm session.
+
+        Returns (challenge96, trnd32) - the session secret both sides now
+        hold (the tag stored its half in ``Tag.session``) - or None when
+        the tag stayed silent or the crypto check failed."""
+        from ..protocol import crypto
+
+        cfg = self.cfg
+        st = self.stats
+        pre = 1 + cfg.effective_preamble_bits
+        chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
+        ab = gen2.authenticate_bits(
+            handle, crypto.tam1_message(key_id, chal))
+        nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
+        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
+        rx = channel.exchange("authenticate", ab, self.enc.command(ab), cw)
+        out = self._decode_window(rx, f"acc:{nb}")
+        if (out is None or out[0] != 0
+                or not np.array_equal(out[129:145], handle)
+                or not np.array_equal(gen2._crc16_any(out[:145]),
+                                      out[145:])):
+            return None
+        ok, trnd = crypto.tam1_verify(bytes(key), chal, out[1:129])
+        if not ok:
+            st.n_auth_fail += 1
+            return None
+        return chal, trnd
 
     def _pwd_step(self, channel, handle, half, kind: str):
         """One cover-coded password half (Access or Kill): Req_RN(handle)
@@ -683,6 +733,88 @@ class LiveReader:
                                tid, 8 * n_blocks)
                 else:
                     st.n_auth_fail += 1
+
+        if (self.secure_read is not None or self.secure_write is not None
+                or self.auth_comm_write is not None):
+            # Gen2 v2 AuthComm/SecureComm encapsulation: establish the
+            # TAM1 session once, then run the configured encapsulated
+            # commands under it (protocol/crypto.py session construction).
+            from ..protocol import crypto
+
+            first = (self.secure_read or self.secure_write
+                     or self.auth_comm_write)
+            key_id, key = first[0], bytes(first[1])
+            sess = self._tam1_session(channel, handle, key_id, key)
+            if sess is not None:
+                chal, trnd = sess
+                ctr = 0
+                if self.auth_comm_write is not None:
+                    wordptr, data = self.auth_comm_write[2:4]
+                    bank = (self.auth_comm_write[4]
+                            if len(self.auth_comm_write) > 4 else "user")
+                    wb = gen2.write_bits(handle, np.asarray(data),
+                                         membank=self._bank_code(bank),
+                                         wordptr=wordptr)
+                    mac = crypto.session_mac(key, chal, trnd, wb, ctr=ctr,
+                                             direction=0)
+                    ac = gen2.auth_comm_bits(handle, wb, mac)
+                    ctr += 1
+                    if self._delayed_exchange(channel, "auth_comm", ac,
+                                              handle):
+                        st.n_auth_comm_ok += 1
+                        _log.debug("AUTHCOMM WRITE OK | tag %#x word %d",
+                                   tid, wordptr)
+                if self.secure_write is not None:
+                    wordptr, data = self.secure_write[2:4]
+                    bank = (self.secure_write[4]
+                            if len(self.secure_write) > 4 else "user")
+                    wb = gen2.write_bits(handle, np.asarray(data),
+                                         membank=self._bank_code(bank),
+                                         wordptr=wordptr)
+                    ks = crypto.session_keystream(key, chal, trnd, ctr,
+                                                  wb.size, direction=0)
+                    sc = gen2.secure_comm_bits(handle, (wb + ks) % 2)
+                    ctr += 1
+                    if self._delayed_exchange(channel, "secure_comm", sc,
+                                              handle):
+                        st.n_secure_write_ok += 1
+                        _log.debug("SECURECOMM WRITE OK | tag %#x word %d",
+                                   tid, wordptr)
+                if self.secure_read is not None:
+                    wordptr, wc = self.secure_read[2:4]
+                    bank = (self.secure_read[4]
+                            if len(self.secure_read) > 4 else "user")
+                    rb = gen2.read_bits(handle,
+                                        membank=self._bank_code(bank),
+                                        wordptr=wordptr, wordcount=wc)
+                    ks = crypto.session_keystream(key, chal, trnd, ctr,
+                                                  rb.size, direction=0)
+                    sc = gen2.secure_comm_bits(handle, (rb + ks) % 2)
+                    nb = 1 + 16 * wc + 16 + 16
+                    cw = float(cfg.t1_us + cfg.t2_us
+                               + (nb + pre) * cfg.tag_bit_us)
+                    rx = channel.exchange("secure_comm", sc,
+                                          self.enc.command(sc), cw)
+                    out = self._decode_window(rx, f"acc:{nb}")
+                    if (out is not None and out[0] == 0
+                            and np.array_equal(
+                                out[1 + 16 * wc: 17 + 16 * wc], handle)
+                            and np.array_equal(
+                                gen2._crc16_any(out[: nb - 16]),
+                                out[nb - 16:])):
+                        ks2 = crypto.session_keystream(
+                            key, chal, trnd, ctr, 16 * wc, direction=1)
+                        st.secure_read_words[tid] = (
+                            out[1: 1 + 16 * wc] + ks2) % 2
+                        st.n_secure_read_ok += 1
+                        _log.debug("SECURECOMM READ OK | tag %#x words=%d",
+                                   tid, wc)
+                    else:
+                        # Rejected inner commands answer with a cleartext
+                        # Annex-I error reply (the envelope protects data,
+                        # not the failure class).
+                        self._record_error(out, handle)
+                    ctr += 1
 
         if self.challenge_auth is not None and self._challenge is not None:
             # Fetch the Challenge-precomputed response (6.3.2.12.3.12) and

@@ -50,6 +50,8 @@ class _TagState:
     #                              returns the tag to arbitrate WITHOUT
     #                              toggling its inventoried flag)
     flip_session: int = 0        # which session's flag the pending flip hits
+    sc_ctr: int = 0              # SecureComm exchange counter within the
+    #                              current TAM1 session (both sides count)
 
     # Legacy single-session view (S0, the default config session) used by
     # existing tests and the reference-parity paths.
@@ -151,6 +153,51 @@ class SimTagChannel:
         return [ts for ts in self.tags if ts.slot == 0]
 
     # ---- the exchange ----
+
+    def _exec_inner(self, ts, inner: np.ndarray, err):
+        """Execute an AuthComm/SecureComm-encapsulated access command.
+
+        Read and Write (the confidential-data use cases) are supported as
+        inner frames; the inner frame is the full command incl. its own
+        handle and CRC, so a wrong-key SecureComm decrypt almost surely
+        fails the opcode/handle/CRC checks and the tag stays silent.
+        Inner Write data is plain (the envelope supersedes cover-coding).
+        Returns ("read", words) / ("write", None), or None (rejected;
+        Annex-I error replies queued where the plain command would)."""
+        from ..protocol import gen2
+
+        code = tuple(int(x) for x in inner[:8])
+        if code == gen2.READ_CODE and inner.size == 58:
+            membank, wordptr, wordcount, ih, crc_ok = gen2.parse_read(inner)
+            if not crc_ok or not np.array_equal(ih, ts.handle):
+                return None
+            mem = ts.tag.bank_bits(membank, secured=ts.secured)
+            lo, hi = 16 * wordptr, 16 * (wordptr + wordcount)
+            if mem is None:
+                err(ts, "not supported")
+            elif hi > mem.size:
+                err(ts, "memory overrun")
+            elif np.any(mem[lo:hi] < 0):
+                err(ts, "memory locked")
+            else:
+                return ("read", mem[lo:hi])
+            return None
+        if code == gen2.WRITE_CODE and inner.size == 66:
+            membank, wordptr, data, ih, crc_ok = gen2.parse_write(inner)
+            if not crc_ok or not np.array_equal(ih, ts.handle):
+                return None
+            if ts.tag.write_word(membank, wordptr, data,
+                                 secured=ts.secured):
+                return ("write", None)
+            if (not ts.tag.write_allowed(membank, ts.secured)
+                    or (tuple(membank) == (1, 1)
+                        and wordptr < ts.tag.user_permalock.size
+                        and ts.tag.user_permalock[wordptr])):
+                err(ts, "memory locked")
+            else:
+                err(ts, "memory overrun")
+            return None
+        return None
 
     def exchange(self, kind: str, bits: np.ndarray, tx_env: np.ndarray,
                  cw_us: float) -> np.ndarray:
@@ -442,6 +489,8 @@ class SimTagChannel:
                     resp = None
                     if t1 is not None:
                         resp = ts.tag.tam1_answer(csi, t1[0], t1[1])
+                        if resp is not None:
+                            ts.sc_ctr = 0   # fresh AuthComm/SecureComm session
                     elif t2 is not None:
                         resp = ts.tag.tam2_answer(csi, *t2,
                                                   secured=ts.secured)
@@ -463,6 +512,64 @@ class SimTagChannel:
                             cfg, gen2.read_reply_bits(
                                 ts.response_buffer[bitptr: bitptr + bitcount],
                                 ts.handle))))
+        elif kind == "auth_comm":
+            # Gen2 v2 6.3.2.12.3.14: MAC-authenticated encapsulation - the
+            # inner command travels in clear but a reader without the TAM1
+            # session key cannot forge it (bad MAC = silence).
+            from ..protocol import crypto
+
+            inner, mac, handle, crc_ok = gen2.parse_auth_comm(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is None
+                            or not np.array_equal(handle, ts.handle)
+                            or ts.tag.session is None):
+                        continue
+                    key, chal, trnd = ts.tag.session
+                    want = crypto.session_mac(key, chal, trnd, inner,
+                                              ctr=ts.sc_ctr, direction=0)
+                    ts.sc_ctr += 1
+                    if not np.array_equal(mac, want):
+                        continue               # forged/garbled: silence
+                    r = self._exec_inner(ts, inner, err)
+                    if r is None:
+                        continue
+                    op, words = r
+                    reply = (gen2.read_reply_bits(words, ts.handle)
+                             if op == "read"
+                             else gen2.write_reply_bits(ts.handle))
+                    replies.append((ts, reply_chips(cfg, reply)))
+        elif kind == "secure_comm":
+            # Gen2 v2 6.3.2.12.3.15: encrypted encapsulation - the inner
+            # command and the secret part of the reply ride the TAM1
+            # session's CTR keystream (confidential read/write: the data
+            # never travels in clear, unlike Read / cover-coded Write).
+            from ..protocol import crypto
+
+            enc, handle, crc_ok = gen2.parse_secure_comm(bits)
+            if crc_ok:
+                for ts in self.tags:
+                    if (ts.handle is None
+                            or not np.array_equal(handle, ts.handle)
+                            or ts.tag.session is None):
+                        continue
+                    key, chal, trnd = ts.tag.session
+                    ks = crypto.session_keystream(
+                        key, chal, trnd, ts.sc_ctr, enc.size, direction=0)
+                    inner = (enc + ks) % 2
+                    r = self._exec_inner(ts, inner, err)
+                    if r is not None:
+                        op, words = r
+                        if op == "read":
+                            ks2 = crypto.session_keystream(
+                                key, chal, trnd, ts.sc_ctr, words.size,
+                                direction=1)
+                            reply = gen2.read_reply_bits(
+                                (words + ks2) % 2, ts.handle)
+                        else:
+                            reply = gen2.write_reply_bits(ts.handle)
+                        replies.append((ts, reply_chips(cfg, reply)))
+                    ts.sc_ctr += 1
         elif kind == "access":
             # Gen2 6.3.2.12.3.6: two cover-coded password halves (MSB half
             # first); each valid half is echoed with the handle, the second

@@ -161,6 +161,9 @@ class Tag:
     # word between PC and EPC (PC XI bit set, Gen2 v2 6.3.2.1.2.4) so
     # readers can see the tag is in the untraceable state.
     u_flag: bool = False
+    # AuthComm/SecureComm session register: (key, IChallenge, TRnd32)
+    # left behind by the last successful TAM1 exchange (tam1_answer).
+    session: Optional[tuple] = None
 
     def __post_init__(self):
         self.epc96 = np.asarray(self.epc96, dtype=np.int64)
@@ -471,6 +474,10 @@ class Tag:
         if key is None:
             return None
         trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
+        # The TAM1 exchange leaves a session secret on both sides (the
+        # reader recovers TRnd by decrypting the response): the tag's
+        # session register for AuthComm / SecureComm encapsulation.
+        self.session = (bytes(key), np.asarray(challenge96, np.int64), trnd)
         return tam1_response(bytes(key), challenge96, trnd)
 
     def tam2_answer(self, csi: int, key_id: int, challenge96: np.ndarray,
