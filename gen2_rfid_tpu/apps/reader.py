@@ -35,6 +35,8 @@ def _cfg_from_args(args) -> "ReaderConfig":
         over["epc_bits"] = 16 + 16 * args.epc_words + 16 + 1
     if getattr(args, "freq_mhz", None) is not None:
         over["freq_hz"] = args.freq_mhz * 1e6
+    if getattr(args, "softfix", None):
+        over["epc_softfix"] = args.softfix
     return ReaderConfig(**over)
 
 
@@ -449,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--blf", type=float, help="backscatter link freq, kHz")
     d.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
     d.add_argument("--max-events", type=int)
+    d.add_argument("--softfix", type=int, metavar="K", default=0,
+                   help="CRC-guided soft recovery of failed EPC frames over "
+                        "the K least-reliable decisions (8 is a good value)")
     d.add_argument("--epc-sic", action="store_true",
                    help="post-pass: EPC-window interference cancellation "
                         "recovers second tags from same-RN16 collisions "
@@ -528,6 +533,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "+ SIC multiplicity; jumps to log2(n) and locks)")
     lv.add_argument("--nak", action="store_true",
                     help="transmit NAK on failed EPC CRC")
+    lv.add_argument("--softfix", type=int, metavar="K", default=0,
+                    help="CRC-guided soft recovery of failed EPC frames "
+                         "(runtime/softfix.py)")
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")

@@ -114,6 +114,12 @@ class ReaderConfig:
     # extending CFO tolerance ~10x over the reference's frozen preamble
     # h_est (dsp/fm0.py::_track_and_slice).
     track_channel: bool = False
+    # CRC-guided soft-decision EPC recovery (runtime/softfix.py): re-slice
+    # failed frames by flipping singles/pairs of the K least-reliable
+    # detector decisions and accepting the min-cost candidate that passes
+    # the full PC-aware CRC validation.  0 disables; 8 is a good default
+    # (36 candidates/frame, ~5.5e-4 false-accept per failed frame).
+    epc_softfix: int = 0
     # "compat" pins reference truncation/rounding exactly; "native" may use
     # cleaner arithmetic where results provably agree on in-spec signals.
     mode: str = "native"

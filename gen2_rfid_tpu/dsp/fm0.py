@@ -66,7 +66,7 @@ def rn16_detect_soft(
     )
     result = jnp.real(d * jnp.conj(h_est))
     if cfg.track_channel and cfg.mode != "compat":
-        signs = _track_and_slice(d, h_est)   # see EPC docstring; 16 bits
+        signs, _ = _track_and_slice(d, h_est)  # see EPC docstring; 16 bits
     else:
         signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
     h2 = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
@@ -240,6 +240,25 @@ def epc_detect(
     ``magn_squared_samples`` filled by the gate, gate_impl.cc:170-186).
     Returns (bits (128,), T_half estimate).
     """
+    bits, t_half, _ = epc_detect_soft(frame, magn2, index, h_est, cfg)
+    return bits, t_half
+
+
+def epc_detect_soft(
+    frame: jnp.ndarray,
+    magn2: jnp.ndarray,
+    index: jnp.ndarray,
+    h_est: jnp.ndarray,
+    cfg: ReaderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``epc_detect`` + per-decision reliabilities (new capability; the
+    reference slices hard, tag_decoder_impl.cc:171-191).
+
+    Returns (bits, T_half, rel (n_bits,)) where rel[j] = |coherent decision
+    statistic| of differential sample j — the soft input to CRC-guided
+    error recovery (runtime/softfix.py).  Under FM0's differential rule a
+    wrong sign j corrupts bits {j, j+1}, so rel ranks *sign* decisions.
+    """
     cand, n_probe = epc_period_grid(cfg)
     candj = jnp.asarray(cand)
     w = magn2.shape[0]
@@ -279,11 +298,12 @@ def epc_detect(
     d_im = jnp.matmul(jnp.imag(sl), dj, precision=hi).reshape(steps, nb)
     d = jax.lax.complex(d_re[t_sel], d_im[t_sel])
     if tracking:
-        signs = _track_and_slice(d, h_est)
+        signs, rel = _track_and_slice(d, h_est)
     else:
         result = jnp.real(d * jnp.conj(h_est))
         signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
-    return _diff_decode(signs), t_half
+        rel = jnp.abs(result)
+    return _diff_decode(signs), t_half, rel
 
 
 def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
@@ -300,6 +320,10 @@ def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
     decisions: h' <- (h + mean(d*s)/2) / 2.  Phase rotation is tracked as
     long as it stays < ~pi/4 per segment (~0.4 ms), extending CFO
     tolerance roughly 10x (tests/test_impairments.py).
+
+    Returns (signs (n,), rel (n,)) — rel is the |decision statistic|
+    against the *running* h (the reliability each sign was actually
+    sliced with), consumed by runtime/softfix.py.
     """
     n = d.shape[0]
     d_seg = d.reshape(n // seg, seg)
@@ -324,12 +348,14 @@ def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
         mag_b = jnp.sqrt(jnp.real(blend) ** 2 + jnp.imag(blend) ** 2)
         blend = blend * (jnp.sqrt(h2) / jnp.maximum(mag_b, 1e-20))
         h_new = jnp.where(den > 0.5, blend, h_cur)
-        return h_new, s
+        return h_new, (s, jnp.abs(r))
 
-    _, s_seg = jax.lax.scan(step, h_est, d_seg)
-    return jnp.where(s_seg.reshape(-1) > 0, jnp.int32(1), jnp.int32(-1))
+    _, (s_seg, r_seg) = jax.lax.scan(step, h_est, d_seg)
+    signs = jnp.where(s_seg.reshape(-1) > 0, jnp.int32(1), jnp.int32(-1))
+    return signs, r_seg.reshape(-1)
 
 
 rn16_detect_batch = jax.vmap(rn16_detect, in_axes=(0, 0, 0, None))
 rn16_detect_soft_batch = jax.vmap(rn16_detect_soft, in_axes=(0, 0, 0, None))
 epc_detect_batch = jax.vmap(epc_detect, in_axes=(0, 0, 0, 0, None))
+epc_detect_soft_batch = jax.vmap(epc_detect_soft, in_axes=(0, 0, 0, 0, None))

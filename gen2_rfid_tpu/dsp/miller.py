@@ -344,11 +344,16 @@ def miller_detect(
         # keeps the statistic at full swing instead.
         from .fm0 import _track_and_slice
 
-        s = _track_and_slice(q * jnp.float32(2.0 / m), h_est).astype(
-            jnp.float32)
+        s, rel_half = _track_and_slice(q * jnp.float32(2.0 / m), h_est)
+        s = s.astype(jnp.float32)
     else:
         s = jnp.sign(stat)
+        rel_half = jnp.abs(stat)
     bits = (s[0::2] != s[1::2]).astype(jnp.int32)
+    # Per-bit reliability for CRC-guided recovery (runtime/softfix.py):
+    # bit j comes from half-bit signs (2j, 2j+1); a single half-bit error
+    # flips exactly bit j, and the weaker half dominates its probability.
+    rel_bits = jnp.minimum(rel_half[0::2], rel_half[1::2])
     # Decision margin ~1 for a clean single tag: {0,h} chips alternating
     # with the subcarrier give |stat| = (m/2)*|h|^2 per half-bit; lower
     # under collisions - see fm0.rn16_detect_soft.
@@ -357,7 +362,7 @@ def miller_detect(
     # Estimated chip period (the Miller analogue of the FM0 t_half
     # estimate): nominal scaled by the tracked chip-period error.
     chip_est = jnp.float32(cfg.n_samples_chip) * (1.0 + eps_track)
-    return bits, chip_est, margin
+    return bits, chip_est, margin, rel_bits
 
 
 def miller_rn16(frame, index, h, cfg, eps0=None):
@@ -365,14 +370,23 @@ def miller_rn16(frame, index, h, cfg, eps0=None):
 
 
 def miller_rn16_soft(frame, index, h, cfg, eps0=None):
-    bits, _, margin = miller_detect(frame, index, h, cfg, 16, eps0=eps0)
+    bits, _, margin, _ = miller_detect(frame, index, h, cfg, 16, eps0=eps0)
     return bits, margin
 
 
 def miller_epc(frame, index, h, cfg, eps0=None):
-    bits, chip, _ = miller_detect(frame, index, h, cfg, cfg.epc_data_bits,
-                                  eps0=eps0)
+    bits, chip, _, _ = miller_detect(frame, index, h, cfg, cfg.epc_data_bits,
+                                     eps0=eps0)
     return bits, chip
+
+
+def miller_epc_soft(frame, index, h, cfg, eps0=None):
+    """(bits, chip_est, rel_bits) — per-bit reliabilities for
+    runtime/softfix.py (Miller events are single-bit flips, unlike FM0's
+    adjacent pairs)."""
+    bits, chip, _, rel = miller_detect(frame, index, h, cfg,
+                                       cfg.epc_data_bits, eps0=eps0)
+    return bits, chip, rel
 
 
 miller_sync_batch = jax.vmap(miller_sync, in_axes=(0, None))
@@ -386,4 +400,7 @@ miller_rn16_soft_eps_batch = jax.vmap(
     in_axes=(0, 0, 0, 0, None))
 miller_epc_eps_batch = jax.vmap(
     lambda f, i, h, e, cfg: miller_epc(f, i, h, cfg, eps0=e),
+    in_axes=(0, 0, 0, 0, None))
+miller_epc_soft_eps_batch = jax.vmap(
+    lambda f, i, h, e, cfg: miller_epc_soft(f, i, h, cfg, eps0=e),
     in_axes=(0, 0, 0, 0, None))

@@ -244,21 +244,55 @@ def _validate_epc(epc_bits: jnp.ndarray, cfg: ReaderConfig):
     return ok, tid
 
 
+def _validate_epc_soft(epc_bits, rel, cfg):
+    """Mode-aware validation + optional CRC-guided recovery of failures.
+
+    Returns (pass, tag_id, epc_bits) — recovered frames carry their
+    repaired bits so downstream parsing (PC length, XPC, TDS URIs) sees
+    the corrected payload.  Compat mode never recovers (the reference
+    discards CRC failures, tag_decoder_impl.cc:330-344)."""
+    ok, tid = _validate_epc(epc_bits, cfg)
+    if not cfg.epc_softfix or rel is None or cfg.mode == "compat":
+        return ok, tid, epc_bits
+    from .softfix import recover_epc_batch
+
+    fixed_bits, fixed = recover_epc_batch(
+        epc_bits, rel, cfg, lambda b: _validate_epc(b, cfg))
+    use = fixed & ~ok
+    merged = jnp.where(use[:, None], fixed_bits, epc_bits)
+    ok2, tid2 = _validate_epc(merged, cfg)
+    return ok2, tid2, merged
+
+
 def _decode_frames(frames, magn2, cfg):
-    """Sync + RN16 + EPC decode of a batch of (W,) windows."""
+    """Sync + RN16 + EPC decode of a batch of (W,) windows.
+
+    The trailing ``rel`` is the per-decision reliability table feeding
+    CRC-guided recovery (runtime/softfix.py), None when disabled."""
     if cfg.miller_m == 1:
         index, h_est = sync.tag_sync_batch(frames, cfg)
         rn16_bits, margin = fm0.rn16_detect_soft_batch(frames, index, h_est, cfg)
-        epc_bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+        if cfg.epc_softfix:
+            epc_bits, t_half, rel = fm0.epc_detect_soft_batch(
+                frames, magn2, index, h_est, cfg)
+        else:
+            epc_bits, t_half = fm0.epc_detect_batch(
+                frames, magn2, index, h_est, cfg)
+            rel = None
     else:
         from ..dsp import miller
 
         index, h_est, eps = miller.miller_sync_full_batch(frames, cfg)
         rn16_bits, margin = miller.miller_rn16_soft_eps_batch(
             frames, index, h_est, eps, cfg)
-        epc_bits, t_half = miller.miller_epc_eps_batch(
-            frames, index, h_est, eps, cfg)
-    return rn16_bits, epc_bits, t_half, h_est, margin
+        if cfg.epc_softfix:
+            epc_bits, t_half, rel = miller.miller_epc_soft_eps_batch(
+                frames, index, h_est, eps, cfg)
+        else:
+            epc_bits, t_half = miller.miller_epc_eps_batch(
+                frames, index, h_est, eps, cfg)
+            rel = None
+    return rn16_bits, epc_bits, t_half, h_est, margin, rel
 
 
 def _decode_rn16_frames(frames, cfg):
@@ -277,14 +311,25 @@ def _decode_rn16_frames(frames, cfg):
 def _decode_epc_frames(frames, magn2, cfg):
     if cfg.miller_m == 1:
         index, h_est = sync.tag_sync_batch(frames, cfg)
-        bits, t_half = fm0.epc_detect_batch(frames, magn2, index, h_est, cfg)
+        if cfg.epc_softfix:
+            bits, t_half, rel = fm0.epc_detect_soft_batch(
+                frames, magn2, index, h_est, cfg)
+        else:
+            bits, t_half = fm0.epc_detect_batch(
+                frames, magn2, index, h_est, cfg)
+            rel = None
     else:
         from ..dsp import miller
 
         index, h_est, eps = miller.miller_sync_full_batch(frames, cfg)
-        bits, t_half = miller.miller_epc_eps_batch(
-            frames, index, h_est, eps, cfg)
-    return bits, t_half, h_est
+        if cfg.epc_softfix:
+            bits, t_half, rel = miller.miller_epc_soft_eps_batch(
+                frames, index, h_est, eps, cfg)
+        else:
+            bits, t_half = miller.miller_epc_eps_batch(
+                frames, index, h_est, eps, cfg)
+            rel = None
+    return bits, t_half, h_est, rel
 
 
 def _tag_ids(epc_bits):
@@ -302,9 +347,9 @@ def _decode_events_paranoid(
 ) -> DecodedEvents:
     """Role-agnostic decode: every event as both an RN16 and an EPC window."""
     frames, magn2, rn16_fits, epc_fits = extract_windows(y, events, cfg)
-    rn16_bits, epc_bits, t_half, h_est, margin = _decode_frames(
+    rn16_bits, epc_bits, t_half, h_est, margin, rel = _decode_frames(
         frames, magn2, cfg)
-    epc_pass, tag_id = _validate_epc(epc_bits, cfg)
+    epc_pass, tag_id, epc_bits = _validate_epc_soft(epc_bits, rel, cfg)
     energy = jnp.mean(magn2[:, : cfg.rn16_window], axis=1)
     h2_all = jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2
     return DecodedEvents(
@@ -412,8 +457,8 @@ def _decode_events_specialized(
     a_frames, a_magn2 = gather_windows(a_rows, cfg.epc_window)
 
     q_bits, q_h, q_margin = _decode_rn16_frames(q_frames, cfg)
-    a_bits, a_thalf, a_h = _decode_epc_frames(a_frames, a_magn2, cfg)
-    a_pass, a_tid = _validate_epc(a_bits, cfg)
+    a_bits, a_thalf, a_h, a_rel = _decode_epc_frames(a_frames, a_magn2, cfg)
+    a_pass, a_tid, a_bits = _validate_epc_soft(a_bits, a_rel, cfg)
     q_energy = jnp.mean(q_magn2, axis=1)
     nv_pad = jnp.concatenate([events.noise_var, jnp.ones((1,), jnp.float32)])
     q_h2 = jnp.real(q_h) ** 2 + jnp.imag(q_h) ** 2

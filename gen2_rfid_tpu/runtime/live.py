@@ -203,7 +203,7 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     from ..dsp import fm0, miller, sync
     from ..dsp.filters import matched_filter_decimate
     from ..dsp.gate import gate_detect
-    from .inventory import _validate_epc, matched_taps
+    from .inventory import matched_taps
 
     ev_cfg = dataclasses.replace(cfg, max_events=8)
     want_epc = mode in ("epc", "epc_sic")
@@ -250,27 +250,39 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
             h1sq = jnp.real(r.h1_sync) ** 2 + jnp.imag(r.h1_sync) ** 2
             return (fits, r.bits1, r.margin1, energy, h1sq,
                     ev.noise_var[pos], r.bits2, r.margin2, r.cancel_ratio)
+        rel = None
         if cfg.miller_m == 1:
             di, h = sync.tag_sync(frame, cfg)
             if want_epc:
                 m2 = (jnp.abs(frame) ** 2).astype(jnp.float32)
-                bits, _ = fm0.epc_detect(frame, m2, di, h, cfg)
+                if cfg.epc_softfix:
+                    bits, _, rel = fm0.epc_detect_soft(frame, m2, di, h, cfg)
+                else:
+                    bits, _ = fm0.epc_detect(frame, m2, di, h, cfg)
             else:
                 bits, margin = fm0.rn16_detect_soft(frame, di, h, cfg)
         else:
             di, h, eps = miller.miller_sync_full(frame, cfg)
             if want_epc:
-                bits, _ = miller.miller_epc(frame, di, h, cfg, eps0=eps)
+                if cfg.epc_softfix:
+                    bits, _, rel = miller.miller_epc_soft(frame, di, h, cfg,
+                                                          eps0=eps)
+                else:
+                    bits, _ = miller.miller_epc(frame, di, h, cfg, eps0=eps)
             else:
                 bits, margin = miller.miller_rn16_soft(frame, di, h, cfg,
                                                        eps0=eps)
         if want_epc:
-            # Mode-aware validation: native parses the PC length field
-            # (variable-length EPC), compat pins the reference's fixed check.
-            # h rides out planar (re, im): the per-read phase observable
-            # (runtime/ranging.py Doppler / PDOA in the live loop).
-            return (fits, bits, _validate_epc(bits[None], cfg)[0][0],
-                    jnp.real(h), jnp.imag(h))
+            # Mode-aware validation (+ optional CRC-guided soft recovery):
+            # native parses the PC length field (variable-length EPC),
+            # compat pins the reference's fixed check.  h rides out planar
+            # (re, im): the per-read phase observable (runtime/ranging.py
+            # Doppler / PDOA in the live loop).
+            from .inventory import _validate_epc_soft
+
+            okv, _, bitsv = _validate_epc_soft(
+                bits[None], None if rel is None else rel[None], cfg)
+            return (fits, bitsv[0], okv[0], jnp.real(h), jnp.imag(h))
         energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
         h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
         return fits, bits, margin, energy, h2, ev.noise_var[pos]
