@@ -20,6 +20,12 @@ header     bits    scheme
 ``0x33``   96      GRAI-96   (returnable asset)
 ``0x34``   96      GIAI-96   (individual asset)
 ``0x35``   96      GID-96    (general identifier, no GS1 key)
+``0x2C``   96      GDTI-96   (document type)
+``0x3E``   174     GDTI-174  (alphanumeric document serial)
+``0x2D``   96      GSRN-96   (service relation, recipient)
+``0x2E``   96      GSRNP-96  (service relation, provider)
+``0x3F``   96      SGCN-96   (coupon; serial keeps leading zeros)
+``0x2F``   96      USDoD-96  (DoD construct: CAGE/DODAAC + serial)
 =========  ======  ===========================================
 
 Pure Python on purpose: identity parsing is a per-read reporting surface
@@ -63,6 +69,14 @@ _PART_GIAI = {
     6: (20, 6, 62, 19),
 }
 
+# GDTI / SGCN share SGLN's 12-digit company-prefix+reference split
+# (TDS tables 14-6, 14-11, 14-12): document type / coupon reference bits
+# 1, 4, 7, 11, 14, 17, 21 for partitions 0-6.
+_PART_GDTI = _PART_SGLN
+# GSRN's service reference completes 17 digits like SSCC's serial
+# reference (TDS tables 14-8, 14-9).
+_PART_GSRN = _PART_SSCC
+
 #: header -> (scheme, total bits, partition table, serial bits, uri id)
 _SCHEMES = {
     0x30: ("sgtin-96", 96, _PART_SGTIN, 38, "sgtin"),
@@ -71,6 +85,11 @@ _SCHEMES = {
     0x32: ("sgln-96", 96, _PART_SGLN, 41, "sgln"),
     0x33: ("grai-96", 96, _PART_GRAI, 38, "grai"),
     0x34: ("giai-96", 96, _PART_GIAI, 0, "giai"),
+    0x2C: ("gdti-96", 96, _PART_GDTI, 41, "gdti"),
+    0x3E: ("gdti-174", 174, _PART_GDTI, 119, "gdti"),
+    0x2D: ("gsrn-96", 96, _PART_GSRN, 0, "gsrn"),
+    0x2E: ("gsrnp-96", 96, _PART_GSRN, 0, "gsrnp"),
+    0x3F: ("sgcn-96", 96, _PART_GDTI, 41, "sgcn"),
 }
 
 
@@ -154,6 +173,8 @@ def decode_epc(epc_bits) -> Dict[str, object]:
     header = _bits_to_int(bits, 0, 8)
     if header == 0x35 and len(bits) >= 96:
         return _decode_gid(bits, as_hex)
+    if header == 0x2F and len(bits) >= 96:
+        return _decode_usdod(bits, as_hex, out)
     if header not in _SCHEMES:
         return out
     scheme, total, table, ser_bits, uri_id = _SCHEMES[header]
@@ -204,12 +225,69 @@ def decode_epc(epc_bits) -> Dict[str, object]:
         serial = _bits_to_int(bits, pos, pos + ser_bits)
         fields.update(asset_type=ref_s, serial=str(serial))
         body = f"{cp_s}.{ref_s}.{serial}"
+    elif scheme == "gdti-96":
+        serial = _bits_to_int(bits, pos, pos + ser_bits)
+        fields.update(document_type=ref_s, serial=str(serial))
+        body = f"{cp_s}.{ref_s}.{serial}"
+    elif scheme == "gdti-174":
+        s = _string_serial_decode(bits, pos, pos + ser_bits)
+        if s is None or not s:
+            return out
+        ser_s = _uri_escape(s)
+        fields.update(document_type=ref_s, serial=ser_s)
+        body = f"{cp_s}.{ref_s}.{ser_s}"
+    elif scheme in ("gsrn-96", "gsrnp-96"):
+        # 24 trailing reserved bits must be zero (TDS 14.5.7-8).
+        if _bits_to_int(bits, pos, pos + 24) != 0:
+            return out
+        fields.update(service_reference=ref_s)
+        body = f"{cp_s}.{ref_s}"
+    elif scheme == "sgcn-96":
+        # Coupon serial keeps leading zeros: encoded as the digit string
+        # prefixed with "1" read as an integer (TDS 14.4.5 / 14.5.10), so
+        # a valid value is >= 10^len(serial) and its decimal form starts
+        # with '1'.
+        v = _bits_to_int(bits, pos, pos + ser_bits)
+        vs = str(v)
+        if v < 10 or vs[0] != "1" or len(vs) > 13:
+            return out
+        ser_s = vs[1:]
+        fields.update(coupon_reference=ref_s, serial=ser_s)
+        body = f"{cp_s}.{ref_s}.{ser_s}"
     else:  # giai-96
         fields.update(asset_reference=ref_s)
         body = f"{cp_s}.{ref_s}"
     fields["uri"] = f"urn:epc:id:{uri_id}:{body}"
     fields["tag_uri"] = f"urn:epc:tag:{scheme}:{filt}.{body}"
     return fields
+
+
+def _decode_usdod(bits: List[int], as_hex: str,
+                  fallback: Dict[str, object]) -> Dict[str, object]:
+    """USDoD-96 (DoD Tag Data construct, TDS table 14-1 header 0x2F):
+    8-bit header, 4-bit filter, 48-bit CAGE/DODAAC (six ASCII chars,
+    leading space padding), 36-bit numeric serial."""
+    filt = _bits_to_int(bits, 8, 12)
+    chars = []
+    for i in range(12, 60, 8):
+        c = _bits_to_int(bits, i, i + 8)
+        if c == 0x20:
+            if chars:
+                return fallback  # space only as leading pad
+            continue
+        if not (0x21 <= c <= 0x7E):
+            return fallback
+        chars.append(chr(c))
+    cage = "".join(chars)
+    if not cage:
+        return fallback
+    ser = _bits_to_int(bits, 60, 96)
+    return {
+        "scheme": "usdod-96", "hex": as_hex, "filter": filt,
+        "cage": cage, "serial": ser,
+        "uri": f"urn:epc:id:usdod:{cage}.{ser}",
+        "tag_uri": f"urn:epc:tag:usdod-96:{filt}.{cage}.{ser}",
+    }
 
 
 def _decode_gid(bits: List[int], as_hex: str) -> Dict[str, object]:
@@ -236,10 +314,15 @@ def _encode_keyed(header: int, filt: int, part: int, cp: int, ref: int,
     bits = (_int_to_bits(header, 8) + _int_to_bits(filt, 3)
             + _int_to_bits(part, 3) + _int_to_bits(cp, cp_bits)
             + _int_to_bits(ref, ref_bits))
-    if scheme == "sgtin-198":
+    if scheme in ("sgtin-198", "gdti-174"):
         bits += _string_serial_encode(str(serial), ser_bits)
-    elif scheme == "sscc-96":
+    elif scheme in ("sscc-96", "gsrn-96", "gsrnp-96"):
         bits += [0] * 24
+    elif scheme == "sgcn-96":
+        s = str(serial)
+        if not s.isdigit() or len(s) > 12:
+            raise ValueError("SGCN serial: 1-12 digits (leading zeros kept)")
+        bits += _int_to_bits(int("1" + s), ser_bits)
     elif ser_bits:
         bits += _int_to_bits(int(serial), ser_bits)
     assert len(bits) == total, (len(bits), total)
@@ -308,4 +391,62 @@ def encode_giai96(company_prefix: str, asset_reference: str,
 def encode_gid96(manager: int, object_class: int, serial: int) -> np.ndarray:
     bits = (_int_to_bits(0x35, 8) + _int_to_bits(manager, 28)
             + _int_to_bits(object_class, 24) + _int_to_bits(serial, 36))
+    return np.asarray(bits, np.int64)
+
+
+def _part12(company_prefix: str, reference: str, what: str) -> int:
+    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    if len(reference) != 12 - len(company_prefix):
+        raise ValueError(f"company prefix + {what} must be 12 digits")
+    return part
+
+
+def encode_gdti96(company_prefix: str, document_type: str, serial: int,
+                  filter_value: int = 0) -> np.ndarray:
+    part = _part12(company_prefix, document_type, "document type")
+    return _encode_keyed(0x2C, filter_value, part, int(company_prefix),
+                         int(document_type), serial)
+
+
+def encode_gdti174(company_prefix: str, document_type: str, serial: str,
+                   filter_value: int = 0) -> np.ndarray:
+    """GDTI-174 (alphanumeric serial, up to 17 ISO 646 chars); returns the
+    11 on-tag words (176 bits, zero-padded last word)."""
+    part = _part12(company_prefix, document_type, "document type")
+    return _encode_keyed(0x3E, filter_value, part, int(company_prefix),
+                         int(document_type), serial)
+
+
+def encode_gsrn96(company_prefix: str, service_reference: str,
+                  filter_value: int = 0, provider: bool = False) -> np.ndarray:
+    """GSRN-96 (recipient) / GSRNP-96 (``provider=True``)."""
+    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    if len(service_reference) != 17 - len(company_prefix):
+        raise ValueError("company prefix + service reference must be 17 digits")
+    return _encode_keyed(0x2E if provider else 0x2D, filter_value, part,
+                         int(company_prefix), int(service_reference), None)
+
+
+def encode_sgcn96(company_prefix: str, coupon_reference: str, serial: str,
+                  filter_value: int = 0) -> np.ndarray:
+    """SGCN-96: ``serial`` is a digit *string* — leading zeros are part of
+    the coupon identity and survive the round trip."""
+    part = _part12(company_prefix, coupon_reference, "coupon reference")
+    return _encode_keyed(0x3F, filter_value, part, int(company_prefix),
+                         int(coupon_reference), serial)
+
+
+def encode_usdod96(cage: str, serial: int,
+                   filter_value: int = 0) -> np.ndarray:
+    """USDoD-96: 5/6-char CAGE or DODAAC, space-padded on the left."""
+    if not (1 <= len(cage) <= 6):
+        raise ValueError("CAGE/DODAAC is 1-6 characters")
+    padded = cage.rjust(6)
+    bits = _int_to_bits(0x2F, 8) + _int_to_bits(filter_value, 4)
+    for ch in padded:
+        c = ord(ch)
+        if ch != " " and not (0x21 <= c <= 0x7E):
+            raise ValueError(f"character {ch!r} outside ASCII subset")
+        bits += _int_to_bits(c, 8)
+    bits += _int_to_bits(serial, 36)
     return np.asarray(bits, np.int64)

@@ -112,6 +112,71 @@ def test_encode_validation():
         tds.encode_sgtin96("0614141", "812345", 1 << 38)    # serial width
 
 
+def test_gdti96_roundtrip_and_independent_assembly():
+    bits = tds.encode_gdti96("0614141", "12345", 400, filter_value=1)
+    # header 0x2C, filter 1, partition 5, CP 24 bits, doc type 17 bits,
+    # serial 41 bits (TDS 14.5.6 layout).
+    v = (0x2C << 88) | (1 << 85) | (5 << 82) | (614141 << 58) \
+        | (12345 << 41) | 400
+    ref = np.asarray([(v >> (95 - i)) & 1 for i in range(96)], np.int64)
+    np.testing.assert_array_equal(bits, ref)
+    d = tds.decode_epc(bits)
+    assert d["scheme"] == "gdti-96"
+    assert d["uri"] == "urn:epc:id:gdti:0614141.12345.400"
+    assert d["tag_uri"] == "urn:epc:tag:gdti-96:1.0614141.12345.400"
+
+
+def test_gdti174_string_serial():
+    bits = tds.encode_gdti174("0614141", "12345", "DOC-7a")
+    assert bits.size == 176          # 11 on-tag words, zero-padded
+    d = tds.decode_epc(bits)
+    assert d["scheme"] == "gdti-174"
+    assert d["uri"] == "urn:epc:id:gdti:0614141.12345.DOC-7a"
+
+
+def test_gsrn_and_gsrnp():
+    d = tds.decode_epc(tds.encode_gsrn96("0614141", "1234567890"))
+    assert d["scheme"] == "gsrn-96"
+    assert d["uri"] == "urn:epc:id:gsrn:0614141.1234567890"
+    p = tds.decode_epc(tds.encode_gsrn96("0614141", "1234567890",
+                                         provider=True))
+    assert p["scheme"] == "gsrnp-96"
+    assert p["uri"] == "urn:epc:id:gsrnp:0614141.1234567890"
+    # Reserved trailing 24 bits nonzero -> invalid.
+    bad = tds.encode_gsrn96("0614141", "1234567890").copy()
+    bad[-3] = 1
+    assert tds.decode_epc(bad)["scheme"] == "unknown"
+
+
+def test_sgcn96_keeps_leading_zeros():
+    """The coupon serial is a digit string; '0042' and '42' are different
+    coupons (TDS 14.4.5 prefixes the digits with '1' before encoding)."""
+    a = tds.decode_epc(tds.encode_sgcn96("0614141", "12345", "0042"))
+    b = tds.decode_epc(tds.encode_sgcn96("0614141", "12345", "42"))
+    assert a["scheme"] == "sgcn-96" and b["scheme"] == "sgcn-96"
+    assert a["serial"] == "0042" and b["serial"] == "42"
+    assert a["uri"] == "urn:epc:id:sgcn:0614141.12345.0042"
+    assert a["uri"] != b["uri"]
+    with pytest.raises(ValueError):
+        tds.encode_sgcn96("0614141", "12345", "1234567890123")  # 13 digits
+    with pytest.raises(ValueError):
+        tds.encode_sgcn96("0614141", "12345", "4a")             # non-digit
+
+
+def test_usdod96():
+    bits = tds.encode_usdod96("2S194", 9999, filter_value=3)
+    d = tds.decode_epc(bits)
+    assert d["scheme"] == "usdod-96"
+    assert d["cage"] == "2S194" and d["serial"] == 9999 and d["filter"] == 3
+    assert d["uri"] == "urn:epc:id:usdod:2S194.9999"
+    # Interior space (pad must be leading-only) -> not a valid CAGE.
+    # Layout: ' 2S194' -> char 2 ('S', bits 28..36) forced to 0x20 after
+    # the non-space '2'.
+    bad = bits.copy()
+    bad[28:36] = [0, 0, 1, 0, 0, 0, 0, 0]
+    assert tds.decode_epc(bad)["scheme"] == "unknown"
+
+
 def test_sgtin96_reads_back_through_the_full_pipeline():
     """A simulated tag carrying a real SGTIN-96 decodes end-to-end and the
     tag report carries the pure-identity URI (runtime/stats.py)."""
