@@ -320,6 +320,12 @@ def cmd_live(args) -> int:
                         dtype=np.int64)
         access_write = (int(parts[0], 0), bits,
                         parts[2] if len(parts) > 2 else "user")
+    link_profiles = None
+    if args.link_adapt:
+        from ..runtime.live import default_link_profiles
+
+        link_profiles = default_link_profiles(cfg)
+        cfg = link_profiles[0]
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
                     target_ab=args.session_ab, select_mask=select_mask,
@@ -327,7 +333,7 @@ def cmd_live(args) -> int:
                     authenticate=auth, challenge_auth=challenge_auth,
                     secure_read=secure_read, secure_write=secure_write,
                     auth_comm_write=auth_comm_write,
-                    hop_mhz=args.hop_mhz)
+                    hop_mhz=args.hop_mhz, link_profiles=link_profiles)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -357,6 +363,12 @@ def cmd_live(args) -> int:
               f"{' '.join(map(str, st.q_trace))})")
     if st.n_target_flips:
         print(f"| Inventory target flips (A<->B): {st.n_target_flips}")
+    if st.link_trace:
+        walk = " -> ".join(f"M{m}" if m > 1 else "FM0"
+                           for _, m in st.link_trace)
+        print(f"| Link adaptation: {len(st.link_trace)} switches "
+              f"({walk}), final "
+              f"{'M%d' % rd.cfg.miller_m if rd.cfg.miller_m > 1 else 'FM0'}")
     if st.n_req_rn_ok:
         print(f"| Access: {st.n_req_rn_ok} handles, {st.n_read_ok} Reads, "
               f"{st.n_write_ok} Writes OK")
@@ -536,6 +548,12 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--softfix", type=int, metavar="K", default=0,
                     help="CRC-guided soft recovery of failed EPC frames "
                          "(runtime/softfix.py)")
+    lv.add_argument("--link-adapt", action="store_true",
+                    help="link-rate adaptation: walk the FM0 -> Miller-2 "
+                         "-> Miller-4 ladder down on failing/silent rounds "
+                         "(e.g. dense-reader interference) and back up on "
+                         "sustained clean rounds; Queries command the M, "
+                         "tags follow per Gen2 6.3.2.12.1")
     lv.add_argument("--sic", action="store_true",
                     help="collision recovery: ACK the dominant collider "
                          "(successive interference cancellation, FM0)")

@@ -63,6 +63,23 @@ def parse_query_q(bits: np.ndarray) -> int:
     return int(b[13] * 8 + b[14] * 4 + b[15] * 2 + b[16])
 
 
+def parse_query_m(bits: np.ndarray) -> int:
+    """M field of a transmitted Query (bits[5:7]) -> 1/2/4/8: which
+    backscatter encoding (FM0 or Miller-M) the Query commands for the
+    round's replies, EPC Gen2 spec 6.3.2.12.1.  Real tags take their
+    reply encoding from here — the key to reader-side link-rate
+    adaptation (runtime/live.py link_profiles)."""
+    b = np.asarray(bits, dtype=np.int64)
+    inv = {v: k for k, v in _MILLER_CODE.items()}
+    return inv[(int(b[5]), int(b[6]))]
+
+
+def parse_query_trext(bits: np.ndarray) -> int:
+    """TRext field of a transmitted Query (bit 7): 1 commands the extended
+    (pilot-tone) tag preamble, EPC Gen2 spec 6.3.2.12.1."""
+    return int(np.asarray(bits, dtype=np.int64)[7])
+
+
 def parse_query_sel(bits: np.ndarray):
     """Sel field of a transmitted Query (bits 8:10 — after code4+DR+M2+
     TRext): 00/01 all, 10 ~SL, 11 SL (EPC Gen2 spec 6.3.2.12.1)."""

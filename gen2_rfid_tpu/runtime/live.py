@@ -120,6 +120,9 @@ class LiveStats:
     # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
     sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
     q_trace: List[int] = dataclasses.field(default_factory=list)
+    # Link-rate adaptation (link_profiles): (round, miller_m) at every
+    # profile switch - the reader's rate-control trace.
+    link_trace: List[tuple] = dataclasses.field(default_factory=list)
     slot_latency_s: List[float] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
@@ -290,6 +293,27 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     return run
 
 
+def default_link_profiles(cfg: ReaderConfig, ms=(1, 2, 4)):
+    """A ready-made link ladder from a base config: one profile per
+    requested encoding (fastest first), sharing the base radio rates,
+    each with the decimation that leaves ~5 RX samples per chip (half-bit
+    for FM0) — the reference's own operating density (SURVEY §2.4).
+
+    With the 2 Msps reference rates this yields FM0/decim-5, Miller-2/
+    decim-2 and Miller-4/decim-1 (6.25 samples per chip post-decimation
+    for the Miller rungs).
+    """
+    out = []
+    for m in ms:
+        chip_us = cfg.tag_bit_us / (2 * max(m, 1))
+        chip_samples = chip_us * cfg.adc_rate / 1e6
+        decim = max(1, int(chip_samples / 5))
+        assert chip_samples / decim >= 2.5, (
+            f"M={m} chips unresolvable at {cfg.adc_rate/1e6:.1f} Msps")
+        out.append(dataclasses.replace(cfg, miller_m=m, decim=decim))
+    return out
+
+
 class LiveReader:
     """Drives inventory rounds over an interactive channel.
 
@@ -433,6 +457,10 @@ class LiveReader:
         auth_comm_write=None,
         hop_mhz=None,
         hop_every: int = 1,
+        link_profiles=None,
+        link_down_after: int = 1,
+        link_up_after: int = 4,
+        link_probe: bool = True,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -526,12 +554,93 @@ class LiveReader:
         self.q_c = q_c
         self.nak_on_fail = nak_on_fail
         self.power_down_every = power_down_every
+        # Link-rate adaptation (new capability; Gen2 readers own the M /
+        # TRext fields of every Query, 6.3.2.12.1, so the reply encoding
+        # is a per-round reader decision - commercial readers' "autoset").
+        # ``link_profiles`` is an ordered ladder, fastest link first, most
+        # robust (highest Miller M) last; all profiles share the radio
+        # rates (adc/dac) and differ in miller_m / decim / trext.  A round
+        # with occupied slots decoding < 50% steps down the ladder after
+        # ``link_down_after`` consecutive such rounds; ``link_up_after``
+        # consecutive fully-clean rounds step back up.  The SimTagChannel
+        # honors the commanded M per Query (sim/channel.py link_cfg), so
+        # switches take effect mid-inventory with no channel restart.
+        self.link_profiles = list(link_profiles) if link_profiles else None
+        self._link_idx = 0
+        self._link_bad = 0
+        self._link_clean = 0
+        self.link_down_after = max(1, int(link_down_after))
+        self.link_up_after = max(1, int(link_up_after))
+        self.link_probe = bool(link_probe)
+        if self.link_profiles:
+            rates = {(p.adc_rate, p.dac_rate) for p in self.link_profiles}
+            assert len(rates) == 1, "link profiles must share radio rates"
+            assert cfg in self.link_profiles, (
+                "cfg must be one of link_profiles (the starting rung)")
+            self._link_idx = self.link_profiles.index(cfg)
         # RX context carried between exchanges so the gate's moving average
         # and DC state are warm when each reply window arrives.
         n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
         self._ctx_len = (cfg.win_length + cfg.n_samples_t1 + 64) * cfg.decim + n_taps
         self._block_shapes = set()   # distinct (len, mode) decode shapes
         self._reset_ctx()
+
+    # ---- link-rate adaptation ----
+
+    def _apply_link_profile(self, idx: int) -> None:
+        """Switch to ladder rung ``idx``: the next Query carries the new
+        M/TRext (tags follow it per spec), and the reader's own TX tables,
+        decode jits and gate context re-key to the new config."""
+        p = self.link_profiles[idx]
+        self._link_idx = idx
+        self.cfg = p
+        self.enc = PieEncoder(p)
+        n_taps = int(p.tag_bit_us / 2 * p.adc_rate / 1e6 / p.miller_m)
+        self._ctx_len = ((p.win_length + p.n_samples_t1 + 64) * p.decim
+                         + n_taps)
+        self._reset_ctx()
+        self.stats.link_trace.append((self.stats.cur_round, p.miller_m))
+        _log.debug("LINK | -> M=%d decim=%d", p.miller_m, p.decim)
+
+    def _link_update(self, occupied: int, ok: int) -> None:
+        """Round-boundary rate control: downshift on failing (or, with
+        ``link_probe``, silent) rounds, upshift after sustained clean
+        rounds.
+
+        ``link_probe`` matters under strong in-channel interference: the
+        jammer inflates the gate's CW noise estimate, so jammed slots
+        classify *empty* — indistinguishable from an absent tag at this
+        layer.  Probing downward on silence is safe either way: an absent
+        tag merely parks the reader on the robust rung (reads resume
+        immediately when it appears), while a jammed FM0 link walks to
+        the Miller rung that clears the interferer — the dense-reader
+        autoset behavior."""
+        if not self.link_profiles:
+            return
+        eff = max(occupied, ok)
+        if eff == 0:
+            if not self.link_probe:
+                return
+            self._link_bad += 1
+            self._link_clean = 0
+        elif ok < 0.5 * eff:
+            self._link_bad += 1
+            self._link_clean = 0
+        elif ok == eff:
+            self._link_clean += 1
+            self._link_bad = 0
+        else:
+            self._link_bad = 0
+            self._link_clean = 0
+        if (self._link_bad >= self.link_down_after
+                and self._link_idx + 1 < len(self.link_profiles)):
+            self._link_bad = 0
+            self._link_clean = 0
+            self._apply_link_profile(self._link_idx + 1)
+        elif self._link_clean >= self.link_up_after and self._link_idx > 0:
+            self._link_bad = 0
+            self._link_clean = 0
+            self._apply_link_profile(self._link_idx - 1)
 
     # ---- per-block decode (jitted; one stable shape per command kind) ----
 
@@ -1062,8 +1171,6 @@ class LiveReader:
         QueryAdjust) have been issued and their slots walked."""
         cfg = self.cfg
         st = self.stats
-        cw_q = float(cfg.t1_us + cfg.t2_us + cfg.rn16_us)
-        cw_a = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
         empty = np.zeros(0, np.int64)
 
         self._t0_run = time.perf_counter()
@@ -1079,6 +1186,11 @@ class LiveReader:
         next_cmd = "query"
         while True:
             t0 = time.perf_counter()
+            # Re-bind per iteration: link adaptation may have switched
+            # self.cfg (and the TX encoder) at the last round boundary.
+            cfg = self.cfg
+            cw_q = float(cfg.t1_us + cfg.t2_us + cfg.rn16_us)
+            cw_a = float(3 * cfg.t1_us + cfg.t2_us + cfg.epc_us)
             # ---- command opening this slot ----
             if next_cmd in ("query", "query_adjust"):
                 if rounds_issued >= n_rounds:
@@ -1123,6 +1235,7 @@ class LiveReader:
                 self._round_k = 0.0
                 self._round_slots = 0
                 round_occupied = 0
+                round_epc_ok = 0
                 st.q_trace.append(self.q)
             else:
                 kind, bits = "query_rep", gen2.query_rep_bits(cfg)
@@ -1237,6 +1350,7 @@ class LiveReader:
                 st.n_nak += 1
 
             # ---- bookkeeping + Annex-D Q update ----
+            round_epc_ok += int(epc_ok)
             st.cur_slot += 1
             if st.cur_slot > 2**self.q:
                 st.cur_slot = 1
@@ -1279,6 +1393,9 @@ class LiveReader:
             if self.adaptive and round(self.qfp) != self.q:
                 next_cmd = "query_adjust"
             elif slots_left <= 0:
+                # Round boundary: full-round decode evidence drives the
+                # link-rate ladder (no-op without link_profiles).
+                self._link_update(round_occupied, round_epc_ok)
                 if self.target_ab and round_occupied == 0:
                     # A full Query round with zero occupied slots: this
                     # pass's population is exhausted (all inventoried into

@@ -111,6 +111,13 @@ class SimTagChannel:
         # Current carrier (FCC hopping: LiveReader.retune mid-session
         # changes the round-trip phase per hop - the live PDOA observable).
         self.carrier_hz = float(cfg.freq_hz)
+        # Reply-link parameters COMMANDED by the reader: real tags take
+        # their backscatter encoding (M) and preamble (TRext) from each
+        # Query's fields (Gen2 6.3.2.12.1), not from any shared config -
+        # the physical basis of reader-side link-rate adaptation
+        # (runtime/live.py link_profiles).  Starts at the constructor
+        # config and follows every parsed Query.
+        self.link_cfg = cfg
 
     def retune(self, freq_hz: float) -> None:
         """Hop the reader carrier (FCC 902-928 MHz channel plan): tag
@@ -265,6 +272,11 @@ class SimTagChannel:
             self._target = gen2.parse_query_target(bits)
             self._sel = gen2.parse_query_sel(bits)
             self._session = gen2.parse_query_session(bits)
+            m = gen2.parse_query_m(bits)
+            trext = gen2.parse_query_trext(bits)
+            if (m, trext) != (self.link_cfg.miller_m, self.link_cfg.trext):
+                self.link_cfg = dataclasses.replace(
+                    self.cfg, miller_m=m, trext=trext)
             self._on_query(self.q, self._target, self._sel, self._session)
         elif kind == "query_adjust":
             self.q = int(np.clip(
@@ -312,6 +324,11 @@ class SimTagChannel:
         cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
         n_cw = int(round(cw_us * self.sp_us))
         cw = np.full(n_cw, self.leak, dtype=np.complex64)
+
+        # All reply synthesis below runs at the link the reader COMMANDED
+        # in its last Query (M / TRext), which may differ from the
+        # constructor config when the reader adapts its link rate.
+        cfg = self.link_cfg
 
         replies = []
 
