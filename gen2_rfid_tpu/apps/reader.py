@@ -235,6 +235,36 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_txspec(args) -> int:
+    """Report TX channel powers, mask verdicts and RF-envelope figures
+    (tx/spectrum.py) for the configured shaping."""
+    from ..config import ReaderConfig
+    from ..tx import spectrum as sp
+
+    cfg = ReaderConfig(tx_shape_us=args.tx_shape)
+    ok, powers = sp.mask_check(cfg, args.mask)
+    em = sp.envelope_metrics(cfg)
+    lim = sp.MASKS[args.mask]
+    shape = (f"Gaussian sigma {args.tx_shape:g} us" if args.tx_shape
+             else "rectangular (reference)")
+    print(f"| TX envelope: {shape}")
+    for k in sorted(powers):
+        if k == 0:
+            continue
+        l = lim[min(k, 3)]
+        verdict = "OK" if powers[k] <= l else "FAIL"
+        print(f"| channel offset {k}: {powers[k]:7.1f} dBch "
+              f"(limit {l:.0f})  {verdict}")
+    print(f"| {args.mask}-interrogator mask: "
+          f"{'PASS' if ok else 'FAIL'}")
+    print(f"| envelope: depth {em['depth']*100:.1f}%  rise "
+          f"{em['rise_us']:.1f} us  fall {em['fall_us']:.1f} us  "
+          f"(limits: >=90%, <{0.33*em['tari_us']:.1f} us)")
+    print(f"| sniffer demodulates shaped Query: "
+          f"{sp.query_is_parseable(cfg)}")
+    return 0 if ok else 1
+
+
 def cmd_live(args) -> int:
     """Closed-loop live inventory (the reference's primary, non-DEBUG mode,
     apps/reader.py:82-96): --radio uhd drives real hardware through
@@ -521,6 +551,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--freq-mhz", type=float,
                    help="carrier frequency for the phase model")
     s.set_defaults(fn=cmd_simulate)
+
+    ts = sub.add_parser("txspec", help="measure the reader TX spectrum "
+                        "against the Gen2 Annex-G transmit masks")
+    ts.add_argument("--tx-shape", type=float, default=0.0, metavar="US",
+                    help="Gaussian envelope-shaping sigma in us "
+                         "(0 = rectangular reference edges)")
+    ts.add_argument("--mask", choices=["multi", "dense"], default="dense")
+    ts.set_defaults(fn=cmd_txspec)
 
     g = sub.add_parser("golden", help="regenerate the golden test capture")
     g.add_argument("out")

@@ -105,6 +105,14 @@ class ReaderConfig:
     # the span.  Gen2 table 6.9 allows up to +-4..22% FT depending on
     # link; 4% covers the BLF=160-640 kHz rows at their spec limits.
     miller_grid_frac: float = 0.04
+    # TX envelope pulse shaping (tx/pie.py): Gaussian-filter the PIE
+    # envelope with this sigma (us).  0 = rectangular edges (the
+    # reference's tables, reader_impl.cc:83-128) - those edges occupy
+    # several adjacent 500 kHz channels and cannot meet the Gen2 Annex-G
+    # dense-interrogator transmit mask; sigma ~2.5 us passes it while
+    # keeping the RF envelope inside table 6.5 (rise/fall < 0.33 Tari,
+    # modulation depth >= 90%) - see tx/spectrum.py.
+    tx_shape_us: float = 0.0
     # Use the fused Pallas gate front-end (kernels/gate_front.py) for
     # FIR + amplitude + moving sums instead of separate XLA passes
     # (interpret mode on CPU; validated on TPU hardware round 2).

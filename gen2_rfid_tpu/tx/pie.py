@@ -53,6 +53,30 @@ class PieEncoder:
         # (reader_impl.cc:98-107).
         self.preamble = np.concatenate([self.delim, self.data0, self.rtcal, self.trcal])
         self.frame_sync = np.concatenate([self.delim, self.data0, self.rtcal])
+        # Gaussian envelope-shaping kernel (cfg.tx_shape_us > 0): the
+        # regulatory face of the TX (tx/spectrum.py) - rectangular PIE
+        # edges splatter across adjacent 500 kHz channels; a ~2.5 us
+        # Gaussian meets the Gen2 Annex-G dense-interrogator mask while
+        # staying inside the table 6.5 RF envelope (rise < 0.33 Tari,
+        # depth >= 90%).  Applied to whole command waveforms (not the
+        # segment tables) so inter-symbol joins shape correctly.
+        self._kern = None
+        if c.tx_shape_us > 0:
+            sig = c.tx_shape_us * c.dac_rate / 1e6   # sigma in DAC samples
+            half = int(np.ceil(4 * sig))
+            t = np.arange(-half, half + 1, dtype=np.float64)
+            k = np.exp(-0.5 * (t / sig) ** 2)
+            self._kern = (k / k.sum()).astype(f32)
+
+    def _shape(self, w: np.ndarray) -> np.ndarray:
+        """Shape one command waveform.  Commands sit between CW segments,
+        so the boundary context is carrier-on (1.0) on both sides."""
+        if self._kern is None:
+            return w
+        half = self._kern.size // 2
+        padded = np.concatenate([np.ones(half, w.dtype), w,
+                                 np.ones(half, w.dtype)])
+        return np.convolve(padded, self._kern, mode="valid").astype(w.dtype)
 
     # ---- generic bit encoding ----
 
@@ -72,38 +96,42 @@ class PieEncoder:
         ``q``/``target``/``sel`` override the config's fixed Q / target
         flag / Sel field (adaptive live reader / session-inventory passes /
         Select-gated inventory)."""
-        return np.concatenate(
+        return self._shape(np.concatenate(
             [self.preamble,
-             self.encode_bits(gen2.query_bits(self.cfg, q, target, sel))])
+             self.encode_bits(gen2.query_bits(self.cfg, q, target, sel))]))
 
     def query_rep(self) -> np.ndarray:
         """Frame-sync + 4 data-0 (reader_impl.cc:109-114)."""
-        return np.concatenate(
+        return self._shape(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.query_rep_bits(self.cfg))]
-        )
+        ))
 
     def ack(self, rn16: np.ndarray) -> np.ndarray:
         """Frame-sync + 18 ACK bits (reader_impl.cc:290-316)."""
-        return np.concatenate([self.frame_sync, self.encode_bits(gen2.ack_bits(rn16))])
+        return self._shape(np.concatenate(
+            [self.frame_sync, self.encode_bits(gen2.ack_bits(rn16))]))
 
     def query_adjust(self, updn: int = 0) -> np.ndarray:
-        return np.concatenate(
+        return self._shape(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.query_adjust_bits(self.cfg, updn))]
-        )
+        ))
 
     def nak(self) -> np.ndarray:
         """Frame-sync + NAK code (reader_impl.cc:116-125)."""
-        return np.concatenate([self.frame_sync, self.encode_bits(gen2.nak_bits())])
+        return self._shape(np.concatenate(
+            [self.frame_sync, self.encode_bits(gen2.nak_bits())]))
 
     def select(self, bits: np.ndarray) -> np.ndarray:
         """Frame-sync + Select command bits (Gen2 6.3.2.12.1.1: Select is
         preceded by a frame-sync, not the full preamble - no ref analogue)."""
-        return np.concatenate([self.frame_sync, self.encode_bits(bits)])
+        return self._shape(np.concatenate(
+            [self.frame_sync, self.encode_bits(bits)]))
 
     def command(self, bits: np.ndarray) -> np.ndarray:
         """Frame-sync + arbitrary command bits (access commands: Req_RN,
         Read - all non-Query commands use the frame-sync, Gen2 6.3.1.2)."""
-        return np.concatenate([self.frame_sync, self.encode_bits(bits)])
+        return self._shape(np.concatenate(
+            [self.frame_sync, self.encode_bits(bits)]))
 
     def tables(self) -> Dict[str, np.ndarray]:
         """All named segments, e.g. for staging to device memory."""
