@@ -241,13 +241,14 @@ def cmd_txspec(args) -> int:
     from ..config import ReaderConfig
     from ..tx import spectrum as sp
 
-    cfg = ReaderConfig(tx_shape_us=args.tx_shape)
-    ok, powers = sp.mask_check(cfg, args.mask)
+    cfg = ReaderConfig(tx_shape_us=args.tx_shape, tx_mod=args.tx_mod)
+    ok, powers = sp.mask_check(cfg, args.mask, dac=args.dac)
     em = sp.envelope_metrics(cfg)
     lim = sp.MASKS[args.mask]
     shape = (f"Gaussian sigma {args.tx_shape:g} us" if args.tx_shape
              else "rectangular (reference)")
-    print(f"| TX envelope: {shape}")
+    print(f"| TX: {args.tx_mod.upper()}-ASK, envelope {shape}, "
+          f"DAC model {args.dac}")
     for k in sorted(powers):
         if k == 0:
             continue
@@ -557,6 +558,13 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--tx-shape", type=float, default=0.0, metavar="US",
                     help="Gaussian envelope-shaping sigma in us "
                          "(0 = rectangular reference edges)")
+    ts.add_argument("--tx-mod", choices=["dsb", "pr"], default="dsb",
+                    help="interrogator modulation (Gen2 6.3.1.2): DSB-ASK "
+                         "or PR-ASK (phase reversals; needs --tx-shape)")
+    ts.add_argument("--dac", choices=["foh", "ideal"], default="foh",
+                    help="DAC reconstruction model: first-order hold "
+                         "(cheap DAC, conservative) or interpolating "
+                         "(USRP-class TX chain)")
     ts.add_argument("--mask", choices=["multi", "dense"], default="dense")
     ts.set_defaults(fn=cmd_txspec)
 

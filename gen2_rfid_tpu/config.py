@@ -113,6 +113,19 @@ class ReaderConfig:
     # keeping the RF envelope inside table 6.5 (rise/fall < 0.33 Tari,
     # modulation depth >= 90%) - see tx/spectrum.py.
     tx_shape_us: float = 0.0
+    # Interrogator modulation (Gen2 6.3.1.2 defines DSB-ASK, SSB-ASK,
+    # PR-ASK).  "dsb" = DSB-ASK, the reference's real 0/1 envelope
+    # (reader_impl.cc:83-128); "pr" = PR-ASK (carrier phase reverses
+    # through zero at every PIE low - the modulation commercial readers
+    # actually run; requires tx_shape_us > 0, since the reversal
+    # transition IS the envelope dip).  SSB-ASK is deliberately NOT
+    # offered: exact sideband filtering of full-depth PIE fills the
+    # envelope dips past the table 6.5 depth limit (measured in
+    # tests/test_tx_mod.py::test_ssb_incompatible_with_full_depth_pie),
+    # and the envelope-exact minimum-phase alternative loses the single
+    # sideband to sampling aliasing - the same trade that pushed
+    # industry to PR-ASK.
+    tx_mod: str = "dsb"
     # Use the fused Pallas gate front-end (kernels/gate_front.py) for
     # FIR + amplitude + moving sums instead of separate XLA passes
     # (interpret mode on CPU; validated on TPU hardware round 2).

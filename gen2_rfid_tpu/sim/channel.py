@@ -111,6 +111,13 @@ class SimTagChannel:
         # Current carrier (FCC hopping: LiveReader.retune mid-session
         # changes the round-trip phase per hop - the live PDOA observable).
         self.carrier_hz = float(cfg.freq_hz)
+        # Carrier polarity carried across exchanges (PR-ASK, Gen2
+        # 6.3.1.2): each command's phase reversals leave the carrier at
+        # ±1, and the following CW must continue at that phase - a sign
+        # jump at the junction would look like a spurious PIE pulse to
+        # the gate.  +1 forever for DSB/SSB (their baseband never goes
+        # negative), so the tracking is mode-agnostic.
+        self._pol = np.complex64(1.0)
         # Reply-link parameters COMMANDED by the reader: real tags take
         # their backscatter encoding (M) and preamble (TRext) from each
         # Query's fields (Gen2 6.3.2.12.1), not from any shared config -
@@ -321,9 +328,13 @@ class SimTagChannel:
                             csi, parsed[0], parsed[1])
         # "cw": no protocol state changes - tags simply stay silent.
 
-        cmd = np.repeat(tx_env.astype(np.complex64), self.up) * self.leak
+        cmd = (np.repeat(tx_env.astype(np.complex64), self.up)
+               * self.leak * self._pol)
+        if tx_env.size:
+            if float(np.real(tx_env[-1])) < 0:
+                self._pol = -self._pol     # PR-ASK: odd reversal count
         n_cw = int(round(cw_us * self.sp_us))
-        cw = np.full(n_cw, self.leak, dtype=np.complex64)
+        cw = np.full(n_cw, self.leak * self._pol, dtype=np.complex64)
 
         # All reply synthesis below runs at the link the reader COMMANDED
         # in its last Query (M / TRext), which may differ from the
@@ -719,8 +730,12 @@ class SimTagChannel:
 
         for ts, chips in replies:
             t_s = (self.t_samples + cmd.size) / cfg.adc_rate
+            # The backscatter is a reflection of the (possibly
+            # phase-reversed) carrier, so the tag's channel phasor rides
+            # the current polarity; the per-frame h_est absorbs it.
             superpose_reply(cw, chips, self.tag_t1_us,
-                            ts.tag.channel_phasor(cfg, t_s, self.carrier_hz),
+                            ts.tag.channel_phasor(cfg, t_s, self.carrier_hz)
+                            * complex(self._pol),
                             ts.tag.chip_us(cfg), self.sp_us, cfg.adc_rate,
                             ts.tag.cfo_hz, ts.tag.amp_ramp)
 

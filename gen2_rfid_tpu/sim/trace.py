@@ -64,10 +64,18 @@ class _Writer:
         self.leak = np.complex64(leak)
         self.parts: List[np.ndarray] = []
         self.n = 0
+        # Carrier polarity across segments (PR-ASK phase reversals leave
+        # the carrier at ±1; CW must continue at that phase - see
+        # sim/channel.py).  Stays +1 for DSB/SSB.
+        self.pol = np.complex64(1.0)
 
     def append_envelope(self, env_1msps: np.ndarray) -> int:
-        """TX envelope (0/1 at DAC rate) -> leak-scaled carrier at ADC rate."""
-        seg = np.repeat(env_1msps.astype(np.complex64), self.up) * self.leak
+        """TX baseband (DAC rate; 0/1 envelope, or signed/complex for
+        PR/SSB-ASK) -> leak-scaled carrier at ADC rate."""
+        seg = (np.repeat(env_1msps.astype(np.complex64), self.up)
+               * self.leak * self.pol)
+        if env_1msps.size and float(np.real(env_1msps[-1])) < 0:
+            self.pol = -self.pol
         self.parts.append(seg)
         start = self.n
         self.n += seg.size
@@ -103,9 +111,10 @@ class _Writer:
     ) -> int:
         """CW segment with an optional backscatter chip sequence added."""
         n = int(round(cw_us * self.sp_us))
-        seg = np.full(n, self.leak, dtype=np.complex64)
+        seg = np.full(n, self.leak * self.pol, dtype=np.complex64)
         if reply is not None:
-            self.add_reply(seg, reply, reply_offset_us, backscatter, chip_us,
+            self.add_reply(seg, reply, reply_offset_us,
+                           backscatter * complex(self.pol), chip_us,
                            cfo_hz, amp_ramp)
         self.parts.append(seg)
         start = self.n

@@ -78,6 +78,56 @@ class PieEncoder:
                                  np.ones(half, w.dtype)])
         return np.convolve(padded, self._kern, mode="valid").astype(w.dtype)
 
+    # ---- interrogator modulations (Gen2 6.3.1.2) ----
+
+    def _pr_sign(self, w: np.ndarray) -> np.ndarray:
+        """PR-ASK polarity track: the carrier phase reverses at the
+        center of every PIE low (Gen2 figure 6.6), so the ±1 square wave
+        flips once per low run of the rectangular envelope."""
+        low = w < 0.5
+        d = np.diff(low.astype(np.int8))
+        starts = np.nonzero(d == 1)[0] + 1
+        ends = np.nonzero(d == -1)[0] + 1
+        if low[0]:
+            starts = np.concatenate([[0], starts])
+        if low[-1]:
+            ends = np.concatenate([ends, [w.size]])
+        sgn = np.ones(w.size, np.float32)
+        for s, e in zip(starts, ends):
+            sgn[(s + e) // 2:] *= -1.0
+        return sgn
+
+    def _smooth_sign(self, sgn: np.ndarray) -> np.ndarray:
+        """Gaussian-smoothed polarity: the transition through zero IS
+        PR-ASK's envelope dip, so shaping is mandatory for tx_mod='pr'."""
+        assert self._kern is not None, (
+            "PR-ASK needs tx_shape_us > 0: the phase-reversal transition "
+            "is the envelope dip the tag demodulates")
+        half = self._kern.size // 2
+        padded = np.concatenate([np.full(half, sgn[0], np.float32), sgn,
+                                 np.full(half, sgn[-1], np.float32)])
+        return np.convolve(padded, self._kern, mode="valid").astype(
+            np.float32)
+
+    def _finish(self, w: np.ndarray) -> np.ndarray:
+        """Rectangular command envelope -> transmitted baseband for the
+        configured interrogator modulation.
+
+        SSB-ASK is deliberately absent (see config.tx_mod): exact
+        sideband filtering of full-depth PIE fills the envelope dips
+        (Hilbert overshoot; measured |s| max 1.56 and decode dead at
+        every shaping sigma — tests/test_tx_mod.py pins it via
+        :func:`ssb_filtered`), and the envelope-exact minimum-phase
+        construction ``env·exp(j·H(ln env))`` loses its single sideband
+        to sampling aliasing at realizable DAC rates — the trade that
+        made industry standardize on PR-ASK."""
+        mode = self.cfg.tx_mod
+        if mode == "dsb":
+            return self._shape(w)
+        assert mode == "pr", f"unknown tx_mod {mode!r}"
+        return (self._shape(w) * self._smooth_sign(
+            self._pr_sign(w))).astype(np.float32)
+
     # ---- generic bit encoding ----
 
     def encode_bits(self, bits: np.ndarray) -> np.ndarray:
@@ -96,42 +146,56 @@ class PieEncoder:
         ``q``/``target``/``sel`` override the config's fixed Q / target
         flag / Sel field (adaptive live reader / session-inventory passes /
         Select-gated inventory)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.preamble,
              self.encode_bits(gen2.query_bits(self.cfg, q, target, sel))]))
 
     def query_rep(self) -> np.ndarray:
         """Frame-sync + 4 data-0 (reader_impl.cc:109-114)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.query_rep_bits(self.cfg))]
         ))
 
     def ack(self, rn16: np.ndarray) -> np.ndarray:
         """Frame-sync + 18 ACK bits (reader_impl.cc:290-316)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.ack_bits(rn16))]))
 
     def query_adjust(self, updn: int = 0) -> np.ndarray:
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.query_adjust_bits(self.cfg, updn))]
         ))
 
     def nak(self) -> np.ndarray:
         """Frame-sync + NAK code (reader_impl.cc:116-125)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(gen2.nak_bits())]))
 
     def select(self, bits: np.ndarray) -> np.ndarray:
         """Frame-sync + Select command bits (Gen2 6.3.2.12.1.1: Select is
         preceded by a frame-sync, not the full preamble - no ref analogue)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(bits)]))
 
     def command(self, bits: np.ndarray) -> np.ndarray:
         """Frame-sync + arbitrary command bits (access commands: Req_RN,
         Read - all non-Query commands use the frame-sync, Gen2 6.3.1.2)."""
-        return self._shape(np.concatenate(
+        return self._finish(np.concatenate(
             [self.frame_sync, self.encode_bits(bits)]))
+
+    def ssb_filtered(self, w: np.ndarray) -> np.ndarray:
+        """Plain filtered SSB-ASK (analytic signal) of a shaped command
+        envelope — exact single sideband, distorted envelope.  Kept as a
+        measurement surface for the documented reason tx_mod has no
+        "ssb": tests/test_tx_mod.py pins both sides of the trade
+        (sideband suppression vs table 6.5 depth violation)."""
+        from scipy.signal import hilbert
+
+        pad = 2048
+        x = np.concatenate([np.ones(pad, np.float64),
+                            self._shape(w).astype(np.float64),
+                            np.ones(pad, np.float64)])
+        return hilbert(x)[pad:-pad].astype(np.complex64)
 
     def tables(self) -> Dict[str, np.ndarray]:
         """All named segments, e.g. for staging to device memory."""

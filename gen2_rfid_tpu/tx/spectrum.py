@@ -52,39 +52,75 @@ def inventory_tx_stream(cfg: ReaderConfig, n_cmds: int = 64,
     enc = PieEncoder(cfg)
     rng = np.random.default_rng(seed)
     parts = []
+    pol = 1.0   # PR-ASK carrier polarity carries across segments
     for k in range(n_cmds):
         if k % 2 == 0:
-            parts += [enc.query(), np.ones(cfg.n_cwquery_tx, np.float32)]
+            w, n_cw = enc.query(), cfg.n_cwquery_tx
         else:
-            rn = rng.integers(0, 2, 16)
-            parts += [enc.ack(rn), np.ones(cfg.n_cwack_tx, np.float32)]
+            w, n_cw = enc.ack(rng.integers(0, 2, 16)), cfg.n_cwack_tx
+        parts.append(w * pol)
+        if float(np.real(w[-1])) < 0:
+            pol = -pol
+        parts.append(np.full(n_cw, pol, w.dtype))
     return np.concatenate(parts)
 
 
-def _analog_envelope(env: np.ndarray, os: int = 8) -> np.ndarray:
-    """First-order-hold DAC reconstruction: linear interpolation to
-    ``os``x the DAC rate.  The 1 µs DAC grid's Nyquist (500 kHz) is
-    exactly one channel spacing — measuring the sampled envelope would
-    declare every offset >= 2 empty by construction.  Linear
-    reconstruction is fair to both cases: rectangular PIE keeps its
-    ~1 µs wideband edges, shaped envelopes keep their Gaussians."""
+def _analog_envelope(env: np.ndarray, os: int = 8,
+                     dac: str = "foh") -> np.ndarray:
+    """DAC reconstruction model at ``os``x the DAC rate.
+
+    The 1 µs DAC grid's Nyquist (500 kHz) is exactly one channel
+    spacing — measuring the sampled envelope directly would declare
+    every offset >= 2 empty by construction, so the reconstruction
+    matters:
+
+    * ``"foh"`` — first-order hold (linear interpolation): a cheap DAC
+      with no reconstruction filtering.  Conservative: baseband content
+      images around multiples of the DAC rate with only sinc²
+      attenuation (this is also what buries SSB's suppressed sideband —
+      single-sideband TX *needs* the interpolating model).
+    * ``"ideal"`` — bandlimited (FFT zero-pad) interpolation: an
+      interpolating DAC + reconstruction filter, e.g. a USRP's TX
+      chain.  No images; everything beyond ±500 kHz is whatever the
+      digital waveform actually contains.
+    """
+    env = np.asarray(env)
+    cplx = np.iscomplexobj(env)
+    if dac == "ideal":
+        x = env.astype(np.complex128 if cplx else np.float64)
+        spec = np.fft.fft(x)
+        n = x.size
+        big = np.zeros(n * os, np.complex128)
+        h = n // 2
+        big[:h] = spec[:h]
+        big[-(n - h):] = spec[h:]
+        out = np.fft.ifft(big) * os
+        return out if cplx else out.real
+    assert dac == "foh", dac
     n = env.size
     x = np.arange(n, dtype=np.float64)
     xi = np.arange(n * os, dtype=np.float64) / os
-    return np.interp(xi, x, np.asarray(env, np.float64))
+    if cplx:
+        return (np.interp(xi, x, env.real.astype(np.float64))
+                + 1j * np.interp(xi, x, env.imag.astype(np.float64)))
+    return np.interp(xi, x, env.astype(np.float64))
 
 
 def channel_powers(env: np.ndarray, dac_rate: float,
                    spacing_hz: float = 500e3,
-                   n_offsets: int = 3, os: int = 8) -> Dict[int, float]:
+                   n_offsets: int = 3, os: int = 8,
+                   dac: str = "foh") -> Dict[int, float]:
     """Per-channel TX power (dBch, relative to the own channel).
 
-    Welch-averaged periodogram of the DAC-reconstructed baseband
-    envelope, integrated over ``spacing_hz``-wide channels centered at
-    k*spacing_hz.  DSB-ASK makes the spectrum conjugate-symmetric, so +k
-    and -k are averaged into one |offset| figure.
+    Welch-averaged periodogram of the DAC-reconstructed baseband (real
+    envelope for DSB/PR-ASK, complex analytic signal for SSB-ASK),
+    integrated over ``spacing_hz``-wide channels centered at
+    ±k*spacing_hz.  Offset k reports the WORSE of the two sides — each
+    RF channel is one frequency range, so a mask applies per side (for
+    real basebands the sides are equal by symmetry; SSB's whole point is
+    that they are not).
     """
-    env = _analog_envelope(env, os)
+    env = _analog_envelope(env, os, dac)
     dac_rate = dac_rate * os
     nseg = 8192
     hop = nseg // 2
@@ -102,14 +138,15 @@ def channel_powers(env: np.ndarray, dac_rate: float,
     out = {0: 0.0}
     for k in range(1, n_offsets + 1):
         lo, hi = (k - 0.5) * spacing_hz, (k + 0.5) * spacing_hz
-        band = (np.abs(freqs) > lo) & (np.abs(freqs) <= hi)
-        p = psd[band].sum()
+        p = max(psd[(freqs > lo) & (freqs <= hi)].sum(),
+                psd[(freqs < -lo) & (freqs >= -hi)].sum())
         out[k] = float(10 * np.log10(max(p, 1e-30) / own))
     return out
 
 
 def mask_check(cfg: ReaderConfig, mask: str = "dense",
-               spacing_hz: float = 500e3) -> Tuple[bool, Dict[int, float]]:
+               spacing_hz: float = 500e3,
+               dac: str = "foh") -> Tuple[bool, Dict[int, float]]:
     """Measure a representative inventory TX against an Annex-G mask.
 
     Returns (passes, {offset: dBch}) — margin inspection for tests and
@@ -117,7 +154,7 @@ def mask_check(cfg: ReaderConfig, mask: str = "dense",
     """
     limits = MASKS[mask]
     powers = channel_powers(inventory_tx_stream(cfg), cfg.dac_rate,
-                            spacing_hz)
+                            spacing_hz, dac=dac)
     ok = all(powers[k] <= limits[min(k, 3)] for k in powers if k > 0)
     return ok, powers
 
@@ -130,9 +167,10 @@ def envelope_metrics(cfg: ReaderConfig) -> Dict[str, float]:
     link tolerates."""
     enc = PieEncoder(cfg)
     # A lone data-0 between CWs: the PW low pulse is the envelope's
-    # deepest, fastest feature.
-    w = enc._shape(np.concatenate([np.ones(64, np.float32), enc.data0,
-                                   np.ones(64, np.float32)]))
+    # deepest, fastest feature.  |·| measures the RF envelope whatever
+    # the modulation (PR-ASK's reversal dips reach exactly zero).
+    w = np.abs(enc._finish(np.concatenate(
+        [np.ones(64, np.float32), enc.data0, np.ones(64, np.float32)])))
     a = float(w.max())
     b = float(w.min())
     lo_i = int(np.argmin(w))
