@@ -56,6 +56,8 @@ def _scenario(seed: int):
     softfix = int(rng.choice([0, 8]))
     tx_shape = float(rng.choice([0.0, 1.0]) * rng.uniform(0.5, 1.0)
                      * tari / 8.0)
+    # PR-ASK rides too (reversal transitions need shaping).
+    tx_mod = "pr" if (tx_shape > 0 and rng.random() < 0.5) else "dsb"
     n_tags = 1 if q == 0 else int(rng.integers(1, 3))
     words = rng.choice([2, 6, 8], size=n_tags)
     # Gen2 v2 XPC: an occasional untraceable-flagged tag backscatters an
@@ -65,7 +67,7 @@ def _scenario(seed: int):
     cfg = ReaderConfig.for_link(
         blf_hz=blf, tari_us=tari, dr=dr, miller_m=m, trext=trext,
         adc_rate=adc, decim=decim, fixed_q=q, max_events=64,
-        epc_softfix=softfix, tx_shape_us=tx_shape,
+        epc_softfix=softfix, tx_shape_us=tx_shape, tx_mod=tx_mod,
         epc_bits=16 + 16 * (int(words.max()) + int(u_flags.any())) + 16 + 1)
     # Inside both decode envelopes: FM0's reference period grid covers
     # +-1% (test_impairments.py), Miller's joint segment search +-4%
