@@ -277,12 +277,15 @@ def cmd_live(args) -> int:
 
     cfg = _cfg_from_args(args)
     def _parse_auth(spec):
-        """KEYID:KEYHEX -> (key_id, 16-byte AES-128 key)."""
+        """KEYID:KEYHEX -> (key_id, key).  32 hex chars = AES-128
+        (ISO 29167-10), 20 = PRESENT-80 (ISO 29167-11); the key length
+        selects the crypto suite end to end."""
         if spec is None:
             return None
         kid, keyhex = spec.split(":")
         key = bytes.fromhex(keyhex)
-        assert len(key) == 16, "AES-128 key must be 32 hex chars"
+        assert len(key) in (16, 10), (
+            "key must be 32 hex chars (AES-128) or 20 (PRESENT-80)")
         return int(kid, 0), key
 
     auth = _parse_auth(args.auth)

@@ -172,59 +172,166 @@ def key_bits(key128: int) -> np.ndarray:
                     dtype=np.int64)
 
 
+# ---- PRESENT-80 (ISO/IEC 29167-11 crypto suite) ----------------------------
+# The ultralightweight block cipher tags with tiny gate budgets run
+# (Bogdanov et al., CHES 2007): 64-bit block, 80-bit key, 31 rounds of
+# addRoundKey -> 4-bit S-box layer -> bit permutation, plus a final key
+# whitening.  Known-answer vectors from the paper's appendix are pinned in
+# tests/test_present.py.
+
+_PRESENT_SBOX = (0xC, 0x5, 0x6, 0xB, 0x9, 0x0, 0xA, 0xD,
+                 0x3, 0xE, 0xF, 0x8, 0x4, 0x7, 0x1, 0x2)
+_PRESENT_SBOX_INV = tuple(_PRESENT_SBOX.index(i) for i in range(16))
+_MASK64 = (1 << 64) - 1
+_MASK80 = (1 << 80) - 1
+# pLayer: bit i of the state moves to position i*16 mod 63 (bit 63 fixed).
+_PRESENT_P = tuple(63 if i == 63 else (i * 16) % 63 for i in range(64))
+_PRESENT_P_INV = tuple(_PRESENT_P.index(i) for i in range(64))
+
+
+def _present_round_keys(key: bytes):
+    """K_1..K_32 from the 80-bit key register (rotate-61, S-box on the
+    top nibble, round counter into bits 19..15)."""
+    assert len(key) == 10, "PRESENT-80 key is 10 bytes"
+    k = int.from_bytes(key, "big")
+    rks = []
+    for i in range(1, 33):
+        rks.append(k >> 16)
+        if i == 32:
+            break
+        k = ((k << 61) | (k >> 19)) & _MASK80
+        k = (k & ~(0xF << 76)) | (_PRESENT_SBOX[(k >> 76) & 0xF] << 76)
+        k ^= i << 15
+    return rks
+
+
+def _present_sbox_layer(state: int, box) -> int:
+    out = 0
+    for j in range(16):
+        out |= box[(state >> (4 * j)) & 0xF] << (4 * j)
+    return out
+
+
+def _present_permute(state: int, table) -> int:
+    out = 0
+    for b in range(64):
+        out |= ((state >> b) & 1) << table[b]
+    return out
+
+
+def present80_encrypt_block(key: bytes, block: bytes) -> bytes:
+    assert len(block) == 8
+    state = int.from_bytes(block, "big")
+    rks = _present_round_keys(key)
+    for i in range(31):
+        state ^= rks[i]
+        state = _present_sbox_layer(state, _PRESENT_SBOX)
+        state = _present_permute(state, _PRESENT_P)
+    return ((state ^ rks[31]) & _MASK64).to_bytes(8, "big")
+
+
+def present80_decrypt_block(key: bytes, block: bytes) -> bytes:
+    assert len(block) == 8
+    state = int.from_bytes(block, "big") ^ _present_round_keys(key)[31]
+    rks = _present_round_keys(key)
+    for i in range(30, -1, -1):
+        state = _present_permute(state, _PRESENT_P_INV)
+        state = _present_sbox_layer(state, _PRESENT_SBOX_INV)
+        state ^= rks[i]
+    return (state & _MASK64).to_bytes(8, "big")
+
+
 # ---- TAM1 (ISO/IEC 29167-10 Tag Authentication Method 1) ------------------
 
 CSI_AES128 = 0x00            # crypto suite indicator: ISO 29167-10 AES-128
+CSI_PRESENT80 = 0x01         # ISO 29167-11 PRESENT-80 (numbering mirrors
+#                              the ISO part order, framework-local)
 TAM1_CHALLENGE_BITS = 96
 TAM1_RESPONSE_BITS = 128
+# PRESENT-80's 64-bit block splits as IChallenge(48) || TRnd(16).
+PRESENT_TAM1_CHALLENGE_BITS = 48
+PRESENT_TAM1_RESPONSE_BITS = 64
 
 
-def tam1_message(key_id: int, challenge96: np.ndarray) -> np.ndarray:
+def suite_for_key(key: bytes) -> int:
+    """Crypto suite implied by a key's length (16 -> AES-128,
+    10 -> PRESENT-80) — how the reader CLI/API selects the CSI."""
+    if len(key) == 16:
+        return CSI_AES128
+    if len(key) == 10:
+        return CSI_PRESENT80
+    raise ValueError(f"no suite with a {len(key)}-byte key")
+
+
+def tam1_params(csi: int):
+    """(challenge bits, response bits, TRnd bits) per suite."""
+    if csi == CSI_AES128:
+        return TAM1_CHALLENGE_BITS, TAM1_RESPONSE_BITS, 32
+    assert csi == CSI_PRESENT80
+    return (PRESENT_TAM1_CHALLENGE_BITS, PRESENT_TAM1_RESPONSE_BITS, 16)
+
+
+def tam1_message(key_id: int, challenge: np.ndarray) -> np.ndarray:
     """The Authenticate/Challenge Message field for TAM1.
 
-    Layout (ISO 29167-10 TAM1 shape): AuthMethod(2)=00, Custom(1)=0,
-    RFU(5)=0, KeyID(8), IChallenge(96) - 112 bits total.
+    Layout (ISO 29167-10/-11 TAM1 shape): AuthMethod(2)=00, Custom(1)=0,
+    RFU(5)=0, KeyID(8), IChallenge — 96-bit challenge for the AES-128
+    suite (112 bits total), 48-bit for PRESENT-80 (64 bits total); the
+    challenge size IS the suite discriminator in the message.
     """
-    c = np.asarray(challenge96, dtype=np.int64)
-    assert c.size == TAM1_CHALLENGE_BITS and 0 <= key_id < 256
+    c = np.asarray(challenge, dtype=np.int64)
+    assert c.size in (TAM1_CHALLENGE_BITS,
+                      PRESENT_TAM1_CHALLENGE_BITS) and 0 <= key_id < 256
     head = [0, 0, 0] + [0] * 5
     head += [(key_id >> k) & 1 for k in range(7, -1, -1)]
     return np.concatenate([np.array(head, dtype=np.int64), c])
 
 
 def parse_tam1_message(msg: np.ndarray):
-    """-> (key_id, challenge96) or None when not a TAM1 message."""
+    """-> (key_id, challenge) or None when not a TAM1 message.  The
+    challenge is 96 bits (AES-128) or 48 bits (PRESENT-80) by message
+    size."""
     m = np.asarray(msg, dtype=np.int64)
-    if m.size != 112 or np.any(m[:8] != 0):
+    if m.size not in (112, 64) or np.any(m[:8] != 0):
         return None
     key_id = int("".join(map(str, m[8:16])), 2)
     return key_id, m[16:]
 
 
-def tam1_response(key: bytes, challenge96: np.ndarray,
-                  trnd32: np.ndarray) -> np.ndarray:
-    """Tag side: AES-128-encrypt the block IChallenge(96) || TRnd(32)."""
-    c = np.asarray(challenge96, dtype=np.int64)
-    t = np.asarray(trnd32, dtype=np.int64)
-    assert c.size == 96 and t.size == 32
+def tam1_response(key: bytes, challenge: np.ndarray,
+                  trnd: np.ndarray) -> np.ndarray:
+    """Tag side: encrypt the block IChallenge || TRnd under the suite the
+    key length implies (AES-128: 96+32 bits; PRESENT-80: 48+16)."""
+    c = np.asarray(challenge, dtype=np.int64)
+    t = np.asarray(trnd, dtype=np.int64)
     block = bits_to_bytes(np.concatenate([c, t]))
-    return bytes_to_bits(aes128_encrypt_block(key, block))
+    if suite_for_key(key) == CSI_AES128:
+        assert c.size == 96 and t.size == 32
+        return bytes_to_bits(aes128_encrypt_block(key, block))
+    assert c.size == 48 and t.size == 16
+    return bytes_to_bits(present80_encrypt_block(key, block))
 
 
-def tam1_verify(key: bytes, challenge96: np.ndarray,
-                response128: np.ndarray):
+def tam1_verify(key: bytes, challenge: np.ndarray,
+                response: np.ndarray):
     """Reader side: decrypt and compare the embedded challenge.
 
-    Returns ``(ok, trnd32)``: ``ok`` iff the first 96 plaintext bits equal
+    Returns ``(ok, trnd)``: ``ok`` iff the leading plaintext bits equal
     the challenge the reader transmitted (proof the tag holds ``key``);
-    ``trnd32`` is the tag's random filler (useful as a session salt).
+    ``trnd`` is the tag's random filler (useful as a session salt).
+    Suite by key length, block/challenge widths per ``tam1_params``.
     """
-    r = np.asarray(response128, dtype=np.int64)
-    assert r.size == TAM1_RESPONSE_BITS
-    plain = bytes_to_bits(aes128_decrypt_block(key, bits_to_bytes(r)))
-    ok = bool(np.array_equal(plain[:96],
-                             np.asarray(challenge96, dtype=np.int64)))
-    return ok, plain[96:]
+    cb, rb, _ = tam1_params(suite_for_key(key))
+    r = np.asarray(response, dtype=np.int64)
+    assert r.size == rb
+    if suite_for_key(key) == CSI_AES128:
+        plain = bytes_to_bits(aes128_decrypt_block(key, bits_to_bytes(r)))
+    else:
+        plain = bytes_to_bits(
+            present80_decrypt_block(key, bits_to_bytes(r)))
+    ok = bool(np.array_equal(plain[:cb],
+                             np.asarray(challenge, dtype=np.int64)))
+    return ok, plain[cb:]
 
 
 # ---- TAM2 (authenticated *confidential* memory read) -----------------------

@@ -796,24 +796,31 @@ class LiveReader:
             _log.debug("ACCESS OK | tag %#x secured", tid)
 
         if self.authenticate is not None:
-            # Gen2 v2 TAM1 (6.3.2.12.3.11 + ISO 29167-10): fresh challenge
-            # per tag, immediate 128-bit response, decrypt-and-compare.
+            # Gen2 v2 TAM1 (6.3.2.12.3.11): fresh challenge per tag,
+            # immediate response, decrypt-and-compare.  The crypto suite
+            # follows the key length: ISO 29167-10 AES-128 (16 bytes,
+            # 96-bit challenge / 128-bit response) or ISO 29167-11
+            # PRESENT-80 (10 bytes, 48 / 64).
             from ..protocol import crypto
 
             key_id, key = self.authenticate
-            chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
+            cb, rb, _ = crypto.tam1_params(
+                crypto.suite_for_key(bytes(key)))
+            chal = self._auth_rng.integers(0, 2, cb).astype(np.int64)
             ab = gen2.authenticate_bits(
-                handle, crypto.tam1_message(key_id, chal))
-            nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
+                handle, crypto.tam1_message(key_id, chal),
+                csi=crypto.suite_for_key(bytes(key)))
+            nb = 1 + rb + 32
             cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
             rx = channel.exchange("authenticate", ab, self.enc.command(ab),
                                   cw)
             out = self._decode_window(rx, f"acc:{nb}")
             if (out is not None and out[0] == 0
-                    and np.array_equal(out[129:145], handle)
-                    and np.array_equal(gen2._crc16_any(out[:145]),
-                                       out[145:])):
-                ok, _ = crypto.tam1_verify(bytes(key), chal, out[1:129])
+                    and np.array_equal(out[1 + rb: 17 + rb], handle)
+                    and np.array_equal(gen2._crc16_any(out[:17 + rb]),
+                                       out[17 + rb:])):
+                ok, _ = crypto.tam1_verify(bytes(key), chal,
+                                           out[1: 1 + rb])
                 if ok:
                     st.n_auth_ok += 1
                     _log.debug("AUTHENTICATE OK | tag %#x", tid)
@@ -943,18 +950,19 @@ class LiveReader:
             from ..protocol import crypto
 
             _, key = self.challenge_auth
-            rb = gen2.readbuffer_bits(handle,
-                                      bitcount=crypto.TAM1_RESPONSE_BITS)
-            nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
+            _, resp_b, _ = crypto.tam1_params(
+                crypto.suite_for_key(bytes(key)))
+            rb = gen2.readbuffer_bits(handle, bitcount=resp_b)
+            nb = 1 + resp_b + 32
             cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
             rx = channel.exchange("readbuffer", rb, self.enc.command(rb), cw)
             out = self._decode_window(rx, f"acc:{nb}")
             if (out is not None and out[0] == 0
-                    and np.array_equal(out[129:145], handle)
-                    and np.array_equal(gen2._crc16_any(out[:145]),
-                                       out[145:])):
+                    and np.array_equal(out[1 + resp_b: 17 + resp_b], handle)
+                    and np.array_equal(gen2._crc16_any(out[:17 + resp_b]),
+                                       out[17 + resp_b:])):
                 ok, _ = crypto.tam1_verify(bytes(key), self._challenge,
-                                           out[1:129])
+                                           out[1: 1 + resp_b])
                 if ok:
                     st.n_buffer_auth_ok += 1
                     _log.debug("READBUFFER AUTH OK | tag %#x", tid)
@@ -1105,10 +1113,13 @@ class LiveReader:
             return
         from ..protocol import crypto
 
-        key_id, _ = self.challenge_auth
-        self._challenge = self._auth_rng.integers(0, 2, 96).astype(np.int64)
-        cb = gen2.challenge_bits(crypto.tam1_message(key_id,
-                                                     self._challenge))
+        key_id, key = self.challenge_auth
+        n_chal = crypto.tam1_params(crypto.suite_for_key(bytes(key)))[0]
+        self._challenge = self._auth_rng.integers(
+            0, 2, n_chal).astype(np.int64)
+        cb = gen2.challenge_bits(
+            crypto.tam1_message(key_id, self._challenge),
+            csi=crypto.suite_for_key(bytes(key)))
         channel.exchange("challenge", cb, self.enc.command(cb),
                          float(self.cfg.cw_us))
         _log.debug("CHALLENGE | key_id=%d", key_id)

@@ -462,23 +462,34 @@ class Tag:
         return True
 
     def tam1_answer(self, csi: int, key_id: int,
-                    challenge96: np.ndarray) -> Optional[np.ndarray]:
-        """ISO 29167-10 TAM1 tag response: AES-128-encrypt
-        IChallenge(96) || TRnd(32) under the selected key.  None when the
-        tag lacks the key / crypto suite (tag stays silent)."""
-        from ..protocol.crypto import CSI_AES128, tam1_response
+                    challenge: np.ndarray) -> Optional[np.ndarray]:
+        """TAM1 tag response: encrypt IChallenge || TRnd under the
+        selected key — ISO 29167-10 AES-128 (96+32 bits) or ISO 29167-11
+        PRESENT-80 (48+16).  None (tag stays silent) when the tag lacks
+        the key, the key does not match the commanded crypto suite, or
+        the challenge width is wrong for it."""
+        from ..protocol import crypto
 
-        if csi != CSI_AES128 or not self.aes_keys:
+        if not self.aes_keys:
             return None
         key = self.aes_keys.get(key_id)
-        if key is None:
+        if key is None or len(key) not in (16, 10):
             return None
-        trnd = self._rng.integers(0, 2, size=32).astype(np.int64)
-        # The TAM1 exchange leaves a session secret on both sides (the
-        # reader recovers TRnd by decrypting the response): the tag's
-        # session register for AuthComm / SecureComm encapsulation.
-        self.session = (bytes(key), np.asarray(challenge96, np.int64), trnd)
-        return tam1_response(bytes(key), challenge96, trnd)
+        if csi != crypto.suite_for_key(bytes(key)):
+            return None
+        cb, _, tb = crypto.tam1_params(csi)
+        challenge = np.asarray(challenge, np.int64)
+        if challenge.size != cb:
+            return None
+        trnd = self._rng.integers(0, 2, size=tb).astype(np.int64)
+        if csi == crypto.CSI_AES128:
+            # The TAM1 exchange leaves a session secret on both sides
+            # (the reader recovers TRnd by decrypting the response): the
+            # tag's session register for AuthComm / SecureComm
+            # encapsulation (AES-suite only - the envelopes' keystream
+            # and MAC are built on AES blocks).
+            self.session = (bytes(key), challenge, trnd)
+        return crypto.tam1_response(bytes(key), challenge, trnd)
 
     def tam2_answer(self, csi: int, key_id: int, challenge96: np.ndarray,
                     membank, wordptr: int, n_blocks: int,
