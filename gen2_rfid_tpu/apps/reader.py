@@ -360,6 +360,11 @@ def cmd_live(args) -> int:
 
         link_profiles = default_link_profiles(cfg)
         cfg = link_profiles[0]
+    lbt_mhz = None
+    if args.lbt:
+        from ..runtime.live import ETSI_LOWER_MHZ
+
+        lbt_mhz = list(ETSI_LOWER_MHZ)
     rd = LiveReader(cfg, adaptive=args.adaptive, q_init=args.q,
                     q_mode=args.q_mode, nak_on_fail=args.nak, sic=args.sic,
                     target_ab=args.session_ab, select_mask=select_mask,
@@ -367,7 +372,8 @@ def cmd_live(args) -> int:
                     authenticate=auth, challenge_auth=challenge_auth,
                     secure_read=secure_read, secure_write=secure_write,
                     auth_comm_write=auth_comm_write,
-                    hop_mhz=args.hop_mhz, link_profiles=link_profiles)
+                    hop_mhz=args.hop_mhz, link_profiles=link_profiles,
+                    lbt_mhz=lbt_mhz)
     st = rd.run_inventory(channel, n_rounds=args.rounds)
     # Reuse the byte-format report (reader_impl.cc:173-192).
     import jax.numpy as jnp
@@ -397,6 +403,10 @@ def cmd_live(args) -> int:
               f"{' '.join(map(str, st.q_trace))})")
     if st.n_target_flips:
         print(f"| Inventory target flips (A<->B): {st.n_target_flips}")
+    if st.n_lbt_defers or st.lbt_trace:
+        moves = " -> ".join(f"{f:.1f}" for _, f in st.lbt_trace)
+        print(f"| LBT: {st.n_lbt_defers} busy-channel defers"
+              + (f" ({moves} MHz)" if moves else ""))
     if st.link_trace:
         walk = " -> ".join(f"M{m}" if m > 1 else "FM0"
                            for _, m in st.link_trace)
@@ -644,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "when singulated; the reader flips its Query "
                          "target on an empty round (one read per tag per "
                          "pass)")
+    lv.add_argument("--lbt", action="store_true",
+                    help="listen-before-talk over the ETSI EN 302 208 "
+                         "4-channel plan: sense (TX off) before each "
+                         "Query round and move off busy channels")
     lv.add_argument("--hop-mhz", type=float, nargs="+", metavar="F",
                     help="FCC frequency hopping: cycle these carriers "
                          "(MHz) each Query round; a hopping session "

@@ -123,6 +123,10 @@ class LiveStats:
     # Link-rate adaptation (link_profiles): (round, miller_m) at every
     # profile switch - the reader's rate-control trace.
     link_trace: List[tuple] = dataclasses.field(default_factory=list)
+    # Listen-before-talk: (round, MHz) at every busy-channel move, plus
+    # the defer count (EN 302 208-style clear-channel assessment).
+    lbt_trace: List[tuple] = dataclasses.field(default_factory=list)
+    n_lbt_defers: int = 0
     slot_latency_s: List[float] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
@@ -293,6 +297,11 @@ def _window_decoder(cfg: ReaderConfig, mode: str):
     return run
 
 
+#: ETSI EN 302 208 lower-band 4-channel plan (MHz): the four 200 kHz
+#: high-power channels European readers share - the natural LBT set.
+ETSI_LOWER_MHZ = (865.7, 866.3, 866.9, 867.5)
+
+
 def default_link_profiles(cfg: ReaderConfig, ms=(1, 2, 4)):
     """A ready-made link ladder from a base config: one profile per
     requested encoding (fastest first), sharing the base radio rates,
@@ -461,6 +470,9 @@ class LiveReader:
         link_down_after: int = 1,
         link_up_after: int = 4,
         link_probe: bool = True,
+        lbt_mhz=None,
+        lbt_listen_us: float = 200.0,
+        lbt_margin_db: float = 6.0,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -572,6 +584,22 @@ class LiveReader:
         self.link_down_after = max(1, int(link_down_after))
         self.link_up_after = max(1, int(link_up_after))
         self.link_probe = bool(link_probe)
+        # Listen-before-talk over a channel plan (new capability; ETSI
+        # EN 302 208-style clear-channel assessment - see ETSI_LOWER_MHZ).
+        # Before each Query round the reader listens with its TX off; a
+        # channel more than ``lbt_margin_db`` above the plan's measured
+        # noise floor (surveyed once at start) is busy, and the reader
+        # moves to the next channel of the plan instead of transmitting
+        # over the other occupant.
+        self.lbt_mhz = list(lbt_mhz) if lbt_mhz else None
+        self.lbt_listen_us = float(lbt_listen_us)
+        self.lbt_margin_db = float(lbt_margin_db)
+        self._lbt_floor = None
+        self._lbt_idx = 0
+        if self.lbt_mhz:
+            assert hop_mhz is None, "LBT and fixed hopping are exclusive"
+            diffs = [abs(f * 1e6 - cfg.freq_hz) for f in self.lbt_mhz]
+            self._lbt_idx = int(np.argmin(diffs))
         if self.link_profiles:
             rates = {(p.adc_rate, p.dac_rate) for p in self.link_profiles}
             assert len(rates) == 1, "link profiles must share radio rates"
@@ -641,6 +669,54 @@ class LiveReader:
             self._link_bad = 0
             self._link_clean = 0
             self._apply_link_profile(self._link_idx - 1)
+
+    # ---- listen-before-talk ----
+
+    def _listen_power(self, channel, bw_hz: float = 200e3) -> float:
+        """One TX-off sensing window: mean ambient power INSIDE the
+        200 kHz channel (FFT band power) — a neighbor's carrier two
+        channels over must not read as local occupancy."""
+        rx = np.asarray(channel.exchange(
+            "listen", np.zeros(0, np.int64), np.zeros(0, np.float32),
+            self.lbt_listen_us))
+        if rx.size == 0:
+            return 0.0
+        spec = np.abs(np.fft.fft(rx)) ** 2
+        f = np.fft.fftfreq(rx.size, 1.0 / self.cfg.adc_rate)
+        band = np.abs(f) <= bw_hz / 2
+        return float(spec[band].sum() / rx.size ** 2)
+
+    def _lbt_check(self, channel) -> None:
+        """Clear-channel assessment before a Query round: move off busy
+        channels.  The first call surveys the whole plan for its noise
+        floor (min over channels) and returns to the starting channel."""
+        if not self.lbt_mhz:
+            return
+        if self._lbt_floor is None:
+            vals = []
+            for f in self.lbt_mhz:
+                if hasattr(channel, "retune"):
+                    channel.retune(f * 1e6)
+                vals.append(self._listen_power(channel))
+            self._lbt_floor = min(vals)
+            f0 = self.lbt_mhz[self._lbt_idx]
+            self._carrier_hz = f0 * 1e6
+            if hasattr(channel, "retune"):
+                channel.retune(self._carrier_hz)
+        thresh = self._lbt_floor * 10.0 ** (self.lbt_margin_db / 10.0)
+        for _ in range(len(self.lbt_mhz)):
+            if self._listen_power(channel) <= thresh:
+                return
+            # Busy: defer to the next channel of the plan.
+            self.stats.n_lbt_defers += 1
+            self._lbt_idx = (self._lbt_idx + 1) % len(self.lbt_mhz)
+            f = self.lbt_mhz[self._lbt_idx]
+            self._carrier_hz = f * 1e6
+            if hasattr(channel, "retune"):
+                channel.retune(self._carrier_hz)
+            self.stats.lbt_trace.append((self.stats.cur_round, f))
+            _log.debug("LBT | busy, -> %.1f MHz", f)
+        _log.debug("LBT | all channels busy; transmitting anyway")
 
     # ---- per-block decode (jitted; one stable shape per command kind) ----
 
@@ -1222,6 +1298,9 @@ class LiveReader:
                         self._send_select(channel)
                         self._send_challenge(channel)
                         self._reset_ctx()
+                    # Clear-channel assessment before transmitting the
+                    # round (no-op without lbt_mhz).
+                    self._lbt_check(channel)
                     if (self.hop_mhz
                             and (rounds_issued - 1) % self.hop_every == 0):
                         # FCC dwell boundary: hop to the next carrier.

@@ -78,6 +78,7 @@ class SimTagChannel:
         seed: int = 99,
         session_ab: bool = False,
         error_replies: bool = True,
+        interferers: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.tags = [_TagState(t) for t in tags]
@@ -111,6 +112,12 @@ class SimTagChannel:
         # Current carrier (FCC hopping: LiveReader.retune mid-session
         # changes the round-trip phase per hop - the live PDOA observable).
         self.carrier_hz = float(cfg.freq_hz)
+        # Other readers' carriers on the band: {rf_hz: dbc relative to
+        # this reader's leak}.  Each appears in the RX at its offset
+        # from the CURRENT carrier (skipped beyond the ADC Nyquist), so
+        # re-tuning away from a busy channel clears it - the observable
+        # LBT (listen-before-talk) acts on.
+        self.interferers = dict(interferers or {})
         # Carrier polarity carried across exchanges (PR-ASK, Gen2
         # 6.3.1.2): each command's phase reversals leave the carrier at
         # ±1, and the following CW must continue at that phase - a sign
@@ -227,7 +234,7 @@ class SimTagChannel:
             # keeping a failed-CRC tag in the current pass.
             for ts in self.tags:
                 ts.pending_flip = False
-        elif kind != "cw":
+        elif kind not in ("cw", "listen"):
             self._commit_flips()
         if kind == "select":
             # Gen2 6.3.2.12.1.1: every tag evaluates the mask against its
@@ -334,7 +341,13 @@ class SimTagChannel:
             if float(np.real(tx_env[-1])) < 0:
                 self._pol = -self._pol     # PR-ASK: odd reversal count
         n_cw = int(round(cw_us * self.sp_us))
-        cw = np.full(n_cw, self.leak * self._pol, dtype=np.complex64)
+        if kind == "listen":
+            # LBT sensing window: the reader's own TX is OFF, so the RX
+            # is ambient only (other readers' carriers + noise) -
+            # EN 302 208-style clear-channel assessment.
+            cw = np.zeros(n_cw, dtype=np.complex64)
+        else:
+            cw = np.full(n_cw, self.leak * self._pol, dtype=np.complex64)
 
         # All reply synthesis below runs at the link the reader COMMANDED
         # in its last Query (M / TRext), which may differ from the
@@ -740,6 +753,14 @@ class SimTagChannel:
                             ts.tag.cfo_hz, ts.tag.amp_ramp)
 
         rx = np.concatenate([cmd, cw])
+        for f_hz, dbc in self.interferers.items():
+            off = float(f_hz) - self.carrier_hz
+            if abs(off) >= cfg.adc_rate / 2:
+                continue   # outside the RX bandwidth after re-tuning away
+            amp = np.abs(self.leak) * 10.0 ** (dbc / 20.0)
+            n0 = self.t_samples + np.arange(rx.size)
+            rx = rx + (amp * np.exp(
+                2j * np.pi * off * n0 / cfg.adc_rate)).astype(np.complex64)
         self.t_samples += rx.size
         if self.noise > 0:
             rx = rx + (
