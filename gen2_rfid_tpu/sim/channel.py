@@ -31,6 +31,9 @@ class _TagState:
     flags: List[bool] = dataclasses.field(
         default_factory=lambda: [False] * 4)
     sl: bool = False             # SL flag (asserted/deasserted by Select)
+    s1_set_t: float = 0.0        # channel time the S1 flag last became B
+    #                              (Gen2 6.3.2.3: S1 decays on its own
+    #                              timer, 500 ms - 5 s, power or not)
     acked: bool = False          # in Acknowledged state (valid ACK received)
     handle: Optional[np.ndarray] = None   # Open-state handle (post Req_RN)
     cover_rn: Optional[np.ndarray] = None  # fresh RN16 for Write cover-coding
@@ -79,6 +82,7 @@ class SimTagChannel:
         session_ab: bool = False,
         error_replies: bool = True,
         interferers: Optional[dict] = None,
+        s1_persistence_s: float = 2.0,
     ):
         self.cfg = cfg
         self.tags = [_TagState(t) for t in tags]
@@ -98,6 +102,7 @@ class SimTagChannel:
         self.leak = np.complex64(leak)
         self.noise = noise
         self.tag_t1_us = tag_t1_us
+        self.s1_persistence_s = float(s1_persistence_s)
         self.rng = np.random.default_rng(seed)
         self.up = int(round(cfg.adc_rate / cfg.dac_rate))
         self.sp_us = cfg.adc_rate / 1e6
@@ -140,6 +145,9 @@ class SimTagChannel:
 
     # ---- tag protocol reactions ----
 
+    def _now_s(self) -> float:
+        return self.t_samples / self.cfg.adc_rate
+
     def _commit_flips(self):
         """Acknowledged tags toggle their (round's session's) inventoried
         flag at the next command (any command except NAK, which cancels
@@ -147,7 +155,19 @@ class SimTagChannel:
         for ts in self.tags:
             if ts.pending_flip:
                 ts.flags[ts.flip_session] = not ts.flags[ts.flip_session]
+                if ts.flip_session == 1 and ts.flags[1]:
+                    ts.s1_set_t = self._now_s()
                 ts.pending_flip = False
+
+    def _expire_s1(self):
+        """Gen2 6.3.2.3: the S1 inventoried flag persists 500 ms - 5 s on
+        its OWN timer (powered or not) and then reverts to A — unlike S0
+        (dies with power) and S2/S3 (persist while powered).  Lazily
+        evaluated against the channel's sample clock at every exchange."""
+        now = self._now_s()
+        for ts in self.tags:
+            if ts.flags[1] and now - ts.s1_set_t > self.s1_persistence_s:
+                ts.flags[1] = False
 
     def _on_query(self, q: int, target: int = 0, sel=(0, 0),
                   session: int = 0):
@@ -228,6 +248,7 @@ class SimTagChannel:
         cfg = self.cfg
         from ..protocol import gen2
 
+        self._expire_s1()
         if kind == "nak":
             # NAK returns an acknowledged tag to arbitrate WITHOUT toggling
             # its inventoried flag (Gen2 6.3.2.4) - the reader's tool for
@@ -281,6 +302,8 @@ class SimTagChannel:
                             ts.flags[s_tgt] = True
                         elif op == "negate":
                             ts.flags[s_tgt] = not ts.flags[s_tgt]
+                        if s_tgt == 1 and ts.flags[1]:
+                            ts.s1_set_t = self._now_s()  # restart decay
         elif kind == "query":
             self.q = gen2.parse_query_q(bits)
             self._target = gen2.parse_query_target(bits)

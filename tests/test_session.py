@@ -129,3 +129,27 @@ def test_two_readers_interleaved_different_sessions():
     for t in (0x11, 0x22):
         assert int(rd_a.stats.tag_reads[t]) == 2, hex(t)
         assert int(rd_b.stats.tag_reads[t]) == 2, hex(t)
+
+
+def test_s1_flag_decays_on_its_own_timer():
+    """Gen2 6.3.2.3 persistence: S1 reverts to A after its 500 ms - 5 s
+    timer (powered or not); S2 persists while powered.  A session-S1
+    pass silences a read tag only until the timer runs out."""
+    import dataclasses
+
+    import numpy as np
+
+    from gen2_rfid_tpu.runtime.live import LiveReader
+
+    def phase(cfg, ch, rounds=1):
+        return int(LiveReader(cfg).run_inventory(ch, rounds).n_epc_correct)
+
+    idle = (np.zeros(0, np.int64), np.zeros(0, np.float32))
+    for session, expect_after_idle in [((0, 1), 1), ((1, 0), 0)]:
+        cfg = dataclasses.replace(ReaderConfig(), session=session)
+        ch = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1,
+                           session_ab=True, s1_persistence_s=0.05)
+        assert phase(cfg, ch) == 1          # fresh tag: flag A, read
+        assert phase(cfg, ch) == 0          # flag flipped to B: silent
+        ch.exchange("cw", *idle, 60_000.0)  # 60 ms of channel time
+        assert phase(cfg, ch) == expect_after_idle, session
