@@ -81,16 +81,26 @@ def main():
         val = int(np.asarray(out)[0])   # transfer = the only real sync point
         dt = time.perf_counter() - t0
         if val != expected * k:
-            print(f"WARNING: decode mismatch {val} != {expected * k} (k={k})",
+            # A perf number on a broken decode is worse than no number.
+            print(f"FATAL: decode mismatch {val} != {expected * k} (k={k})",
                   file=sys.stderr)
+            sys.exit(1)
         return dt
 
-    k1, k2 = 1, 9
+    # Remote-queue latency is highly variable (docs/PERF.md: same-binary
+    # runs spanned 1202-1325 Msps); one slow sample must not become the
+    # headline.  Take R independent paired difference quotients and report
+    # the median, with the min/max band in the artifact so spread is
+    # visible instead of reading as a regression.
+    k1, k2, reps = 1, 9, 3
     timed(k1)          # warmup/compile for k1
-    t1 = min(timed(k1) for _ in range(2))
     timed(k2)          # warmup/compile for k2
-    t2 = min(timed(k2) for _ in range(2))
-    per_iter = max((t2 - t1) / (k2 - k1), 1e-9)
+    quotients = []
+    for _ in range(reps):
+        t1 = timed(k1)
+        t2 = timed(k2)
+        quotients.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    per_iter = float(np.median(quotients))
 
     sps = n / per_iter
     baseline = 2e6  # reference CPU reader real-time budget, samples/s
@@ -104,6 +114,8 @@ def main():
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sps / baseline, 2),
         "epc_per_s": round(expected / per_iter, 1),
+        "band": [round(n / max(quotients) / 1e6, 1),
+                 round(n / min(quotients) / 1e6, 1)],
     }))
 
 

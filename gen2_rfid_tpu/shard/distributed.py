@@ -45,11 +45,29 @@ def init_distributed(
     only one process is configured."""
     if num_processes in (None, 1) and coordinator_address is None:
         return
+    # Multi-process CPU (localhost validation of the pod path) needs a
+    # cross-process collectives backend; gloo ships in jaxlib.  On TPU the
+    # platform's own collectives are used and this config is ignored.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def stats_to_host(stats: InventoryStats) -> InventoryStats:
+    """Fetch a stats pytree to host numpy on every process.
+
+    `decode_file_distributed` jits with fully-replicated out_shardings, so
+    each leaf is readable locally on any process (`np.asarray` on a
+    fully-replicated global array never needs cross-process traffic at
+    read time — the replication happened on-device inside the program).
+    """
+    return jax.tree.map(np.asarray, stats)
 
 
 def _planar_slice(path: str, offset: int, count: int) -> np.ndarray:
@@ -88,6 +106,14 @@ def decode_file_distributed(
     global_shape = (1, 2, n_used)
     iq2 = jax.make_array_from_single_device_arrays(global_shape, sharding, local)
 
-    from .decode_sharded import _run_sharded_planar
+    from .decode_sharded import make_sharded_decoder
 
-    return _run_sharded_planar(iq2, cfg, mesh, events_per_shard)
+    # Replicated outputs: every process holds the full stats + event
+    # tables, so reporting needs no post-hoc cross-process gather (the
+    # tables are tiny — the all-gather already happened for the global
+    # replay sort, replication just keeps the result everywhere).
+    fn = jax.jit(
+        make_sharded_decoder(cfg, mesh, events_per_shard),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    return fn(iq2)
