@@ -49,17 +49,44 @@ class RadioChannel:
         self.driver = driver
         self.ampl = np.float32(ampl)
         self.up = int(round(cfg.adc_rate / cfg.dac_rate))
+        # Carrier polarity carried across exchanges: a PR-ASK command with
+        # an odd reversal count ends at -1, and the following CW must
+        # continue at that phase or the junction step reads as a spurious
+        # PIE pulse (same bookkeeping as sim.channel.SimTagChannel._pol).
+        self._pol = np.float32(1.0)
 
     def exchange(self, kind: str, bits: np.ndarray, tx_env: np.ndarray,
                  cw_us: float) -> np.ndarray:
         cfg = self.cfg
         n_cw = int(round(cw_us * cfg.dac_rate / 1e6))
-        burst = np.concatenate(
-            [np.asarray(tx_env, np.float32),
-             np.ones(n_cw, np.float32)]) * self.ampl
+        env = np.asarray(tx_env, np.float32)
+        if kind == "listen":
+            # Clear-channel sensing window: the reader's own TX is OFF so
+            # the RX measures ambient power, not our TX leak (EN 302 208
+            # CCA; transmitting here would defeat the assessment).
+            burst = np.zeros(env.size + n_cw, np.float32)
+        else:
+            cmd = env * self._pol
+            if env.size and float(env[-1]) < 0:
+                self._pol = -self._pol
+            burst = (np.concatenate([cmd, np.full(n_cw, self._pol,
+                                                  np.float32)]) * self.ampl)
         self.driver.send(burst.astype(np.complex64))
         return np.asarray(
             self.driver.recv(burst.size * self.up), np.complex64)
+
+    def retune(self, freq_hz: float) -> None:
+        """Move TX+RX to a new carrier (FCC hopping / LBT channel moves).
+
+        Loud failure by design: a driver without a ``tune`` method cannot
+        do LBT or hopping, and silently staying on one frequency while the
+        reader believes it moved violates the regulatory plan."""
+        tune = getattr(self.driver, "tune", None)
+        if tune is None:
+            raise RuntimeError(
+                f"{type(self.driver).__name__} has no tune(); LBT/hopping "
+                "need a tunable driver")
+        tune(float(freq_hz))
 
 
 class UhdDriver:
@@ -109,6 +136,12 @@ class UhdDriver:
     def send(self, samples: np.ndarray) -> None:  # pragma: no cover
         self._tx.send(samples.reshape(1, -1), self._tx_md)
 
+    def tune(self, freq_hz: float) -> None:  # pragma: no cover
+        import uhd  # type: ignore
+
+        self._usrp.set_tx_freq(uhd.types.TuneRequest(freq_hz))
+        self._usrp.set_rx_freq(uhd.types.TuneRequest(freq_hz))
+
     def recv(self, n_samples: int) -> np.ndarray:  # pragma: no cover
         import uhd  # type: ignore
 
@@ -136,7 +169,12 @@ def pie_decode_envelope(env: np.ndarray, cfg: ReaderConfig):
     """
     on = np.asarray(env) > 0.5 * np.max(np.abs(env)) if env.size else env
     if env.size == 0 or not on.any():
-        return ("power_down", np.zeros(0, np.int64))
+        # TX-off bursts are on-air ambiguous: a tag rides through a short
+        # gap on stored charge (an LBT sensing window, ~200 us) but loses
+        # state in a long one (the reference's power-down is 2 ms,
+        # reader_impl.cc:71-73).  1 ms splits the two regimes.
+        kind = "power_down" if env.size >= cfg.dac_rate * 1e-3 else "listen"
+        return (kind, np.zeros(0, np.int64))
     if on.all():
         return ("cw", np.zeros(0, np.int64))
     rises = np.flatnonzero(~on[:-1] & on[1:]) + 1
@@ -218,7 +256,12 @@ class PieAirDriver:
         kind, bits = pie_decode_envelope(env, self.cfg)
         # Split command envelope from CW hold: the channel synthesizes its
         # own CW of cw_us, so recover cw_us from the tail length.
-        if kind in ("cw", "power_down"):
+        if kind == "listen":
+            # TX-off sensing window: no command samples, the whole burst
+            # is the listen duration.
+            n_cmd = 0
+            cw_us = env.size * 1e6 / self.cfg.dac_rate
+        elif kind in ("cw", "power_down"):
             n_cmd = env.size
             cw_us = 0.0
         else:
@@ -233,3 +276,8 @@ class PieAirDriver:
         assert rx is not None, "recv() before send()"
         assert rx.size == n_samples, (rx.size, n_samples)
         return rx
+
+    def tune(self, freq_hz: float) -> None:
+        """Carrier move (LBT / FCC hopping): forwarded to the channel
+        physics the same way UhdDriver.tune forwards to the USRP."""
+        self.channel.retune(freq_hz)

@@ -333,12 +333,22 @@ def _encode_keyed(header: int, filt: int, part: int, cp: int, ref: int,
     return np.asarray(bits, np.int64)
 
 
+def _cp_partition(company_prefix: str) -> int:
+    """Partition value for a 6-12 digit GS1 company prefix (TDS table
+    14-2 family); a length outside the table is a caller error and raises
+    ValueError like the adjacent reference-length checks (not KeyError)."""
+    if not 6 <= len(company_prefix) <= 12:
+        raise ValueError(
+            f"company prefix must be 6-12 digits, got {len(company_prefix)}")
+    return 12 - len(company_prefix)
+
+
 def encode_sgtin96(company_prefix: str, item_reference: str, serial: int,
                    filter_value: int = 1) -> np.ndarray:
     """SGTIN-96 EPC bits from GS1 fields.  ``company_prefix`` and
     ``item_reference`` are *strings* (leading zeros are significant; their
     lengths select the partition: cp digits + ref digits == 13)."""
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(item_reference) != 13 - len(company_prefix):
         raise ValueError("company prefix + item reference must be 13 digits")
     return _encode_keyed(0x30, filter_value, part, int(company_prefix),
@@ -349,14 +359,14 @@ def encode_sgtin198(company_prefix: str, item_reference: str, serial: str,
                     filter_value: int = 1) -> np.ndarray:
     """SGTIN-198 (alphanumeric serial, up to 20 ISO 646 chars); returns the
     13 on-tag words (208 bits, zero-padded last word)."""
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     return _encode_keyed(0x36, filter_value, part, int(company_prefix),
                          int(item_reference), serial)
 
 
 def encode_sscc96(company_prefix: str, serial_reference: str,
                   filter_value: int = 0) -> np.ndarray:
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(serial_reference) != 17 - len(company_prefix):
         raise ValueError("company prefix + serial reference must be 17 digits")
     return _encode_keyed(0x31, filter_value, part, int(company_prefix),
@@ -365,7 +375,7 @@ def encode_sscc96(company_prefix: str, serial_reference: str,
 
 def encode_sgln96(company_prefix: str, location_reference: str,
                   extension: int, filter_value: int = 0) -> np.ndarray:
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(location_reference) != 12 - len(company_prefix):
         raise ValueError("company prefix + location ref must be 12 digits")
     return _encode_keyed(0x32, filter_value, part, int(company_prefix),
@@ -374,7 +384,7 @@ def encode_sgln96(company_prefix: str, location_reference: str,
 
 def encode_grai96(company_prefix: str, asset_type: str, serial: int,
                   filter_value: int = 0) -> np.ndarray:
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(asset_type) != 12 - len(company_prefix):
         raise ValueError("company prefix + asset type must be 12 digits")
     return _encode_keyed(0x33, filter_value, part, int(company_prefix),
@@ -383,7 +393,7 @@ def encode_grai96(company_prefix: str, asset_type: str, serial: int,
 
 def encode_giai96(company_prefix: str, asset_reference: str,
                   filter_value: int = 0) -> np.ndarray:
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     return _encode_keyed(0x34, filter_value, part, int(company_prefix),
                          int(asset_reference), None)
 
@@ -395,7 +405,7 @@ def encode_gid96(manager: int, object_class: int, serial: int) -> np.ndarray:
 
 
 def _part12(company_prefix: str, reference: str, what: str) -> int:
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(reference) != 12 - len(company_prefix):
         raise ValueError(f"company prefix + {what} must be 12 digits")
     return part
@@ -420,7 +430,7 @@ def encode_gdti174(company_prefix: str, document_type: str, serial: str,
 def encode_gsrn96(company_prefix: str, service_reference: str,
                   filter_value: int = 0, provider: bool = False) -> np.ndarray:
     """GSRN-96 (recipient) / GSRNP-96 (``provider=True``)."""
-    part = {12: 0, 11: 1, 10: 2, 9: 3, 8: 4, 7: 5, 6: 6}[len(company_prefix)]
+    part = _cp_partition(company_prefix)
     if len(service_reference) != 17 - len(company_prefix):
         raise ValueError("company prefix + service reference must be 17 digits")
     return _encode_keyed(0x2E if provider else 0x2D, filter_value, part,

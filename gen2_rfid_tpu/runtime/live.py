@@ -473,6 +473,7 @@ class LiveReader:
         lbt_mhz=None,
         lbt_listen_us: float = 200.0,
         lbt_margin_db: float = 6.0,
+        lbt_floor_min: float = 1e-9,
     ):
         assert q_mode in ("annexd", "backlog")
         self.target_ab = target_ab
@@ -594,7 +595,14 @@ class LiveReader:
         self.lbt_mhz = list(lbt_mhz) if lbt_mhz else None
         self.lbt_listen_us = float(lbt_listen_us)
         self.lbt_margin_db = float(lbt_margin_db)
-        self._lbt_floor = None
+        # Absolute lower bound on the measured noise floor: in a clean
+        # (noiseless-sim / high-gain-squelched) environment the measured
+        # floor can be ~0, which would make every nonzero channel read
+        # busy; and the per-channel history keeps the floor fresh when the
+        # ambient level or RX gain changes mid-inventory (a one-shot
+        # survey would go stale).
+        self.lbt_floor_min = float(lbt_floor_min)
+        self._lbt_hist: dict = {}
         self._lbt_idx = 0
         if self.lbt_mhz:
             assert hop_mhz is None, "LBT and fixed hopping are exclusive"
@@ -686,26 +694,43 @@ class LiveReader:
         band = np.abs(f) <= bw_hz / 2
         return float(spec[band].sum() / rx.size ** 2)
 
+    def _lbt_note(self, f_mhz: float, power: float) -> None:
+        """Record a sensing measurement into the per-channel history (the
+        rolling floor estimate; bounded so a permanent ambient rise ages
+        old lows out instead of pinning the floor forever)."""
+        hist = self._lbt_hist.setdefault(f_mhz, [])
+        hist.append(power)
+        del hist[:-8]
+
+    def _lbt_thresh(self) -> float:
+        """Busy threshold: margin over the freshest floor estimate (min of
+        recent sensing windows across the plan), never below the absolute
+        minimum (`lbt_floor_min`)."""
+        floor = min(min(h) for h in self._lbt_hist.values())
+        return max(floor, self.lbt_floor_min) * 10.0 ** (
+            self.lbt_margin_db / 10.0)
+
     def _lbt_check(self, channel) -> None:
         """Clear-channel assessment before a Query round: move off busy
         channels.  The first call surveys the whole plan for its noise
-        floor (min over channels) and returns to the starting channel."""
+        floor; afterwards every sensing window feeds the rolling
+        per-channel floor history so the threshold tracks ambient/gain
+        changes instead of going stale."""
         if not self.lbt_mhz:
             return
-        if self._lbt_floor is None:
-            vals = []
+        if not self._lbt_hist:
             for f in self.lbt_mhz:
                 if hasattr(channel, "retune"):
                     channel.retune(f * 1e6)
-                vals.append(self._listen_power(channel))
-            self._lbt_floor = min(vals)
+                self._lbt_note(f, self._listen_power(channel))
             f0 = self.lbt_mhz[self._lbt_idx]
             self._carrier_hz = f0 * 1e6
             if hasattr(channel, "retune"):
                 channel.retune(self._carrier_hz)
-        thresh = self._lbt_floor * 10.0 ** (self.lbt_margin_db / 10.0)
         for _ in range(len(self.lbt_mhz)):
-            if self._listen_power(channel) <= thresh:
+            p = self._listen_power(channel)
+            self._lbt_note(self.lbt_mhz[self._lbt_idx], p)
+            if p <= self._lbt_thresh():
                 return
             # Busy: defer to the next channel of the plan.
             self.stats.n_lbt_defers += 1

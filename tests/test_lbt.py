@@ -65,3 +65,38 @@ def test_listen_is_protocol_silent():
                     lbt_mhz=list(ETSI_LOWER_MHZ), target_ab=True)
     st = rd.run_inventory(ch, 6)
     assert int(st.tag_reads[5]) >= 1 and int(st.tag_reads[9]) >= 1
+
+
+def test_lbt_noiseless_channel_not_all_busy():
+    """A clean environment can measure a ~0 noise floor; without an
+    absolute threshold floor every nonzero reading would classify busy and
+    the reader would cycle the whole plan each round before 'transmitting
+    anyway' (round-3 advisor finding).  lbt_floor_min keeps the threshold
+    sane: zero defers, full reads."""
+    ch = SimTagChannel(CFG, [Tag.with_id(27, seed=7)], seed=1, noise=0.0)
+    rd = LiveReader(CFG, lbt_mhz=list(ETSI_LOWER_MHZ))
+    st = rd.run_inventory(ch, 4)
+    assert st.n_lbt_defers == 0 and not st.lbt_trace
+    assert st.n_epc_correct == 4
+
+
+def test_lbt_floor_tracks_ambient_rise():
+    """The busy threshold follows the rolling per-channel minimum: after
+    the initial low readings age out of the bounded history, a permanently
+    higher ambient raises the floor instead of reading as perpetual
+    occupancy (one-shot survey staleness, round-3 advisor finding)."""
+    rd = LiveReader(CFG, lbt_mhz=[866.3, 866.9])
+    rd._lbt_note(866.3, 1e-8)
+    rd._lbt_note(866.9, 2e-8)
+    t0 = rd._lbt_thresh()
+    # Ambient rises 20 dB on both channels; 8 new readings each age the
+    # old lows out of the history.
+    for _ in range(8):
+        rd._lbt_note(866.3, 1e-6)
+        rd._lbt_note(866.9, 2e-6)
+    t1 = rd._lbt_thresh()
+    assert t1 > 50 * t0
+    # And the absolute minimum clamps a measured ~0 floor.
+    rd2 = LiveReader(CFG, lbt_mhz=[866.3])
+    rd2._lbt_note(866.3, 0.0)
+    assert rd2._lbt_thresh() >= rd2.lbt_floor_min

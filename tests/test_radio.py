@@ -56,7 +56,13 @@ def test_pie_decode_envelope_roundtrip():
         assert got_kind == kind
         assert np.array_equal(got_bits, bits), kind
     assert pie_decode_envelope(np.ones(100, np.float32), cfg)[0] == "cw"
-    assert pie_decode_envelope(np.zeros(100, np.float32), cfg)[0] == "power_down"
+    # TX-off bursts split on duration: short gap = LBT sensing window (a
+    # tag rides it out on stored charge), >=1 ms = power-down (the
+    # reference's is 2 ms, reader_impl.cc:71-73).
+    n_1ms = int(cfg.dac_rate * 1e-3)
+    assert pie_decode_envelope(np.zeros(100, np.float32), cfg)[0] == "listen"
+    assert pie_decode_envelope(
+        np.zeros(2 * n_1ms, np.float32), cfg)[0] == "power_down"
 
 
 def test_access_and_select_over_radio_adapter():
@@ -109,3 +115,102 @@ def test_adaptive_live_over_radio_adapter():
 def test_uhd_driver_import_guarded():
     with pytest.raises(RuntimeError, match="uhd"):
         UhdDriver(ReaderConfig())
+
+
+class _RecordingDriver:
+    """Driver that records every TX burst and returns silence on RX."""
+
+    def __init__(self, cfg, up=2):
+        self.cfg = cfg
+        self.up = up
+        self.bursts = []
+        self.tunes = []
+
+    def send(self, samples):
+        self.bursts.append(np.asarray(samples, np.complex64))
+
+    def recv(self, n):
+        return np.zeros(n, np.complex64)
+
+
+def test_radio_listen_window_transmits_nothing():
+    """LBT sensing through RadioChannel keeps the TX OFF: transmitting CW
+    during the window would measure our own leak instead of ambient and
+    defeat clear-channel assessment."""
+    cfg = ReaderConfig()
+    drv = _RecordingDriver(cfg)
+    radio = RadioChannel(cfg, drv, ampl=0.1)
+    radio.exchange("listen", np.zeros(0, np.int64), np.zeros(0, np.float32),
+                   200.0)
+    assert len(drv.bursts) == 1
+    assert np.all(drv.bursts[0] == 0)
+    assert drv.bursts[0].size == int(round(200.0 * cfg.dac_rate / 1e6))
+
+
+def test_radio_retune_requires_tunable_driver():
+    """A driver without tune() must fail LOUDLY on retune: silently staying
+    on one carrier while the reader believes it hopped violates the
+    regulatory channel plan."""
+    cfg = ReaderConfig()
+    radio = RadioChannel(cfg, _RecordingDriver(cfg))
+    with pytest.raises(RuntimeError, match="tune"):
+        radio.retune(866.9e6)
+    # PieAirDriver forwards tune() to the channel physics.
+    sim = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1)
+    radio2 = RadioChannel(cfg, PieAirDriver(sim, cfg, ampl=0.1), ampl=0.1)
+    radio2.retune(866.9e6)
+    assert sim.carrier_hz == 866.9e6
+
+
+def test_radio_pr_ask_cw_polarity_continuity():
+    """PR-ASK: a command ending at -1 must be followed by CW at -1 (and
+    the next command must start from that polarity) — a sign step at the
+    junction is exactly the spurious-PIE-pulse artifact SimTagChannel._pol
+    exists to prevent (sim/channel.py)."""
+    import dataclasses
+
+    from gen2_rfid_tpu.tx.pie import PieEncoder
+
+    cfg = dataclasses.replace(ReaderConfig(), tx_mod="pr", tx_shape_us=2.5)
+    enc = PieEncoder(cfg)
+    env = enc.query_rep()
+    drv = _RecordingDriver(cfg)
+    radio = RadioChannel(cfg, drv, ampl=0.1)
+    sent_polarity = 1.0
+    for _ in range(4):  # consecutive exchanges accumulate reversals
+        radio.exchange("query_rep", np.zeros(4, np.int64), env, 100.0)
+        burst = drv.bursts[-1].real
+        n_cmd = env.size
+        # The command segment is the envelope times the entering polarity.
+        np.testing.assert_allclose(burst[:n_cmd], env * 0.1 * sent_polarity,
+                                   atol=1e-6)
+        if float(env[-1]) < 0:
+            sent_polarity = -sent_polarity
+        # CW continues at the post-command polarity: junction step is 0.
+        cw = burst[n_cmd:]
+        assert cw.size > 0
+        np.testing.assert_allclose(cw, 0.1 * sent_polarity, atol=1e-6)
+        assert abs(burst[n_cmd] - burst[n_cmd - 1]) < 0.15  # no 2*ampl step
+    # The test is only meaningful if the envelope really ends negative.
+    assert float(env[-1]) < 0 or pytest.skip("envelope ends positive")
+
+
+def test_lbt_over_radio_adapter():
+    """End-to-end LBT through the radio stack (LiveReader -> RadioChannel
+    -> PieAirDriver -> SimTagChannel): sensing windows ride TX-off bursts,
+    channel moves ride tune(), and the reader still escapes the busy
+    channel and reads the tag — the round-3 advisor's scenario where a
+    CW-transmitting listen would have measured its own leak everywhere."""
+    import dataclasses
+
+    from gen2_rfid_tpu.runtime.live import ETSI_LOWER_MHZ
+
+    cfg = dataclasses.replace(ReaderConfig(), freq_hz=866.3e6)
+    sim = SimTagChannel(cfg, [Tag.with_id(27, seed=7)], seed=1,
+                        interferers={866.34e6: -10.0})
+    radio = RadioChannel(cfg, PieAirDriver(sim, cfg, ampl=0.1), ampl=0.1)
+    rd = LiveReader(cfg, lbt_mhz=list(ETSI_LOWER_MHZ))
+    st = rd.run_inventory(radio, 4)
+    assert st.n_lbt_defers == 1
+    assert rd._carrier_hz == 866.9e6 and sim.carrier_hz == 866.9e6
+    assert st.n_epc_correct == 4 and st.tag_reads[27] == 4

@@ -104,8 +104,10 @@ def test_unknown_and_malformed_never_raise():
 def test_encode_validation():
     with pytest.raises(ValueError):
         tds.encode_sgtin96("0614141", "81234", 1)      # 12 digits, not 13
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError):
         tds.encode_sgtin96("06141", "81234567", 1)     # 5-digit CP invalid
+    with pytest.raises(ValueError):
+        tds.encode_gsrn96("0614141061414", "123", 1)   # 13-digit CP invalid
     with pytest.raises(ValueError):
         tds.encode_sgtin198("0614141", "812345", "x" * 21)  # serial > 20
     with pytest.raises(ValueError):
