@@ -1,0 +1,242 @@
+"""Hardware bench matrix over the BASELINE.json configs beyond the
+flagship (bench.py covers config 1: FM0 / 40 kHz / Q=0 single tag).
+
+Configs (BASELINE.json "configs" list; each the single-chip operating
+point of the listed scenario):
+
+* ``multitag_q4``  — config 2: slotted multi-tag inventory, FIXED_Q=4,
+  5 tags (collisions + empty slots exercise role tables and replay).
+* ``miller4``      — config 5 (encoding axis): Miller-4 subcarrier decode
+  at the reference BLF/rates (decim 1: the Miller op mix).
+* ``blf640``       — config 5 (BLF axis): FM0 at BLF 640 kHz, 8 Msps ADC,
+  decim 2 (the high-rate geometry).
+* ``wideband8``    — config 4: 8-channel polyphase channelizer + decode
+  of a 16 Msps wideband capture in one jitted program (2 occupied
+  channels), on a degenerate 1-device mesh.
+* ``longcap``      — config 3: long-capture batch decode, the flagship
+  capture tiled to ~39 M ADC samples (~19 s of 2 Msps air time) per
+  iteration in one jit.
+
+Timing: same async-safe difference-quotient harness as bench.py (K
+in-jit iterations chained by a data dependency; median of 3 paired
+quotients; min/max band reported).  Exits nonzero on any decode
+mismatch.  One JSON line per config.
+
+Usage: python bench_configs.py [--configs a,b] [--k2 9]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+
+def _tags5():
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    return [Tag.with_id(i * 17 + 11, seed=i,
+                        backscatter=0.08 * np.exp(1.1j * i))
+            for i in range(5)]
+
+
+def _tiled_planar(tr, reps):
+    from gen2_rfid_tpu.runtime.inventory import to_planar
+
+    return to_planar(np.concatenate([tr.iq] * reps))
+
+
+def make_decode_case(cfg, tags, n_rounds, seed, reps):
+    """(planar iq2, unjitted core fn, expected correct EPCs / iter)."""
+    from gen2_rfid_tpu.runtime.inventory import decode_capture_planar
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    tr = synthesize_inventory(cfg, tags, n_rounds=n_rounds, seed=seed)
+    iq2 = _tiled_planar(tr, reps)
+    core = decode_capture_planar.__wrapped__
+
+    def body(x2):
+        stats, _ = core(x2, cfg)
+        return stats.n_epc_correct
+
+    return iq2, body, tr.expected_epc_pass * reps
+
+
+def case_multitag_q4():
+    from gen2_rfid_tpu.config import ReaderConfig
+
+    # 10 rounds x 16 slots, 5 tags: 320 events/capture, x4 tiles = 1280
+    # (cap 1536 leaves headroom; decode cost scales with capacity).
+    cfg = ReaderConfig(fixed_q=4, max_events=1536)
+    return make_decode_case(cfg, _tags5(), n_rounds=10, seed=3, reps=4)
+
+
+def case_miller4():
+    from gen2_rfid_tpu.config import ReaderConfig
+
+    cfg = ReaderConfig(miller_m=4, decim=1, max_events=1280)
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=20,
+                            seed=2, reps=24)
+
+
+def case_blf640():
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig(blf_hz=640e3, adc_rate=8e6, decim=2, max_events=768)
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=20,
+                            seed=2, reps=13)
+
+
+def case_longcap():
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    # The reference's termination limit (MAX_NUM_QUERIES=1000,
+    # gate_impl.cc:101-109) is replayed faithfully and would stop a
+    # 2560-round capture at query 1001; a long-capture deployment raises
+    # it like any other config knob.
+    cfg = ReaderConfig(max_events=6144, max_num_queries=1_000_000)
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=80,
+                            seed=2, reps=32)
+
+
+def case_wideband8():
+    """16 Msps capture, 8 PFB channels, inventories on channels 1 and 6;
+    channelize + sharded decode in one program (1-device mesh here; the
+    same program spreads over a (time, chan) pod mesh unchanged)."""
+    import jax
+
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.dsp.channelizer import channelize_planar
+    from gen2_rfid_tpu.shard.decode_sharded import make_sharded_decoder
+    from gen2_rfid_tpu.shard.mesh import make_mesh
+    from gen2_rfid_tpu.sim.tag import Tag
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    n_chan = 8
+    synth_cfg = ReaderConfig(adc_rate=16e6)
+    tr_a = synthesize_inventory(synth_cfg, [Tag.with_id(27, seed=7)],
+                                n_rounds=6, seed=3, noise=0.0)
+    tr_b = synthesize_inventory(synth_cfg, [Tag.with_id(99, seed=9)],
+                                n_rounds=6, seed=4, noise=0.0)
+    n1 = max(tr_a.iq.size, tr_b.iq.size)
+
+    def place(iq, k):
+        pad = np.zeros(n1, np.complex64)
+        pad[: iq.size] = iq
+        t = np.arange(n1)
+        return pad * np.exp(2j * np.pi * k * t / n_chan).astype(np.complex64)
+
+    rng = np.random.default_rng(5)
+    wide = place(tr_a.iq, 1) + place(tr_b.iq, 6)
+    wide += (rng.normal(0, 0.002, n1)
+             + 1j * rng.normal(0, 0.002, n1)).astype(np.complex64)
+    reps = max(1, int(8e6 // n1))
+    wide = np.concatenate([wide] * reps)
+
+    cfg = ReaderConfig(max_events=256)
+    mesh = make_mesh(n_time=1, n_chan=1, devices=jax.devices()[:1])
+    m = wide.size // n_chan
+    m_use = m - m % cfg.decim
+    dec_fn = make_sharded_decoder(cfg, mesh, events_per_shard=256)
+
+    def body(x2):
+        ch = channelize_planar(x2, n_chan)          # (8, 2, M)
+        stats, _ = dec_fn(ch[:, :, :m_use])
+        return stats.n_epc_correct.sum()
+
+    iq2 = np.stack([wide.real, wide.imag]).astype(np.float32)
+    # Tiling repeats the inventories (channelizer startup transient only
+    # affects the first rounds' lead-in CW, not the decodes).
+    expected = (tr_a.expected_epc_pass + tr_b.expected_epc_pass) * reps
+    return iq2, body, expected
+
+
+CASES = {
+    "multitag_q4": case_multitag_q4,
+    "miller4": case_miller4,
+    "blf640": case_blf640,
+    "wideband8": case_wideband8,
+    "longcap": case_longcap,
+}
+
+
+def bench_case(name: str, k2: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    iq2, body, expected = CASES[name]()
+    n = iq2.shape[-1] if name != "wideband8" else iq2.shape[-1]
+    iq2 = jnp.asarray(iq2)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def repeat(x2, k: int):
+        def it(i, carry):
+            acc, x = carry
+            c = body(x)
+            acc = acc + c
+            x = x + acc.astype(jnp.float32) * jnp.float32(1e-30)
+            return acc, x
+        acc, _ = jax.lax.fori_loop(0, k, it, (jnp.int32(0), x2))
+        return acc.reshape(1)
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        out = repeat(iq2, k)
+        val = int(np.asarray(out)[0])
+        dt = time.perf_counter() - t0
+        if val != expected * k:
+            print(f"FATAL: {name} decode mismatch {val} != {expected * k}",
+                  file=sys.stderr)
+            sys.exit(1)
+        return dt
+
+    k1 = 1
+    timed(k1)
+    timed(k2)
+    qs = []
+    for _ in range(3):
+        t1 = timed(k1)
+        t2 = timed(k2)
+        qs.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    per_iter = float(np.median(qs))
+    sps = n / per_iter
+    return {
+        "metric": f"iq_decode_throughput[{name}]",
+        "value": round(sps / 1e6, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(sps / 2e6, 1),
+        "epc_per_s": round(expected / per_iter, 1),
+        "band": [round(n / max(qs) / 1e6, 1), round(n / min(qs) / 1e6, 1)],
+        "samples_per_iter": int(n),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--configs", default=",".join(CASES))
+    ap.add_argument("--k2", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    for name in args.configs.split(","):
+        print(json.dumps(bench_case(name.strip(), k2=args.k2)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,17 +44,23 @@ hardware.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 
 from ..config import ReaderConfig
 from ..protocol import gen2
 from ..tx.pie import PieEncoder
-from ..runtime.stats import N_TAG_BINS
+
+# Re-exports: the public surface predates the round-4 decomposition into
+# live_stats / live_decode / live_rf / live_access; importers keep using
+# this module as the single entry point.
+from .live_access import AccessOpsMixin
+from .live_decode import SlotDecodeMixin, _RnResult, _window_decoder  # noqa: F401
+from .live_rf import ETSI_LOWER_MHZ, RfManagementMixin, default_link_profiles  # noqa: F401
+from .live_stats import LiveStats
 
 # The reference logs every FSM transition through log4cpp's debug logger
 # (GR_LOG_INFO(d_debug_logger, ...), reader_impl.cc:219-358); this is the
@@ -62,268 +68,7 @@ from ..runtime.stats import N_TAG_BINS
 _log = logging.getLogger("gen2_rfid_tpu.live")
 
 
-@dataclasses.dataclass
-class LiveStats:
-    n_queries: int = 0
-    n_epc_correct: int = 0
-    cur_round: int = 1
-    cur_slot: int = 1
-    n_no_rn16: int = 0          # slots where no command event / reply decoded
-    tag_reads: Optional[np.ndarray] = None
-    # Slot classification + adaptive-Q bookkeeping (new vs the reference,
-    # which only ever learns a slot failed via the EPC CRC).
-    n_empty_slots: int = 0
-    n_single_slots: int = 0
-    n_collision_slots: int = 0
-    n_qadjust: int = 0
-    n_nak: int = 0
-    n_target_flips: int = 0    # A<->B inventoried-flag target flips
-    n_sic_recovered: int = 0   # collided slots whose EPC was still read
-    n_epc_sic_second: int = 0  # extra EPCs read from the EPC-window residual
-    n_req_rn_ok: int = 0       # handles fetched (access sequence)
-    n_read_ok: int = 0         # Read replies with CRC + handle echo OK
-    n_write_ok: int = 0        # Write replies with CRC + handle echo OK
-    n_access_ok: int = 0       # Access sequences completed (-> Secured)
-    n_lock_ok: int = 0         # Lock success replies verified
-    n_blockwrite_ok: int = 0   # BlockWrite success replies verified
-    n_blockerase_ok: int = 0   # BlockErase success replies verified
-    n_blockpermalock_ok: int = 0  # BlockPermalock (Read/Lock=1) successes
-    n_truncated_reads: int = 0  # EPCs read via truncated replies
-    n_kill_ok: int = 0         # tags killed (second-half success reply)
-    n_auth_ok: int = 0         # TAM1 Authenticate responses verified
-    n_auth_fail: int = 0       # Authenticate replies that failed crypto
-    n_buffer_auth_ok: int = 0  # Challenge-precomputed (ReadBuffer) verifies
-    n_untraceable_ok: int = 0  # Untraceable success replies verified
-    n_keyupdate_ok: int = 0    # KeyUpdate success replies verified
-    n_tam2_ok: int = 0         # TAM2 confidential reads verified
-    n_secure_read_ok: int = 0  # SecureComm(Read) replies decrypted+verified
-    n_secure_write_ok: int = 0  # SecureComm(Write) success replies
-    n_auth_comm_ok: int = 0    # AuthComm-encapsulated command successes
-    secure_read_words: Dict[int, np.ndarray] = dataclasses.field(
-        default_factory=dict)  # tag id -> last TAM2/SecureComm-decrypted
-    #                            data bits (confidential reads)
-    # Tag error-specific replies (Gen2 Annex I) decoded from failed access
-    # commands: error name -> count.  The LLRP access-op result-code
-    # analogue; empty when tags stay silent on failure.
-    error_counts: Dict[str, int] = dataclasses.field(default_factory=dict)
-    read_words: Dict[int, np.ndarray] = dataclasses.field(
-        default_factory=dict)  # tag id -> last Read data bits
-    permalock_status: Dict[int, np.ndarray] = dataclasses.field(
-        default_factory=dict)  # tag id -> BlockPermalock status bits
-    # Per-read localization observables: tag id -> [(t_s, phase_rad,
-    # rssi_dbfs, carrier_hz), ...] from each correct EPC's channel
-    # estimate - the live counterpart of runtime/ranging.py::
-    # tag_phase_series, with the hop carrier recorded so a hopping
-    # session yields live PDOA range.
-    phase_reads: Dict[int, List[tuple]] = dataclasses.field(
-        default_factory=dict)
-    # SIC diagnostics: (acked RN16, residual RN16) per collided slot.
-    sic_rn16_pairs: List[tuple] = dataclasses.field(default_factory=list)
-    q_trace: List[int] = dataclasses.field(default_factory=list)
-    # Link-rate adaptation (link_profiles): (round, miller_m) at every
-    # profile switch - the reader's rate-control trace.
-    link_trace: List[tuple] = dataclasses.field(default_factory=list)
-    # Listen-before-talk: (round, MHz) at every busy-channel move, plus
-    # the defer count (EN 302 208-style clear-channel assessment).
-    lbt_trace: List[tuple] = dataclasses.field(default_factory=list)
-    n_lbt_defers: int = 0
-    slot_latency_s: List[float] = dataclasses.field(default_factory=list)
-
-    def __post_init__(self):
-        if self.tag_reads is None:
-            self.tag_reads = np.zeros(N_TAG_BINS, np.int64)
-
-    def phase_series(self, tag_id: int) -> Dict[str, np.ndarray]:
-        """(time_s, phase_rad, rssi_dbfs, freq_hz) arrays for one tag -
-        feed to runtime.ranging.estimate_velocity (one carrier) or
-        ``range_estimate`` (hopping session)."""
-        rows = np.asarray(self.phase_reads.get(tag_id, []), dtype=np.float64)
-        if rows.size == 0:
-            rows = rows.reshape(0, 4)
-        return {"time_s": rows[:, 0], "phase_rad": rows[:, 1],
-                "rssi_dbfs": rows[:, 2], "freq_hz": rows[:, 3]}
-
-    def range_estimate(self, tag_id: int):
-        """Live PDOA range from a frequency-hopping session: the per-read
-        phases are grouped by hop carrier (circular mean each) and fit
-        across frequency (runtime.ranging.estimate_range).  None unless
-        the tag was read on >= 2 carriers."""
-        from .ranging import circular_mean, estimate_range
-
-        s = self.phase_series(tag_id)
-        by_f: Dict[float, list] = {}
-        for ph, f in zip(s["phase_rad"], s["freq_hz"]):
-            by_f.setdefault(float(f), []).append(float(ph))
-        if len(by_f) < 2:
-            return None
-        fs = sorted(by_f)
-        return estimate_range(fs, [circular_mean(np.asarray(by_f[f]))
-                                   for f in fs])
-
-    def latency_summary(self) -> Dict[str, float]:
-        lat = np.asarray(self.slot_latency_s, dtype=np.float64)
-        if lat.size == 0:
-            return {}
-        return {
-            "mean_ms": float(lat.mean() * 1e3),
-            "p50_ms": float(np.percentile(lat, 50) * 1e3),
-            "p95_ms": float(np.percentile(lat, 95) * 1e3),
-            "n_slots": int(lat.size),
-        }
-
-
-@dataclasses.dataclass
-class _RnResult:
-    bits: np.ndarray
-    energy: float
-    margin: float
-    h2: float
-    noise_var: float
-    # SIC mode (mode="sic"): the residual's second decoded RN16 + quality.
-    bits2: Optional[np.ndarray] = None
-    margin2: float = 0.0
-    cancel_ratio: float = 0.0
-
-
-@functools.lru_cache(maxsize=None)
-def _window_decoder(cfg: ReaderConfig, mode: str):
-    """Jitted per-slot window decode (FIR -> gate -> newest-event frame ->
-    sync/FM0-or-Miller -> bits + soft stats), fixed output shapes.
-
-    mode: "rn16" | "epc" | "sic" (RN16 window with successive interference
-    cancellation: dsp/collision.py - pass 1 equals the plain decode, so the
-    SIC decoder transparently replaces "rn16" when capture is enabled) |
-    "epc_sic" (EPC window with SIC: recovers BOTH EPC frames when two tags
-    that drew the same RN16 answer the ACK superposed; pass 1 equals the
-    plain EPC decode, each recovered frame self-validates via CRC-16) |
-    "acc:<n>" (n-bit access-command reply: Req_RN handle or Read data;
-    CRC checks happen host-side on the returned bits).
-
-    The live loop re-enters this at a handful of stable block shapes (one
-    per command kind), so after warmup every slot is a single compiled
-    call - this is what takes per-slot latency from ~56 ms of eager op
-    dispatch to ~2 ms (see README).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from ..dsp import fm0, miller, sync
-    from ..dsp.filters import matched_filter_decimate
-    from ..dsp.gate import gate_detect
-    from .inventory import matched_taps
-
-    ev_cfg = dataclasses.replace(cfg, max_events=8)
-    want_epc = mode in ("epc", "epc_sic")
-    acc_bits = int(mode.split(":")[1]) if mode.startswith("acc:") else 0
-    if acc_bits:
-        w = cfg.reply_window(acc_bits)
-    else:
-        w = cfg.epc_window if want_epc else cfg.rn16_window
-
-    @jax.jit
-    def run(block2):
-        y = matched_filter_decimate(
-            jax.lax.complex(block2[0], block2[1]), matched_taps(cfg),
-            cfg.decim)
-        ev = gate_detect(y, ev_cfg)
-        # Newest command event (invalid slots hold index n, so mask first).
-        idx_arr = jnp.where(ev.valid, ev.index, jnp.int32(-1))
-        pos = jnp.argmax(idx_arr)
-        found = jnp.any(ev.valid)
-        idx = jnp.maximum(idx_arr[pos], 0)
-        fits = found & (idx + w <= y.shape[0])
-        start = jnp.minimum(idx, jnp.int32(y.shape[0] - w))
-        frame = jax.lax.dynamic_slice(y, (start,), (w,)) - ev.dc[pos]
-        if acc_bits:
-            if cfg.miller_m == 1:
-                di, h = sync.tag_sync(frame, cfg)
-                bits = fm0.payload_detect(frame, di, h, cfg, acc_bits)
-            else:
-                di, h, eps = miller.miller_sync_full(frame, cfg)
-                bits = miller.miller_detect(frame, di, h, cfg, acc_bits,
-                                            eps0=eps)[0]
-            return fits, bits
-        if mode == "epc_sic":
-            from ..dsp.collision import epc_sic
-
-            r = epc_sic(frame, cfg, n_tags=2)
-            return (fits, r.bits[0], r.crc_ok[0], r.bits[1], r.crc_ok[1])
-        if mode == "sic":
-            from ..dsp.collision import rn16_sic
-
-            r = rn16_sic(frame, cfg)
-            energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
-            # Post-MF-scale channel power (the classifier's normalization).
-            h1sq = jnp.real(r.h1_sync) ** 2 + jnp.imag(r.h1_sync) ** 2
-            return (fits, r.bits1, r.margin1, energy, h1sq,
-                    ev.noise_var[pos], r.bits2, r.margin2, r.cancel_ratio)
-        rel = None
-        if cfg.miller_m == 1:
-            di, h = sync.tag_sync(frame, cfg)
-            if want_epc:
-                m2 = (jnp.abs(frame) ** 2).astype(jnp.float32)
-                if cfg.epc_softfix:
-                    bits, _, rel = fm0.epc_detect_soft(frame, m2, di, h, cfg)
-                else:
-                    bits, _ = fm0.epc_detect(frame, m2, di, h, cfg)
-            else:
-                bits, margin = fm0.rn16_detect_soft(frame, di, h, cfg)
-        else:
-            di, h, eps = miller.miller_sync_full(frame, cfg)
-            if want_epc:
-                if cfg.epc_softfix:
-                    bits, _, rel = miller.miller_epc_soft(frame, di, h, cfg,
-                                                          eps0=eps)
-                else:
-                    bits, _ = miller.miller_epc(frame, di, h, cfg, eps0=eps)
-            else:
-                bits, margin = miller.miller_rn16_soft(frame, di, h, cfg,
-                                                       eps0=eps)
-        if want_epc:
-            # Mode-aware validation (+ optional CRC-guided soft recovery):
-            # native parses the PC length field (variable-length EPC),
-            # compat pins the reference's fixed check.  h rides out planar
-            # (re, im): the per-read phase observable (runtime/ranging.py
-            # Doppler / PDOA in the live loop).
-            from .inventory import _validate_epc_soft
-
-            okv, _, bitsv = _validate_epc_soft(
-                bits[None], None if rel is None else rel[None], cfg)
-            return (fits, bitsv[0], okv[0], jnp.real(h), jnp.imag(h))
-        energy = jnp.mean(jnp.abs(frame[: cfg.rn16_window]) ** 2)
-        h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
-        return fits, bits, margin, energy, h2, ev.noise_var[pos]
-
-    return run
-
-
-#: ETSI EN 302 208 lower-band 4-channel plan (MHz): the four 200 kHz
-#: high-power channels European readers share - the natural LBT set.
-ETSI_LOWER_MHZ = (865.7, 866.3, 866.9, 867.5)
-
-
-def default_link_profiles(cfg: ReaderConfig, ms=(1, 2, 4)):
-    """A ready-made link ladder from a base config: one profile per
-    requested encoding (fastest first), sharing the base radio rates,
-    each with the decimation that leaves ~5 RX samples per chip (half-bit
-    for FM0) — the reference's own operating density (SURVEY §2.4).
-
-    With the 2 Msps reference rates this yields FM0/decim-5, Miller-2/
-    decim-2 and Miller-4/decim-1 (6.25 samples per chip post-decimation
-    for the Miller rungs).
-    """
-    out = []
-    for m in ms:
-        chip_us = cfg.tag_bit_us / (2 * max(m, 1))
-        chip_samples = chip_us * cfg.adc_rate / 1e6
-        decim = max(1, int(chip_samples / 5))
-        assert chip_samples / decim >= 2.5, (
-            f"M={m} chips unresolvable at {cfg.adc_rate/1e6:.1f} Msps")
-        out.append(dataclasses.replace(cfg, miller_m=m, decim=decim))
-    return out
-
-
-class LiveReader:
+class LiveReader(AccessOpsMixin, RfManagementMixin, SlotDecodeMixin):
     """Drives inventory rounds over an interactive channel.
 
     ``adaptive``: run a Q controller (QueryAdjust when round(Qfp) moves).
@@ -620,661 +365,6 @@ class LiveReader:
         self._ctx_len = (cfg.win_length + cfg.n_samples_t1 + 64) * cfg.decim + n_taps
         self._block_shapes = set()   # distinct (len, mode) decode shapes
         self._reset_ctx()
-
-    # ---- link-rate adaptation ----
-
-    def _apply_link_profile(self, idx: int) -> None:
-        """Switch to ladder rung ``idx``: the next Query carries the new
-        M/TRext (tags follow it per spec), and the reader's own TX tables,
-        decode jits and gate context re-key to the new config."""
-        p = self.link_profiles[idx]
-        self._link_idx = idx
-        self.cfg = p
-        self.enc = PieEncoder(p)
-        n_taps = int(p.tag_bit_us / 2 * p.adc_rate / 1e6 / p.miller_m)
-        self._ctx_len = ((p.win_length + p.n_samples_t1 + 64) * p.decim
-                         + n_taps)
-        self._reset_ctx()
-        self.stats.link_trace.append((self.stats.cur_round, p.miller_m))
-        _log.debug("LINK | -> M=%d decim=%d", p.miller_m, p.decim)
-
-    def _link_update(self, occupied: int, ok: int) -> None:
-        """Round-boundary rate control: downshift on failing (or, with
-        ``link_probe``, silent) rounds, upshift after sustained clean
-        rounds.
-
-        ``link_probe`` matters under strong in-channel interference: the
-        jammer inflates the gate's CW noise estimate, so jammed slots
-        classify *empty* — indistinguishable from an absent tag at this
-        layer.  Probing downward on silence is safe either way: an absent
-        tag merely parks the reader on the robust rung (reads resume
-        immediately when it appears), while a jammed FM0 link walks to
-        the Miller rung that clears the interferer — the dense-reader
-        autoset behavior."""
-        if not self.link_profiles:
-            return
-        eff = max(occupied, ok)
-        if eff == 0:
-            if not self.link_probe:
-                return
-            self._link_bad += 1
-            self._link_clean = 0
-        elif ok < 0.5 * eff:
-            self._link_bad += 1
-            self._link_clean = 0
-        elif ok == eff:
-            self._link_clean += 1
-            self._link_bad = 0
-        else:
-            self._link_bad = 0
-            self._link_clean = 0
-        if (self._link_bad >= self.link_down_after
-                and self._link_idx + 1 < len(self.link_profiles)):
-            self._link_bad = 0
-            self._link_clean = 0
-            self._apply_link_profile(self._link_idx + 1)
-        elif self._link_clean >= self.link_up_after and self._link_idx > 0:
-            self._link_bad = 0
-            self._link_clean = 0
-            self._apply_link_profile(self._link_idx - 1)
-
-    # ---- listen-before-talk ----
-
-    def _listen_power(self, channel, bw_hz: float = 200e3) -> float:
-        """One TX-off sensing window: mean ambient power INSIDE the
-        200 kHz channel (FFT band power) — a neighbor's carrier two
-        channels over must not read as local occupancy."""
-        rx = np.asarray(channel.exchange(
-            "listen", np.zeros(0, np.int64), np.zeros(0, np.float32),
-            self.lbt_listen_us))
-        if rx.size == 0:
-            return 0.0
-        spec = np.abs(np.fft.fft(rx)) ** 2
-        f = np.fft.fftfreq(rx.size, 1.0 / self.cfg.adc_rate)
-        band = np.abs(f) <= bw_hz / 2
-        return float(spec[band].sum() / rx.size ** 2)
-
-    def _lbt_note(self, f_mhz: float, power: float) -> None:
-        """Record a sensing measurement into the per-channel history (the
-        rolling floor estimate; bounded so a permanent ambient rise ages
-        old lows out instead of pinning the floor forever)."""
-        hist = self._lbt_hist.setdefault(f_mhz, [])
-        hist.append(power)
-        del hist[:-8]
-
-    def _lbt_thresh(self) -> float:
-        """Busy threshold: margin over the freshest floor estimate (min of
-        recent sensing windows across the plan), never below the absolute
-        minimum (`lbt_floor_min`)."""
-        floor = min(min(h) for h in self._lbt_hist.values())
-        return max(floor, self.lbt_floor_min) * 10.0 ** (
-            self.lbt_margin_db / 10.0)
-
-    def _lbt_check(self, channel) -> None:
-        """Clear-channel assessment before a Query round: move off busy
-        channels.  The first call surveys the whole plan for its noise
-        floor; afterwards every sensing window feeds the rolling
-        per-channel floor history so the threshold tracks ambient/gain
-        changes instead of going stale."""
-        if not self.lbt_mhz:
-            return
-        if not self._lbt_hist:
-            for f in self.lbt_mhz:
-                if hasattr(channel, "retune"):
-                    channel.retune(f * 1e6)
-                self._lbt_note(f, self._listen_power(channel))
-            f0 = self.lbt_mhz[self._lbt_idx]
-            self._carrier_hz = f0 * 1e6
-            if hasattr(channel, "retune"):
-                channel.retune(self._carrier_hz)
-        for _ in range(len(self.lbt_mhz)):
-            p = self._listen_power(channel)
-            self._lbt_note(self.lbt_mhz[self._lbt_idx], p)
-            if p <= self._lbt_thresh():
-                return
-            # Busy: defer to the next channel of the plan.
-            self.stats.n_lbt_defers += 1
-            self._lbt_idx = (self._lbt_idx + 1) % len(self.lbt_mhz)
-            f = self.lbt_mhz[self._lbt_idx]
-            self._carrier_hz = f * 1e6
-            if hasattr(channel, "retune"):
-                channel.retune(self._carrier_hz)
-            self.stats.lbt_trace.append((self.stats.cur_round, f))
-            _log.debug("LBT | busy, -> %.1f MHz", f)
-        _log.debug("LBT | all channels busy; transmitting anyway")
-
-    # ---- per-block decode (jitted; one stable shape per command kind) ----
-
-    def _reset_ctx(self) -> None:
-        """Zero (not empty) context keeps block shapes stable across
-        power-down resets, so no recompiles occur mid-inventory."""
-        self._ctx = np.zeros(self._ctx_len, np.complex64)
-
-    @staticmethod
-    def _bank_code(name: str):
-        return {"reserved": gen2.MEMBANK_RESERVED, "epc": gen2.MEMBANK_EPC,
-                "tid": gen2.MEMBANK_TID, "user": gen2.MEMBANK_USER}[name]
-
-    def _req_rn(self, channel, rn: np.ndarray):
-        """One Req_RN exchange; returns the CRC-verified 16-bit reply RN
-        (a handle from an Acknowledged tag, or a Write cover-code from an
-        Open tag) or None."""
-        cfg = self.cfg
-        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
-        rr = gen2.req_rn_bits(rn)
-        cw = float(cfg.t1_us + cfg.t2_us + (32 + pre) * cfg.tag_bit_us)
-        rx = channel.exchange("req_rn", rr, self.enc.command(rr), cw)
-        out = self._decode_window(rx, "acc:32")
-        if out is None:
-            return None
-        if not np.array_equal(gen2._crc16_any(out[:16]), out[16:]):
-            return None
-        return out[:16]
-
-    @property
-    def _wants_access(self) -> bool:
-        return any(x is not None for x in (
-            self.access_read, self.access_write, self.access_pwd,
-            self.lock, self.block_write, self.block_erase,
-            self.block_permalock, self.kill_pwd, self.authenticate,
-            self.challenge_auth, self.untraceable, self.key_update,
-            self.authenticate_read, self.secure_read, self.secure_write,
-            self.auth_comm_write))
-
-    def _delayed_ok(self, out, handle) -> bool:
-        """Verify a delayed success reply (Write/BlockWrite/Lock/final
-        Kill): header-0 + handle echo + CRC-16 over header+handle."""
-        return (out is not None and out[0] == 0
-                and np.array_equal(out[1:17], handle)
-                and np.array_equal(gen2._crc16_any(out[:17]), out[17:33]))
-
-    def _record_error(self, out, handle) -> bool:
-        """Check a decoded window (>= 41 bits) for an Annex-I error reply
-        addressed to ``handle``; record it in ``error_counts``."""
-        if out is None or len(out) < gen2.ERROR_REPLY_BITS:
-            return False
-        name, h, ok = gen2.parse_error_reply(out)
-        if not (ok and np.array_equal(h, handle)):
-            return False
-        st = self.stats
-        st.error_counts[name] = st.error_counts.get(name, 0) + 1
-        _log.debug("TAG ERROR | %s", name)
-        return True
-
-    def _delayed_exchange(self, channel, kind, bits, handle) -> bool:
-        """Transmit a delayed-reply access command; decode success
-        (header-0 + handle + CRC) or an Annex-I error reply (header-1 +
-        code + handle + CRC, 41 bits - the window covers both)."""
-        cfg = self.cfg
-        pre = 1 + cfg.effective_preamble_bits
-        nb = gen2.ERROR_REPLY_BITS              # 41 >= the 33-bit success
-        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-        rx = channel.exchange(kind, bits, self.enc.command(bits), cw)
-        out = self._decode_window(rx, f"acc:{nb}")
-        if self._delayed_ok(out, handle):
-            return True
-        self._record_error(out, handle)
-        return False
-
-    def _tam1_session(self, channel, handle, key_id: int, key):
-        """One TAM1 exchange establishing an AuthComm/SecureComm session.
-
-        Returns (challenge96, trnd32) - the session secret both sides now
-        hold (the tag stored its half in ``Tag.session``) - or None when
-        the tag stayed silent or the crypto check failed."""
-        from ..protocol import crypto
-
-        cfg = self.cfg
-        st = self.stats
-        pre = 1 + cfg.effective_preamble_bits
-        chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
-        ab = gen2.authenticate_bits(
-            handle, crypto.tam1_message(key_id, chal))
-        nb = 1 + crypto.TAM1_RESPONSE_BITS + 32
-        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-        rx = channel.exchange("authenticate", ab, self.enc.command(ab), cw)
-        out = self._decode_window(rx, f"acc:{nb}")
-        if (out is None or out[0] != 0
-                or not np.array_equal(out[129:145], handle)
-                or not np.array_equal(gen2._crc16_any(out[:145]),
-                                      out[145:])):
-            return None
-        ok, trnd = crypto.tam1_verify(bytes(key), chal, out[1:129])
-        if not ok:
-            st.n_auth_fail += 1
-            return None
-        return chal, trnd
-
-    def _pwd_step(self, channel, handle, half, kind: str):
-        """One cover-coded password half (Access or Kill): Req_RN(handle)
-        fetches the cover RN16, the half travels XOR'd with it.  Returns
-        the decoded reply bits (None = tag silent)."""
-        cfg = self.cfg
-        cover = self._req_rn(channel, handle)
-        if cover is None:
-            return None
-        cc = (np.asarray(half) + cover) % 2
-        if kind == "access":
-            bits = gen2.access_bits(handle, cc)
-            nb = 32                                 # handle + CRC echo
-        else:
-            bits = gen2.kill_bits(handle, cc)
-            nb = 32 if kind == "kill1" else 33      # final reply is delayed
-        pre = 1 + cfg.effective_preamble_bits
-        cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-        rx = channel.exchange("access" if kind == "access" else "kill",
-                              bits, self.enc.command(bits), cw)
-        return self._decode_window(rx, f"acc:{nb}")
-
-    def _access_sequence(self, channel, rn16, tid: int) -> None:
-        """Req_RN -> handle, then the configured access commands
-        (Gen2 6.3.2.12.3) in spec order: Access (-> Secured), Lock, Write,
-        BlockWrite, Read, Kill.  Every reply is CRC-16-verified and must
-        echo the handle; passwords and Write data travel cover-coded."""
-        cfg = self.cfg
-        st = self.stats
-        pre = 1 + cfg.effective_preamble_bits      # dummy-1 + preamble
-
-        handle = self._req_rn(channel, rn16)
-        if handle is None:
-            return
-        st.n_req_rn_ok += 1
-        _log.debug("REQ_RN OK | handle=%s", "".join(map(str, handle)))
-
-        if self.access_pwd is not None:
-            hi, lo = gen2.pwd_halves(self.access_pwd)
-            ok = True
-            for half in (hi, lo):
-                out = self._pwd_step(channel, handle, half, "access")
-                if (out is None or not np.array_equal(out[:16], handle)
-                        or not np.array_equal(gen2._crc16_any(out[:16]),
-                                              out[16:])):
-                    ok = False
-                    break
-            if not ok:
-                return
-            st.n_access_ok += 1
-            _log.debug("ACCESS OK | tag %#x secured", tid)
-
-        if self.authenticate is not None:
-            # Gen2 v2 TAM1 (6.3.2.12.3.11): fresh challenge per tag,
-            # immediate response, decrypt-and-compare.  The crypto suite
-            # follows the key length: ISO 29167-10 AES-128 (16 bytes,
-            # 96-bit challenge / 128-bit response) or ISO 29167-11
-            # PRESENT-80 (10 bytes, 48 / 64).
-            from ..protocol import crypto
-
-            key_id, key = self.authenticate
-            cb, rb, _ = crypto.tam1_params(
-                crypto.suite_for_key(bytes(key)))
-            chal = self._auth_rng.integers(0, 2, cb).astype(np.int64)
-            ab = gen2.authenticate_bits(
-                handle, crypto.tam1_message(key_id, chal),
-                csi=crypto.suite_for_key(bytes(key)))
-            nb = 1 + rb + 32
-            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("authenticate", ab, self.enc.command(ab),
-                                  cw)
-            out = self._decode_window(rx, f"acc:{nb}")
-            if (out is not None and out[0] == 0
-                    and np.array_equal(out[1 + rb: 17 + rb], handle)
-                    and np.array_equal(gen2._crc16_any(out[:17 + rb]),
-                                       out[17 + rb:])):
-                ok, _ = crypto.tam1_verify(bytes(key), chal,
-                                           out[1: 1 + rb])
-                if ok:
-                    st.n_auth_ok += 1
-                    _log.debug("AUTHENTICATE OK | tag %#x", tid)
-                else:
-                    st.n_auth_fail += 1
-                    _log.debug("AUTHENTICATE CRYPTO FAIL | tag %#x", tid)
-
-        if self.authenticate_read is not None:
-            # TAM2 authenticated confidential read: one exchange proves
-            # the key AND returns CBC-encrypted memory (never in clear).
-            from ..protocol import crypto
-
-            key_id, key, wordptr, n_blocks = self.authenticate_read[:4]
-            bank = (self.authenticate_read[4]
-                    if len(self.authenticate_read) > 4 else "user")
-            chal = self._auth_rng.integers(0, 2, 96).astype(np.int64)
-            ab = gen2.authenticate_bits(
-                handle, crypto.tam2_message(key_id, chal,
-                                            self._bank_code(bank),
-                                            wordptr, n_blocks))
-            resp_bits = 128 * (1 + n_blocks)
-            nb = 1 + resp_bits + 32
-            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("authenticate", ab, self.enc.command(ab),
-                                  cw)
-            out = self._decode_window(rx, f"acc:{nb}")
-            if (out is not None and out[0] == 0
-                    and np.array_equal(out[1 + resp_bits: 17 + resp_bits],
-                                       handle)
-                    and np.array_equal(gen2._crc16_any(out[: nb - 16]),
-                                       out[nb - 16:])):
-                ok, data = crypto.tam2_verify(bytes(key), chal,
-                                              out[1: 1 + resp_bits])
-                if ok:
-                    st.n_tam2_ok += 1
-                    st.secure_read_words[tid] = data
-                    _log.debug("TAM2 SECURE READ OK | tag %#x words=%d",
-                               tid, 8 * n_blocks)
-                else:
-                    st.n_auth_fail += 1
-
-        if (self.secure_read is not None or self.secure_write is not None
-                or self.auth_comm_write is not None):
-            # Gen2 v2 AuthComm/SecureComm encapsulation: establish the
-            # TAM1 session once, then run the configured encapsulated
-            # commands under it (protocol/crypto.py session construction).
-            from ..protocol import crypto
-
-            first = (self.secure_read or self.secure_write
-                     or self.auth_comm_write)
-            key_id, key = first[0], bytes(first[1])
-            sess = self._tam1_session(channel, handle, key_id, key)
-            if sess is not None:
-                chal, trnd = sess
-                ctr = 0
-                if self.auth_comm_write is not None:
-                    wordptr, data = self.auth_comm_write[2:4]
-                    bank = (self.auth_comm_write[4]
-                            if len(self.auth_comm_write) > 4 else "user")
-                    wb = gen2.write_bits(handle, np.asarray(data),
-                                         membank=self._bank_code(bank),
-                                         wordptr=wordptr)
-                    mac = crypto.session_mac(key, chal, trnd, wb, ctr=ctr,
-                                             direction=0)
-                    ac = gen2.auth_comm_bits(handle, wb, mac)
-                    ctr += 1
-                    if self._delayed_exchange(channel, "auth_comm", ac,
-                                              handle):
-                        st.n_auth_comm_ok += 1
-                        _log.debug("AUTHCOMM WRITE OK | tag %#x word %d",
-                                   tid, wordptr)
-                if self.secure_write is not None:
-                    wordptr, data = self.secure_write[2:4]
-                    bank = (self.secure_write[4]
-                            if len(self.secure_write) > 4 else "user")
-                    wb = gen2.write_bits(handle, np.asarray(data),
-                                         membank=self._bank_code(bank),
-                                         wordptr=wordptr)
-                    ks = crypto.session_keystream(key, chal, trnd, ctr,
-                                                  wb.size, direction=0)
-                    sc = gen2.secure_comm_bits(handle, (wb + ks) % 2)
-                    ctr += 1
-                    if self._delayed_exchange(channel, "secure_comm", sc,
-                                              handle):
-                        st.n_secure_write_ok += 1
-                        _log.debug("SECURECOMM WRITE OK | tag %#x word %d",
-                                   tid, wordptr)
-                if self.secure_read is not None:
-                    wordptr, wc = self.secure_read[2:4]
-                    bank = (self.secure_read[4]
-                            if len(self.secure_read) > 4 else "user")
-                    rb = gen2.read_bits(handle,
-                                        membank=self._bank_code(bank),
-                                        wordptr=wordptr, wordcount=wc)
-                    ks = crypto.session_keystream(key, chal, trnd, ctr,
-                                                  rb.size, direction=0)
-                    sc = gen2.secure_comm_bits(handle, (rb + ks) % 2)
-                    nb = 1 + 16 * wc + 16 + 16
-                    cw = float(cfg.t1_us + cfg.t2_us
-                               + (nb + pre) * cfg.tag_bit_us)
-                    rx = channel.exchange("secure_comm", sc,
-                                          self.enc.command(sc), cw)
-                    out = self._decode_window(rx, f"acc:{nb}")
-                    if (out is not None and out[0] == 0
-                            and np.array_equal(
-                                out[1 + 16 * wc: 17 + 16 * wc], handle)
-                            and np.array_equal(
-                                gen2._crc16_any(out[: nb - 16]),
-                                out[nb - 16:])):
-                        ks2 = crypto.session_keystream(
-                            key, chal, trnd, ctr, 16 * wc, direction=1)
-                        st.secure_read_words[tid] = (
-                            out[1: 1 + 16 * wc] + ks2) % 2
-                        st.n_secure_read_ok += 1
-                        _log.debug("SECURECOMM READ OK | tag %#x words=%d",
-                                   tid, wc)
-                    else:
-                        # Rejected inner commands answer with a cleartext
-                        # Annex-I error reply (the envelope protects data,
-                        # not the failure class).
-                        self._record_error(out, handle)
-                    ctr += 1
-
-        if self.challenge_auth is not None and self._challenge is not None:
-            # Fetch the Challenge-precomputed response (6.3.2.12.3.12) and
-            # verify it against the broadcast challenge.
-            from ..protocol import crypto
-
-            _, key = self.challenge_auth
-            _, resp_b, _ = crypto.tam1_params(
-                crypto.suite_for_key(bytes(key)))
-            rb = gen2.readbuffer_bits(handle, bitcount=resp_b)
-            nb = 1 + resp_b + 32
-            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("readbuffer", rb, self.enc.command(rb), cw)
-            out = self._decode_window(rx, f"acc:{nb}")
-            if (out is not None and out[0] == 0
-                    and np.array_equal(out[1 + resp_b: 17 + resp_b], handle)
-                    and np.array_equal(gen2._crc16_any(out[:17 + resp_b]),
-                                       out[17 + resp_b:])):
-                ok, _ = crypto.tam1_verify(bytes(key), self._challenge,
-                                           out[1: 1 + resp_b])
-                if ok:
-                    st.n_buffer_auth_ok += 1
-                    _log.debug("READBUFFER AUTH OK | tag %#x", tid)
-                else:
-                    st.n_auth_fail += 1
-
-        if self.key_update is not None:
-            # Over-the-air key provisioning: new key encrypted under the
-            # current key (ISO 29167-10; nothing travels in clear).
-            from ..protocol import crypto
-
-            key_id, old_key, new_key = self.key_update
-            enc = crypto.bytes_to_bits(
-                crypto.aes128_encrypt_block(bytes(old_key), bytes(new_key)))
-            kb = gen2.keyupdate_bits(handle, key_id, enc)
-            if self._delayed_exchange(channel, "keyupdate", kb, handle):
-                st.n_keyupdate_ok += 1
-                _log.debug("KEYUPDATE OK | tag %#x key %d", tid, key_id)
-
-        if self.untraceable is not None:
-            ub = gen2.untraceable_bits(handle, **self.untraceable)
-            if self._delayed_exchange(channel, "untraceable", ub, handle):
-                st.n_untraceable_ok += 1
-                _log.debug("UNTRACEABLE OK | tag %#x", tid)
-
-        if self.lock is not None:
-            lb = gen2.lock_bits(handle, self.lock)
-            if self._delayed_exchange(channel, "lock", lb, handle):
-                st.n_lock_ok += 1
-                _log.debug("LOCK OK | tag %#x", tid)
-
-        if self.access_write is not None:
-            wordptr, data = self.access_write[:2]
-            bank = self.access_write[2] if len(self.access_write) > 2 else "user"
-            cover = self._req_rn(channel, handle)   # fresh RN16 cover-code
-            if cover is not None:
-                wb = gen2.write_bits(
-                    handle, (np.asarray(data) + cover) % 2,
-                    membank=self._bank_code(bank), wordptr=wordptr)
-                if self._delayed_exchange(channel, "write", wb, handle):
-                    st.n_write_ok += 1
-                    _log.debug("WRITE OK | tag %#x word %d", tid, wordptr)
-
-        if self.block_write is not None:
-            wordptr, data = self.block_write[:2]
-            bank = self.block_write[2] if len(self.block_write) > 2 else "user"
-            bw = gen2.blockwrite_bits(handle, np.asarray(data),
-                                      membank=self._bank_code(bank),
-                                      wordptr=wordptr)
-            if self._delayed_exchange(channel, "blockwrite", bw, handle):
-                st.n_blockwrite_ok += 1
-                _log.debug("BLOCKWRITE OK | tag %#x words=%d", tid,
-                           len(data) // 16)
-
-        if self.block_erase is not None:
-            wordptr, wordcount = self.block_erase[:2]
-            bank = self.block_erase[2] if len(self.block_erase) > 2 else "user"
-            eb = gen2.blockerase_bits(handle, membank=self._bank_code(bank),
-                                      wordptr=wordptr, wordcount=wordcount)
-            if self._delayed_exchange(channel, "blockerase", eb, handle):
-                st.n_blockerase_ok += 1
-                _log.debug("BLOCKERASE OK | tag %#x words=%d", tid, wordcount)
-
-        if self.block_permalock is not None:
-            blockptr, mask = self.block_permalock[:2]
-            if mask is None:
-                # Read/Lock=0: fetch the permalock-status bits (one mask
-                # word = 16 one-word blocks).
-                nb = 1 + 16 + 32
-                pb = gen2.blockpermalock_bits(handle, blockptr=blockptr)
-                cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-                rx = channel.exchange("blockpermalock", pb,
-                                      self.enc.command(pb), cw)
-                out = self._decode_window(rx, f"acc:{nb}")
-                if (out is not None and out[0] == 0
-                        and np.array_equal(out[17:33], handle)
-                        and np.array_equal(gen2._crc16_any(out[:33]),
-                                           out[33:])):
-                    st.permalock_status[tid] = np.asarray(out[1:17])
-                else:
-                    self._record_error(out, handle)
-            else:
-                mask = np.asarray(mask, dtype=np.int64)
-                pb = gen2.blockpermalock_bits(
-                    handle, read_lock=1, blockptr=blockptr,
-                    blockrange=mask.size // 16, mask=mask)
-                if self._delayed_exchange(channel, "blockpermalock", pb,
-                                          handle):
-                    st.n_blockpermalock_ok += 1
-                    _log.debug("BLOCKPERMALOCK OK | tag %#x", tid)
-
-        if self.access_read is not None:
-            wordptr, wordcount = self.access_read[:2]
-            bank = self.access_read[2] if len(self.access_read) > 2 else "epc"
-            nb = 1 + 16 * wordcount + 32           # header+data+handle+CRC
-            rd = gen2.read_bits(handle, membank=self._bank_code(bank),
-                                wordptr=wordptr, wordcount=wordcount)
-            cw = float(cfg.t1_us + cfg.t2_us + (nb + pre) * cfg.tag_bit_us)
-            rx = channel.exchange("read", rd, self.enc.command(rd), cw)
-            out = self._decode_window(rx, f"acc:{nb}")
-            if out is not None:
-                data = out[1: 1 + 16 * wordcount]
-                hecho = out[1 + 16 * wordcount: 17 + 16 * wordcount]
-                crc = out[nb - 16:]
-                if (out[0] == 0 and np.array_equal(hecho, handle)
-                        and np.array_equal(
-                            gen2._crc16_any(out[: nb - 16]), crc)):
-                    st.n_read_ok += 1
-                    st.read_words[tid] = np.asarray(data)
-                    _log.debug("READ OK | tag %#x words=%d", tid, wordcount)
-                else:
-                    # Annex-I error reply (41 bits <= any Read window).
-                    self._record_error(out, handle)
-
-        if self.kill_pwd is not None:
-            hi, lo = gen2.pwd_halves(self.kill_pwd)
-            out = self._pwd_step(channel, handle, hi, "kill1")
-            if (out is not None and np.array_equal(out[:16], handle)
-                    and np.array_equal(gen2._crc16_any(out[:16]), out[16:])):
-                out = self._pwd_step(channel, handle, lo, "kill2")
-                if self._delayed_ok(out, handle):
-                    st.n_kill_ok += 1
-                    _log.debug("KILL OK | tag %#x dead", tid)
-
-    def _send_select(self, channel) -> None:
-        """Transmit the configured Select (no reply expected; tags apply
-        the SL action, Gen2 6.3.2.12.1.1)."""
-        if self.select_mask is None:
-            return
-        mask, pointer = self.select_mask
-        target = (gen2.SELECT_TARGET_SL if self.select_target == "sl"
-                  else gen2.SELECT_TARGET_S[int(self.select_target[1])])
-        sb = gen2.select_bits(np.asarray(mask), pointer,
-                              membank=self._bank_code(self.select_bank),
-                              target=target, action=self.select_action,
-                              truncate=int(self.select_truncate))
-        channel.exchange("select", sb, self.enc.select(sb),
-                         float(self.cfg.cw_us))
-        _log.debug("SELECT | ptr=%#x len=%d tgt=%s act=%d", pointer,
-                   len(mask), self.select_target, self.select_action)
-
-    def _send_challenge(self, channel) -> None:
-        """Broadcast the Gen2 v2 Challenge (6.3.2.12.3.10): tags holding
-        the key precompute their TAM1 response for later ReadBuffer
-        retrieval.  Re-sent after every power-down (the ResponseBuffer does
-        not survive power loss)."""
-        if self.challenge_auth is None:
-            return
-        from ..protocol import crypto
-
-        key_id, key = self.challenge_auth
-        n_chal = crypto.tam1_params(crypto.suite_for_key(bytes(key)))[0]
-        self._challenge = self._auth_rng.integers(
-            0, 2, n_chal).astype(np.int64)
-        cb = gen2.challenge_bits(
-            crypto.tam1_message(key_id, self._challenge),
-            csi=crypto.suite_for_key(bytes(key)))
-        channel.exchange("challenge", cb, self.enc.command(cb),
-                         float(self.cfg.cw_us))
-        _log.debug("CHALLENGE | key_id=%d", key_id)
-
-    # ADC samples per live block-shape bucket: PIE command waveforms vary
-    # with the bit values (data-1 is 2x data-0, reader_impl.cc:55-56), so
-    # un-bucketed blocks get a fresh shape - and a fresh XLA compile -
-    # almost every ACK.  Zero-padding up to the bucket keeps the handful of
-    # shapes stable after warmup (trailing zeros sit after the reply window
-    # and decode as silence).
-    BLOCK_BUCKET = 512
-
-    def _decode_window(self, rx: np.ndarray, mode: str):
-        block = np.concatenate([self._ctx, rx])
-        self._ctx = block[-self._ctx_len:]
-        pad = -len(block) % self.BLOCK_BUCKET
-        padded = np.concatenate([block, np.zeros(pad, block.dtype)])
-        self._block_shapes.add((len(padded), mode))
-        block2 = np.stack([padded.real, padded.imag]).astype(np.float32)
-        out = _window_decoder(self.cfg, mode)(block2)
-        if not bool(out[0]):
-            return None
-        if mode.startswith("acc:"):
-            return np.asarray(out[1])
-        if mode == "epc":
-            return (np.asarray(out[1]), bool(out[2]),
-                    complex(float(out[3]), float(out[4])))
-        if mode == "epc_sic":
-            return (np.asarray(out[1]), bool(out[2]),
-                    np.asarray(out[3]), bool(out[4]))
-        r = _RnResult(
-            bits=np.asarray(out[1]),
-            energy=float(out[3]),
-            margin=float(out[2]),
-            h2=float(out[4]),
-            noise_var=float(out[5]),
-        )
-        if mode == "sic":
-            r.bits2 = np.asarray(out[6])
-            r.margin2 = float(out[7])
-            r.cancel_ratio = float(out[8])
-        return r
-
-    def _classify(self, rn: Optional[_RnResult]) -> int:
-        """Live slot state via the batch classifier's thresholds
-        (runtime.inventory.classify_slots) on scalar measurements."""
-        from .inventory import SLOT_COLLISION, SLOT_EMPTY, SLOT_SINGLE, classify_slots
-
-        if rn is None:
-            return SLOT_EMPTY
-        state = classify_slots(
-            np.float32(rn.energy), np.float32(rn.margin),
-            np.float32(rn.noise_var), np.float32(rn.h2))
-        return int(state)
 
     # ---- the closed loop ----
 
