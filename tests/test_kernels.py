@@ -62,3 +62,45 @@ def test_pallas_front_golden_decode():
     assert int(stats.n_epc_correct) == 70
     assert unique_tags(stats) == 1
     assert int(stats.tag_reads[0x1B]) == 70
+
+
+def test_gate_stack_flags_match_native():
+    """Fused flag-stack kernel vs the exact XLA ops gate_detect native
+    runs, on a real synthesized capture (block boundaries land mid-
+    command) and on random noise."""
+    from gen2_rfid_tpu.dsp.filters import boxcar_taps, matched_filter_decimate
+    from gen2_rfid_tpu.kernels.gate_stack import (
+        gate_stack_for_cfg,
+        native_flags_reference,
+    )
+    from gen2_rfid_tpu.sim.tag import Tag
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg = ReaderConfig(max_events=64)
+    tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=3,
+                              seed=9)
+    y = matched_filter_decimate(
+        jnp.asarray(tr.iq),
+        boxcar_taps(int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6)), cfg.decim)
+    y2 = jnp.stack([jnp.real(y), jnp.imag(y)])
+    got = gate_stack_for_cfg(y2, cfg, block=4096, interpret=True)
+    want = native_flags_reference(y, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gate_stack_flags_noise_and_sizes():
+    from gen2_rfid_tpu.kernels.gate_stack import (
+        gate_stack_flags,
+        native_flags_reference,
+    )
+
+    cfg = ReaderConfig()
+    rng = np.random.default_rng(4)
+    for n, block in [(9999, 2048), (40961, 8192)]:
+        y = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        y2 = jnp.asarray(np.stack([y.real, y.imag]).astype(np.float32))
+        got = gate_stack_flags(y2, cfg.win_length, cfg.n_samples_pw // 2,
+                               cfg.n_samples_t1, cfg.thresh_fraction,
+                               block=block, interpret=True)
+        want = native_flags_reference(jnp.asarray(y), cfg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
