@@ -5,7 +5,8 @@ PY ?= python
 CPU_ENV = env -u PYTHONPATH JAX_PLATFORMS=cpu \
           XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: all native test bench bench-scaling dryrun install clean
+.PHONY: all native test bench bench-configs bench-scaling dryrun \
+        distributed install clean
 
 all: native
 
@@ -22,8 +23,21 @@ test:
 bench:
 	$(PY) bench.py
 
+bench-configs:
+	$(PY) bench_configs.py
+
 bench-scaling:
 	$(CPU_ENV) $(PY) bench_scaling.py
+
+# Multi-process distributed validation: N real jax.distributed worker
+# processes on localhost (gloo CPU collectives) must reproduce the
+# single-process decode bit-exactly (shard/launch.py).
+distributed:
+	$(CPU_ENV) $(PY) -m gen2_rfid_tpu.apps.reader simulate /tmp/dist_cap.bin \
+	    --rounds 6 --tags 27 --seed 5
+	env -u PYTHONPATH $(PY) tools/run_distributed.py /tmp/dist_cap.bin \
+	    --num-processes 2 --cpu-devices-per-proc 4 \
+	    --expect-json '{"n_epc_correct": 6, "n_queries": 6, "round": 7}'
 
 dryrun:
 	$(CPU_ENV) $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -84,8 +84,10 @@ def _kernel(y_hbm, flags_ref, buf, sem, *, win: int, pw_half: int, nt1: int,
 
     below_run = run(jnp.logical_not(prev_above).astype(jnp.float32),
                     pw_half + 1)
+    # Mosaic iota must be integer-typed; convert after.
     gidx = (jnp.float32(i * block - lh)
-            + jax.lax.broadcasted_iota(jnp.float32, (1, ext), 1))
+            + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
+            .astype(jnp.float32))
     need = jnp.minimum(jnp.float32(pw_half + 1), gidx)
     qualify = rise & (below_run >= need) & (gidx >= jnp.float32(pw_half))
 
