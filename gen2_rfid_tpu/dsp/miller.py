@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ReaderConfig
+from ..runtime.frames import GRANULE
 from ..sim.tag import miller_chips
 from .fm0 import SEL_PRECISION
 
@@ -142,20 +143,35 @@ def miller_sync(
 
 @functools.lru_cache(maxsize=32)
 def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
-                              n_offsets: int):
-    """Per-segment (span, n_eps * n_offsets * 2*seg_bits) joint
+                              off_chips: float):
+    """Per-segment (span, n_eps * n_off * 2*seg_bits) joint
     (chip-period, offset) subcarrier-correlation selection tables.
 
-    Column (e*n_off + o)*2S + h of segment g sums +-frame[index + pos]
+    Column (e*n_off + o)*2S + h of segment g sums +-frame[start + pos]
     over the m chips of half-bit h at start offset o under chip-period
     hypothesis d*(1+eps_e), with pos = floor(g*(2S*m)*d + off_o +
-    k*d*(1+eps_e)) (index is integral so the floor splits exactly).  The
+    k*d*(1+eps_e)) (slice starts are integral so the floor is exact).  The
     joint grid is what extends BLF tolerance past ~+-2%: offset tracking
     alone leaves an intra-segment chip-period mismatch of eps * 32 chips
     that passes half a chip right around 2% (CLAUDE.md round-3 note);
     with +-0.5% period residual the smear stays under 0.16 chip at any
-    in-span clock error.  Returns ((s0, span, D), ...) with positions
-    rebased to each segment's minimum s0, plus the eps grid.
+    in-span clock error.
+
+    The offset grid keeps sub-sample steps - the fractional-phase
+    diversity is real decode margin, not cosmetic: each sub-sample offset
+    yields a different rounding pattern along the chip sequence, i.e. a
+    distinct fractional-delay template - but spans [-off_chips,
+    +off_chips + GRANULE/d] chips instead of +-off_chips.
+    The upper GRANULE/d extension lets miller_detect slice each segment
+    on a GRANULE boundary (the aligned row-gather pattern; a per-frame
+    unaligned dynamic_slice under vmap is the v5e scalar-gather poison
+    that made the Miller cascade 70 ms of an 82 ms iteration -
+    tools/tpu_prof_miller*.py) and absorb the 0..GRANULE-1 sample
+    remainder on the offset axis; miller_detect re-centers the tracker
+    prior at the known remainder and hard-masks candidates outside
+    +-off_chips of it.  Spans are padded to a GRANULE multiple.  Returns
+    ((s0, span, D), ...) with positions rebased to each segment's minimum
+    s0, the eps grid, and the offset grid (samples).
     """
     m = cfg.miller_m
     d = float(cfg.n_samples_chip)
@@ -163,7 +179,17 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
     n_seg = (n_bits + s - 1) // s
     eps = seg_eps_grid(cfg.miller_grid_frac)
     n_eps = eps.shape[0]
-    offsets = np.linspace(-1.5, 1.5, n_offsets) * d       # float64
+    # 0.5-*sample* steps: finer than the original 0.125-chip lattice at
+    # every supported chip rate, and - because the step divides 1 sample -
+    # closed under the integer alignment remainder, so the candidate
+    # template set relative to the signal is identical for every event
+    # regardless of its slice's granule phase (the pre-alignment design
+    # had that uniformity trivially; a non-closed lattice loses marginal
+    # frames to per-event fractional-phase luck).
+    step = 0.5
+    n_pts = int(np.ceil((2 * off_chips * d + GRANULE) / step)) + 1
+    offsets = -off_chips * d + step * np.arange(n_pts)           # float64
+    n_off = offsets.shape[0]
     sub = ((-1.0) ** np.arange(m)).astype(np.float32)
     tables = []
     for g in range(n_seg):
@@ -181,16 +207,17 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
         ).astype(np.int64)                                 # (E, O, K)
         s0 = int(pos.min())
         span = int(pos.max()) - s0 + 1
-        dmat = np.zeros((span, n_eps * n_offsets * 2 * sg), dtype=np.float32)
+        span = -(-span // GRANULE) * GRANULE
+        dmat = np.zeros((span, n_eps * n_off * 2 * sg), dtype=np.float32)
         half = np.arange(2 * sg * m) // m
-        cols = (np.arange(n_eps)[:, None, None] * (n_offsets * 2 * sg)
-                + np.arange(n_offsets)[None, :, None] * (2 * sg)
+        cols = (np.arange(n_eps)[:, None, None] * (n_off * 2 * sg)
+                + np.arange(n_off)[None, :, None] * (2 * sg)
                 + half[None, None, :])
         vals = np.broadcast_to(
             sub[np.tile(np.arange(m), 2 * sg)][None, None, :], pos.shape)
         np.add.at(dmat, (pos - s0, cols), vals)
         tables.append((s0, span, dmat))
-    return tuple(tables), eps
+    return tuple(tables), eps, offsets.astype(np.float32)
 
 
 def default_seg_bits(m: int) -> int:
@@ -211,7 +238,7 @@ def miller_detect(
     cfg: ReaderConfig,
     n_bits: int,
     seg_bits: int = None,
-    n_offsets: int = 25,
+    off_chips: float = 1.5,
     eps0: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode n_bits Miller-M bits with a drift-tracking joint
@@ -252,27 +279,25 @@ def miller_detect(
     m = cfg.miller_m
     if seg_bits is None:
         seg_bits = default_seg_bits(m)
-    tables, eps_np = _miller_segment_selection(cfg, n_bits, seg_bits,
-                                               n_offsets)
+    tables, eps_np, off_np = _miller_segment_selection(cfg, n_bits, seg_bits,
+                                                       off_chips)
     n_eps = eps_np.shape[0]
+    n_off = off_np.shape[0]
     hi = SEL_PRECISION
     w = frame.shape[0]
     fr, fi = jnp.real(frame), jnp.imag(frame)
+    # Granule rows for aligned slices (vmapped unaligned dynamic_slice is
+    # the v5e scalar-gather poison; batched row gathers are not - the
+    # gather_aligned_windows pattern, runtime/frames.py).
+    n_rows = -(-w // GRANULE)
+    pad = n_rows * GRANULE - w
+    frows = jnp.pad(fr, (0, pad)).reshape(n_rows, GRANULE)
+    firows = jnp.pad(fi, (0, pad)).reshape(n_rows, GRANULE)
     d = np.float32(cfg.n_samples_chip)
     # Offset values of the table's search grid (samples, segment-relative).
-    chips = np.linspace(-1.5, 1.5, n_offsets).astype(np.float32)
-    off_vals = jnp.asarray(chips * d)
+    off_vals = jnp.asarray(off_np)
+    off_chips_grid = jnp.asarray(off_np / float(d))
     eps_vals = jnp.asarray(eps_np)
-    # Prediction-centered prior on the offset decision: segment energy is
-    # nearly flat across whole-chip shifts (the comb), and under strong
-    # in-channel interference the tone can out-shine the backscatter on a
-    # short segment - a soft Gaussian prior (sigma 1.25 chips; sweep in
-    # session notes: 0.75 costs decode margin at +-1% BLF error under
-    # noise, 1.0-1.5 passes both the tolerance and the -20 dBc
-    # dense-reader scenarios) around the predicted position breaks both
-    # ties toward the tracked alignment while costing a sharply-peaked
-    # true offset almost nothing.
-    off_prior = jnp.asarray(np.exp(-(chips ** 2) / (2.0 * 1.25 ** 2)))
     seg_chips = 2 * seg_bits * m       # full-segment chips (tail is last)
     max_step = jnp.float32(0.75 * d)   # slope clamp (samples per segment)
     eps_sigma = jnp.float32(0.015)     # eps continuity prior width
@@ -289,17 +314,43 @@ def miller_detect(
     eps_track = eps0
     q_segs = []
     for g, (s0, span, d_np) in enumerate(tables):
-        # One dynamic slice per segment, then a shared-weight +-1 selection
-        # matmul computing every (period, offset) hypothesis's subcarrier
-        # correlations at once (per-frame chip gathers serialize on TPU).
+        # One granule-aligned row gather per segment, then a shared-weight
+        # +-1 selection matmul computing every (period, offset) hypothesis's
+        # subcarrier correlations at once (per-frame chip gathers and
+        # unaligned slices serialize on TPU).  The 0..GRANULE-1 alignment
+        # remainder is known, covered by the offset grid's upper extension,
+        # and re-centers the offset prior below.
         shift = jnp.round(pred).astype(jnp.int32)
-        start = jnp.clip(index + s0 + shift, 0, w - span)
-        slr = jax.lax.dynamic_slice(fr, (start,), (span,))
-        sli = jax.lax.dynamic_slice(fi, (start,), (span,))
+        raw = jnp.clip(index + s0 + shift, 0, w - span)
+        row0 = raw // GRANULE
+        rem = (raw - row0 * GRANULE).astype(jnp.float32)
+        rows = row0 + jnp.arange(span // GRANULE, dtype=jnp.int32)
+        slr = frows[rows].reshape(span)
+        sli = firows[rows].reshape(span)
         dj = jnp.asarray(d_np)
-        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_eps, n_offsets, -1)
-        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_eps, n_offsets, -1)
+        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_eps, n_off, -1)
+        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_eps, n_off, -1)
         e = jnp.sum(qr ** 2 + qi ** 2, axis=2)             # (E, O)
+        # Prediction-centered prior on the offset decision: segment energy
+        # is nearly flat across whole-chip shifts (the comb), and under
+        # strong in-channel interference the tone can out-shine the
+        # backscatter on a short segment - a soft Gaussian prior (sigma
+        # 1.25 chips; sweep in session notes: 0.75 costs decode margin at
+        # +-1% BLF error under noise, 1.0-1.5 passes both the tolerance
+        # and the -20 dBc dense-reader scenarios) around the predicted
+        # position (= the alignment remainder, in slice coordinates)
+        # breaks both ties toward the tracked alignment while costing a
+        # sharply-peaked true offset almost nothing.
+        # The grid's GRANULE-1 upper extension exists only to absorb the
+        # alignment remainder: candidates beyond +-off_chips of the
+        # prediction are masked out (the pre-alignment design's *hard*
+        # search window - without it a -20 dBc in-channel interferer
+        # hijacks the extra comb teeth the Gaussian prior alone only
+        # damps; tests/test_dense_reader.py pins that envelope).
+        rel = off_chips_grid - rem / d
+        off_prior = jnp.where(
+            jnp.abs(rel) <= np.float32(off_chips + 0.26 / d),
+            jnp.exp(-(rel ** 2) / (2.0 * 1.25 ** 2)), 0.0)
         if eps_track is None:
             # Segment 0 acquires eps cold: the preamble sync already
             # aligned the segment start, so the period axis is the only
@@ -310,12 +361,13 @@ def miller_detect(
                 -((eps_vals - eps_track) ** 2) / (2.0 * eps_sigma ** 2))
             prior = eps_prior[:, None] * off_prior[None, :]
         b = jnp.argmax((e * prior).reshape(-1))
-        be, bo = b // n_offsets, b % n_offsets
+        be, bo = b // n_off, b % n_off
         q_segs.append(jax.lax.complex(qr[be, bo], qi[be, bo]))
         eps_meas = eps_vals[be]
         eps_track = eps_meas if eps_track is None else jnp.clip(
             eps_meas, eps_track - eps_slew, eps_track + eps_slew)
-        drift = shift.astype(jnp.float32) + off_vals[bo]
+        drift = (row0 * GRANULE - index - s0).astype(jnp.float32) \
+            + off_vals[bo]
         # Linear extrapolation: the measured drift slope, clamped to
         # within max_step of the slope the tracked chip-period error
         # implies - in-span clock error tracks exactly, while one
