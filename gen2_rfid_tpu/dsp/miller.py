@@ -179,14 +179,16 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
     n_seg = (n_bits + s - 1) // s
     eps = seg_eps_grid(cfg.miller_grid_frac)
     n_eps = eps.shape[0]
-    # 0.5-*sample* steps: finer than the original 0.125-chip lattice at
-    # every supported chip rate, and - because the step divides 1 sample -
-    # closed under the integer alignment remainder, so the candidate
-    # template set relative to the signal is identical for every event
-    # regardless of its slice's granule phase (the pre-alignment design
-    # had that uniformity trivially; a non-closed lattice loses marginal
-    # frames to per-event fractional-phase luck).
-    step = 0.5
+    # Sub-chip *sample-lattice* steps: at least as fine as the original
+    # 0.125-chip lattice at every supported chip rate (0.5 samples for
+    # fast chips, 1 sample once d >= 8, i.e. <= 0.125 chip), and -
+    # because the step divides 1 sample - closed under the integer
+    # alignment remainder, so the candidate template set relative to the
+    # signal is identical for every event regardless of its slice's
+    # granule phase (the pre-alignment design had that uniformity
+    # trivially; a non-closed lattice loses marginal frames to per-event
+    # fractional-phase luck).
+    step = 1.0 if d >= 8 else 0.5
     n_pts = int(np.ceil((2 * off_chips * d + GRANULE) / step)) + 1
     offsets = -off_chips * d + step * np.arange(n_pts)           # float64
     n_off = offsets.shape[0]
@@ -221,14 +223,23 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
 
 
 def default_seg_bits(m: int) -> int:
-    """Segment length (bits) for the re-alignment cascade: shorter at
-    higher M so intra-segment clock-error drift stays well under half a
-    chip (edge misalignment ~ eps * seg_bits * m chips - constant
-    ~16*eps across M with seg_bits = 16/M, i.e. ~0.3 chip at 2% BLF
-    error; measured envelope in tests/test_miller.py).  Shorter still
-    (8/M) buys ~3% for M=2 but breaks the -20 dBc dense-reader case -
-    the offset decision integrates too little signal."""
-    return max(2, 16 // m)
+    """Segment length (bits) for the re-alignment cascade: 64 backscatter
+    chips per segment across M (seg_bits = 32/M).
+
+    The original 16/M sizing came from the round-2 *offset-only* cascade,
+    where intra-segment clock-error drift (~ eps * seg chips) had to stay
+    well under half a chip.  The round-3 joint (offset, chip-period)
+    search absorbs that drift on the period axis (residual <= 0.5% x 64
+    chips = 0.32 chip at the 1% grid pitch), so segments can be twice as
+    long - and longer segments integrate twice the signal per alignment
+    decision, which measurably *widens* the robustness envelope (a
+    round-4 24-scenario sweep over M x BLF +-4% x -20 dBc interferer x
+    CFO: 18/24 exact at 32/M vs 15/24 at 16/M - the M=8 interferer
+    composes now pass) while halving the sequential segment chain the
+    TPU profile shows is latency-bound (tools/tpu_prof_miller*.py).
+    Shorter (8/M) breaks the -20 dBc dense-reader case outright - the
+    offset decision integrates too little signal."""
+    return max(2, 32 // m)
 
 
 def miller_detect(
