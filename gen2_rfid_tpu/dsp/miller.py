@@ -336,12 +336,10 @@ def miller_detect(
         row0 = raw // GRANULE
         rem = (raw - row0 * GRANULE).astype(jnp.float32)
         rows = row0 + jnp.arange(span // GRANULE, dtype=jnp.int32)
-        slr = frows[rows].reshape(span)
-        sli = firows[rows].reshape(span)
+        slri = jnp.stack([frows, firows])[:, rows].reshape(2, span)
         dj = jnp.asarray(d_np)
-        qr = jnp.matmul(slr, dj, precision=hi).reshape(n_eps, n_off, -1)
-        qi = jnp.matmul(sli, dj, precision=hi).reshape(n_eps, n_off, -1)
-        e = jnp.sum(qr ** 2 + qi ** 2, axis=2)             # (E, O)
+        qri = jnp.matmul(slri, dj, precision=hi).reshape(2, n_eps, n_off, -1)
+        e = jnp.sum(qri[0] ** 2 + qri[1] ** 2, axis=2)     # (E, O)
         # Prediction-centered prior on the offset decision: segment energy
         # is nearly flat across whole-chip shifts (the comb), and under
         # strong in-channel interference the tone can out-shine the
@@ -371,14 +369,24 @@ def miller_detect(
             eps_prior = jnp.exp(
                 -((eps_vals - eps_track) ** 2) / (2.0 * eps_sigma ** 2))
             prior = eps_prior[:, None] * off_prior[None, :]
+        # Winner selection as one-hot algebra, not indexing: per-frame
+        # dynamic gathers (qri[:, be, bo], eps_vals[be]) under vmap are
+        # the same scalar-gather poison as the slices; a one-hot
+        # contraction selects the identical values (sums over exact
+        # zeros) on the vector/matrix units instead.
         b = jnp.argmax((e * prior).reshape(-1))
-        be, bo = b // n_off, b % n_off
-        q_segs.append(jax.lax.complex(qr[be, bo], qi[be, bo]))
-        eps_meas = eps_vals[be]
+        onehot = (jnp.arange(n_eps * n_off) == b).astype(jnp.float32)
+        q_segs.append(jax.lax.complex(
+            jnp.matmul(onehot, qri[0].reshape(n_eps * n_off, -1),
+                       precision=hi),
+            jnp.matmul(onehot, qri[1].reshape(n_eps * n_off, -1),
+                       precision=hi)))
+        oh_eo = onehot.reshape(n_eps, n_off)
+        eps_meas = jnp.dot(jnp.sum(oh_eo, axis=1), eps_vals, precision=hi)
         eps_track = eps_meas if eps_track is None else jnp.clip(
             eps_meas, eps_track - eps_slew, eps_track + eps_slew)
         drift = (row0 * GRANULE - index - s0).astype(jnp.float32) \
-            + off_vals[bo]
+            + jnp.dot(jnp.sum(oh_eo, axis=0), off_vals, precision=hi)
         # Linear extrapolation: the measured drift slope, clamped to
         # within max_step of the slope the tracked chip-period error
         # implies - in-span clock error tracks exactly, while one
