@@ -51,19 +51,13 @@ def rn16_detect_soft(
     (new capability; the reference only learns about collisions via the EPC
     CRC failing).
     """
-    # One contiguous dynamic slice at the sync index, then a +-1 selection
-    # matmul forming the differential samples d_j = sl[offs[2j]] -
-    # sl[offs[2j+1]] directly (exact f32 at HIGHEST precision; scalar
-    # gathers serialize on TPU).
-    sel_d, span = _rn16_selection_matrix(cfg)
-    start = jnp.minimum(index, frame.shape[0] - span)
-    sl = jax.lax.dynamic_slice(frame, (start,), (span,))
-    dj = jnp.asarray(sel_d)
-    hi = SEL_PRECISION
-    d = jax.lax.complex(
-        jnp.matmul(jnp.real(sl), dj, precision=hi),
-        jnp.matmul(jnp.imag(sl), dj, precision=hi),
-    )
+    # One granule-aligned row gather at the sync index, then a +-1
+    # selection matmul forming the differential samples d_j = sl[offs[2j]]
+    # - sl[offs[2j+1]] directly for every alignment remainder, with the
+    # frame's own remainder one-hot selected (exact: each column is a
+    # two-term +-1 sum; scalar gathers and unaligned slices serialize on
+    # TPU).
+    d = _aligned_diff_samples(frame, index, _rn16_selection_matrix(cfg))
     result = jnp.real(d * jnp.conj(h_est))
     if cfg.track_channel and cfg.mode != "compat":
         signs, _ = _track_and_slice(d, h_est)  # see EPC docstring; 16 bits
@@ -89,35 +83,64 @@ def payload_detect(
     longer selection matrix) - access-command replies: Req_RN handles
     (32 bits), Read data (33+16w bits).  Plain coherent slicing (the
     replies are short; no channel tracking)."""
-    sel_d, span = _rn16_selection_matrix(cfg, 2 * n_bits)
-    start = jnp.minimum(index, frame.shape[0] - span)
-    sl = jax.lax.dynamic_slice(frame, (start,), (span,))
-    dj = jnp.asarray(sel_d)
-    hi = SEL_PRECISION
-    d = jax.lax.complex(
-        jnp.matmul(jnp.real(sl), dj, precision=hi),
-        jnp.matmul(jnp.imag(sl), dj, precision=hi),
-    )
+    d = _aligned_diff_samples(frame, index,
+                              _rn16_selection_matrix(cfg, 2 * n_bits))
     result = jnp.real(d * jnp.conj(h_est))
     signs = jnp.where(result > 0, jnp.int32(1), jnp.int32(-1))
     return _diff_decode(signs)
 
 
+def _aligned_diff_samples(frame, index, sel_span):
+    """Differential samples at ``index`` + the selection matrix's static
+    offsets, via a granule-aligned row gather + remainder-variant
+    selection matmul + one-hot group select (see _rn16_selection_matrix).
+    """
+    from ..runtime.frames import GRANULE
+
+    sel_d, span = sel_span
+    w = frame.shape[0]
+    n_rows = -(-w // GRANULE)
+    pad = n_rows * GRANULE - w
+    fr2 = jnp.stack([jnp.real(frame), jnp.imag(frame)])
+    frows = jnp.pad(fr2, ((0, 0), (0, pad))).reshape(2, n_rows, GRANULE)
+    raw = jnp.clip(index, 0, w - span)
+    row0 = raw // GRANULE
+    rem = jnp.clip(index - row0 * GRANULE, 0, GRANULE - 1)
+    rows = row0 + jnp.arange(span // GRANULE, dtype=jnp.int32)
+    sl = frows[:, rows].reshape(2, span)
+    hi = SEL_PRECISION
+    dri = jnp.matmul(sl, jnp.asarray(sel_d),
+                     precision=hi).reshape(2, GRANULE, -1)
+    oh = (jnp.arange(GRANULE) == rem).astype(jnp.float32)
+    return jax.lax.complex(jnp.matmul(oh, dri[0], precision=hi),
+                           jnp.matmul(oh, dri[1], precision=hi))
+
+
 @functools.lru_cache(maxsize=32)
 def _rn16_selection_matrix(cfg: ReaderConfig, n_half: int = None):
-    """(span, n_half/2) +-1 matrix forming the differential samples
-    d_j = sl[round(2j*T/2)] - sl[round((2j+1)*T/2)] (tag_decoder_impl.cc:
-    237-253 float-stepping positions, exact at the defaults).  n_half
-    defaults to the RN16's 32; access-command replies pass other
-    lengths."""
+    """(span, GRANULE * n_half/2) +-1 matrix forming the differential
+    samples d_j = sl[round(2j*T/2)] - sl[round((2j+1)*T/2)]
+    (tag_decoder_impl.cc:237-253 float-stepping positions, exact at the
+    defaults), one column group per slice-alignment remainder r (group r
+    selects positions offs + r).  The detector slices each frame on a
+    GRANULE boundary via a batched row gather (a vmapped unaligned
+    dynamic_slice is the v5e scalar-gather poison) and one-hot-selects
+    its remainder's group - identical samples, MXU-friendly access.
+    span is padded to a GRANULE multiple.  n_half defaults to the RN16's
+    32; access-command replies pass other lengths."""
+    from ..runtime.frames import GRANULE
+
     half = cfg.n_samples_tag_bit / 2.0
     n_half = cfg.rn16_half_bits if n_half is None else n_half
     offs = np.round(np.arange(n_half) * half).astype(np.int32)
-    span = int(offs[-1]) + 1
-    d = np.zeros((span, n_half // 2), dtype=np.float32)
-    cols = np.arange(n_half // 2)
-    np.add.at(d, (offs[0::2], cols), 1.0)
-    np.add.at(d, (offs[1::2], cols), -1.0)
+    span = int(offs[-1]) + GRANULE
+    span = -(-span // GRANULE) * GRANULE
+    nc = n_half // 2
+    d = np.zeros((span, GRANULE * nc), dtype=np.float32)
+    cols = np.arange(nc)
+    for r in range(GRANULE):
+        np.add.at(d, (offs[0::2] + r, r * nc + cols), 1.0)
+        np.add.at(d, (offs[1::2] + r, r * nc + cols), -1.0)
     return d, span
 
 
@@ -272,14 +295,19 @@ def epc_detect_soft(
     if s_all_np is not None:
         e_all = jnp.matmul(magn2, jnp.asarray(s_all_np), precision=hi)
         o = jnp.clip(index - b0, 0, n_off - 1)
-        energy = jax.lax.dynamic_slice(e_all, (o * steps,), (steps,))
+        # One-hot row selection instead of a per-frame dynamic slice
+        # (vmapped dynamic offsets are the v5e scalar-gather poison);
+        # exact: sums over exact zeros.
+        oh = (jnp.arange(n_off) == o).astype(jnp.float32)
+        energy = jnp.matmul(oh, e_all.reshape(n_off, steps), precision=hi)
     else:
         sel, k = _energy_selection_matrix(cfg)
         a_start = jnp.minimum(index, w - k)
         aligned = jax.lax.dynamic_slice(magn2, (a_start,), (k,))  # (K,)
         energy = jnp.matmul(aligned, jnp.asarray(sel), precision=hi)
     t_sel = jnp.argmax(energy)
-    t_half = candj[t_sel]
+    oh_sel = (jnp.arange(cand.shape[0]) == t_sel).astype(jnp.float32)
+    t_half = jnp.dot(oh_sel, candj, precision=hi)
 
     # 128 differential samples at truncated float positions
     # (tag_decoder_impl.cc:171-173: j*(2T)+idx and j*2T+T+idx, float32).
@@ -296,7 +324,11 @@ def epc_detect_soft(
     hi = SEL_PRECISION
     d_re = jnp.matmul(jnp.real(sl), dj, precision=hi).reshape(steps, nb)
     d_im = jnp.matmul(jnp.imag(sl), dj, precision=hi).reshape(steps, nb)
-    d = jax.lax.complex(d_re[t_sel], d_im[t_sel])
+    # One-hot row selection of the winning period (d_re[t_sel] is a
+    # per-frame row gather under vmap); exact: sums over exact zeros.
+    oh_t = (jnp.arange(steps) == t_sel).astype(jnp.float32)
+    d = jax.lax.complex(jnp.matmul(oh_t, d_re, precision=hi),
+                        jnp.matmul(oh_t, d_im, precision=hi))
     if tracking:
         signs, rel = _track_and_slice(d, h_est)
     else:

@@ -124,12 +124,19 @@ def miller_sync_full(
     power = cr ** 2 + ci ** 2
     best = jnp.argmax(power).astype(jnp.int32)
     sh = jnp.asarray(sh_np)
-    h_all = jax.lax.complex(
-        jnp.matmul(xr, sh, precision=hi), jnp.matmul(xi, sh, precision=hi)
-    )
-    h_est = h_all[best]
-    data_index = best % n_off + jnp.asarray(dshift_np)[best // n_off]
-    eps_sync = jnp.asarray(eps_np)[best // n_off]
+    hr = jnp.matmul(xr, sh, precision=hi)
+    hi_ = jnp.matmul(xi, sh, precision=hi)
+    # One-hot winner selection: per-frame dynamic gathers (h_all[best],
+    # dshift[best // n_off]) under vmap are the v5e scalar-gather poison;
+    # the contraction selects identical values (sums over exact zeros).
+    onehot = (jnp.arange(power.shape[0]) == best).astype(jnp.float32)
+    h_est = jax.lax.complex(jnp.dot(onehot, hr, precision=hi),
+                            jnp.dot(onehot, hi_, precision=hi))
+    oh_eps = jnp.sum(onehot.reshape(-1, n_off), axis=1)
+    data_index = best % n_off + jnp.dot(
+        oh_eps, jnp.asarray(dshift_np, dtype=jnp.float32),
+        precision=hi).astype(jnp.int32)
+    eps_sync = jnp.dot(oh_eps, jnp.asarray(eps_np), precision=hi)
     return data_index, h_est, eps_sync
 
 

@@ -72,15 +72,10 @@ def rn16_detect_mrc(
     cfg: ReaderConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(C, W) frames -> (16 bits, margin) via the MRC statistic."""
-    sel_d, span = fm0._rn16_selection_matrix(cfg)
-    start = jnp.minimum(index, frames.shape[1] - span)
-    sl = jax.lax.dynamic_slice(
-        frames, (0, start), (frames.shape[0], span))
-    dj = jnp.asarray(sel_d)
-    hi = fm0.SEL_PRECISION
-    d = jax.lax.complex(
-        jnp.matmul(jnp.real(sl), dj, precision=hi),
-        jnp.matmul(jnp.imag(sl), dj, precision=hi))   # (C, 16)
+    sel_span = fm0._rn16_selection_matrix(cfg)
+    d = jax.vmap(
+        lambda f: fm0._aligned_diff_samples(f, index, sel_span)
+    )(frames)                                          # (C, 16)
     signs, stat = _mrc_signs(d, h_est)
     h2 = jnp.sum(jnp.real(h_est) ** 2 + jnp.imag(h_est) ** 2)
     margin = jnp.mean(jnp.abs(stat)) / jnp.maximum(h2, 1e-12)

@@ -68,10 +68,14 @@ def tag_sync(frame: jnp.ndarray, cfg: ReaderConfig) -> Tuple[jnp.ndarray, jnp.nd
     power = corr_re ** 2 + corr_im ** 2
     max_index = jnp.argmax(power).astype(jnp.int32)
 
-    h_all = jax.lax.complex(
-        jnp.matmul(xr, sh, precision=hi), jnp.matmul(xi, sh, precision=hi)
+    # One-hot winner selection: the per-frame scalar gather h_all[max_index]
+    # under vmap is the v5e serialization poison; the contraction selects
+    # the identical value (sums over exact zeros).
+    onehot = (jnp.arange(power.shape[0]) == max_index).astype(jnp.float32)
+    h_est = jax.lax.complex(
+        jnp.dot(onehot, jnp.matmul(xr, sh, precision=hi), precision=hi),
+        jnp.dot(onehot, jnp.matmul(xi, sh, precision=hi), precision=hi),
     )
-    h_est = h_all[max_index]
 
     data_index = max_index + jnp.int32(
         int(cfg.tag_preamble_bits * cfg.n_samples_tag_bit + half)
