@@ -358,7 +358,14 @@ def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
     sliced with), consumed by runtime/softfix.py.
     """
     n = d.shape[0]
-    d_seg = d.reshape(n // seg, seg)
+    # Pad to a whole number of segments (access-command replies are
+    # arbitrary lengths, e.g. a 161-bit Read reply; zero samples are
+    # never confident so they cannot steer the tracker) - found by the
+    # cross-feature fuzz: tracked Miller access reads crashed here.
+    r = (-n) % seg
+    if r:
+        d = jnp.concatenate([d, jnp.zeros((r,), d.dtype)])
+    d_seg = d.reshape(-1, seg)
 
     def step(h_cur, d_k):
         r = jnp.real(d_k * jnp.conj(h_cur))
@@ -384,7 +391,7 @@ def _track_and_slice(d: jnp.ndarray, h_est: jnp.ndarray,
 
     _, (s_seg, r_seg) = jax.lax.scan(step, h_est, d_seg)
     signs = jnp.where(s_seg.reshape(-1) > 0, jnp.int32(1), jnp.int32(-1))
-    return signs, r_seg.reshape(-1)
+    return signs[:n], r_seg.reshape(-1)[:n]
 
 
 rn16_detect_batch = jax.vmap(rn16_detect, in_axes=(0, 0, 0, None))

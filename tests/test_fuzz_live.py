@@ -103,10 +103,41 @@ def _draw_scenario(seed):
             range_="reduced" if rng.random() < 0.5 else "normal")
 
     n_rounds = int(rng.integers(4, 9))
+
+    # Encoding axis (round 4): draw Miller-M so the live loop exercises
+    # the rebuilt segment cascade inside random feature combinations (the
+    # link-profile ladder already controls M when it rides, so skip then).
+    import dataclasses
+
+    miller = False
+    if not want_profiles and rng.random() < 0.35:
+        miller = True
+        cfg = dataclasses.replace(
+            cfg, miller_m=int(rng.choice([2, 4])), decim=1)
+
+    # Tag clock/carrier impairments, scaled to each encoding's pinned
+    # tolerance envelope (FM0 default grid +-1%, Miller joint search
+    # +-4%; CFO: the *untracked* coherent detector is exact only to a few
+    # tens of Hz by design - tests/test_impairments.py pins 30 Hz exact /
+    # 400 Hz dead - so large CFO draws ride with track_channel=True, the
+    # first fuzz run of this draw proved +-200 Hz untracked dies).
+    if rng.random() < 0.4:
+        lim = 0.025 if miller else 0.008
+        if rng.random() < 0.5 and not want_profiles:
+            # cfg must stay one of link_profiles when the ladder rides,
+            # so the tracking variant only draws without profiles.
+            cfg = dataclasses.replace(cfg, track_channel=True)
+            cfo_lim = 250.0
+        else:
+            cfo_lim = 25.0
+        tags = [dataclasses.replace(
+            t, blf_offset=float(rng.uniform(-lim, lim)),
+            cfo_hz=float(rng.uniform(-cfo_lim, cfo_lim))) for t in tags]
+
     return cfg, tags, opts, ch_kw, select_tag, interferer, n_rounds, rng
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(16))
 def test_random_feature_combination(seed):
     cfg, tags, opts, ch_kw, select_tag, interferer, n_rounds, rng = (
         _draw_scenario(seed))
@@ -132,8 +163,14 @@ def test_random_feature_combination(seed):
     assert read_ids <= allowed, (read_ids, allowed, opts)
 
     # Bounds: a tag answers at most once per round-starting command; under
-    # A/B session inventory at most once per pass.
-    cap = (1 + st.n_target_flips) if opts.get("target_ab") else n_rounds
+    # A/B session inventory at most once per pass - where a power-down
+    # also starts a fresh pass (S0 inventoried flags die with reader
+    # power per Gen2 table 6.20, so the same target re-reads the tag).
+    cap = n_rounds
+    if opts.get("target_ab"):
+        pde = opts.get("power_down_every", 0)
+        n_pd = (n_rounds - 1) // pde + 1 if pde else 0
+        cap = 1 + st.n_target_flips + n_pd
     for t in tag_ids:
         assert reads[t] <= cap, (t, int(reads[t]), cap, opts)
 
