@@ -134,3 +134,19 @@ def test_access_requires_acknowledged_state():
     rr = gen2.req_rn_bits(ts.rn16)
     ch.exchange("req_rn", rr, enc.command(rr), 1200.0)
     assert ts.handle is not None      # correct RN16 -> Open state
+
+
+def test_tracked_miller_access_read_arbitrary_length():
+    """Channel tracking over an access-reply payload whose half-bit count
+    is not a multiple of the tracker's 4-sample segments (an 8-word Read
+    reply: 33+128 = 161 bits -> 322 differential statistics).  Found by
+    the cross-feature fuzz (round 4): fm0._track_and_slice reshaped to
+    (n//4, 4) and crashed; frames now pad with never-confident zeros and
+    trim after the scan."""
+    cfg = ReaderConfig(miller_m=4, decim=1, track_channel=True)
+    tag = _tag()
+    ch = SimTagChannel(cfg, [tag], seed=1)
+    rd = LiveReader(cfg, access_read=(0, 8, "user"))
+    st = rd.run_inventory(ch, 2)
+    assert st.n_epc_correct == 2 and st.n_read_ok == 2
+    np.testing.assert_array_equal(st.read_words[0x2B], tag.user_bank[:128])
