@@ -17,9 +17,10 @@ share one grouped strided convolution plus one small FFT:
     u_p[m] = sum_r h[p + rN] x[(m - r)N - p]                      decimated stream)
 
 so the per-sample mixers disappear (the decimated mixer phase
-e^{-j 2 pi k mN / N} = 1), the branch filters run as ONE depthwise conv over
-the (N, M) polyphase matrix - MXU-tileable, like dsp/filters.py - and the
-N-point IFFT over branches is a tiny batched transform.  Channel k sits at
+e^{-j 2 pi k mN / N} = 1), the branch filters run as T fused tap-shift
+multiply-adds over the (N, M) polyphase matrix (a depthwise grouped conv
+misses the MXU and measured 10 ms/iter - tools/tpu_prof_wideband.py), and
+the N-point IDFT over branches is one N x N matmul.  Channel k sits at
 center frequency k * (rate/N), FFT order (k >= N/2 are negative offsets).
 """
 
@@ -59,34 +60,47 @@ def channelize_planar(
     tested in tests/test_channelizer.py).  Planar float32 in/out: complex64
     stays strictly inside jit (TPU runtime boundary rule, see CLAUDE.md).
     """
-    h = jnp.asarray(pfb_taps(n_chan, taps_per_branch))
-    x = jax.lax.complex(iq2[0], iq2[1])
-    n = x.shape[0]
+    n = iq2.shape[1]
     m = n // n_chan
-    x = x[: m * n_chan]
-    # Polyphase commutator: S[m, p] = x[mN - p] (zero history for m*N-p < 0),
-    # built gather-free from a front-padded reshape + column reversal.
-    xe = jnp.pad(x, (n_chan - 1, 0))[: m * n_chan + n_chan - 1]
-    s = xe[: m * n_chan].reshape(m, n_chan)[:, ::-1]       # (M, N)
-    # Branch filters h_p[r] = h[p + rN] as one depthwise conv over m.
-    hp = h.reshape(taps_per_branch, n_chan).T              # (N, T)
-    s2 = jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)  # (2, M, N)
-    sp = jnp.transpose(s2, (0, 2, 1))                      # (2, N, M)
-    sp = jnp.pad(sp, ((0, 0), (0, 0), (taps_per_branch - 1, 0)))
-    u = jax.lax.conv_general_dilated(
-        sp,                                  # (B=2, C=N, M + T - 1)
-        hp[:, None, ::-1],                   # (O=N, I=1, T): correlation taps
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=n_chan,
-    )                                        # (2, N, M)
-    uc = jax.lax.complex(u[0], u[1])
-    y = jnp.fft.ifft(uc, axis=0) * n_chan    # (N, M): y[k] = sum_p u_p e^{+j2pi kp/N}
-    return jnp.stack(
-        [jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)],
-        axis=1,
-    )                                        # (n_chan, 2, M)
+    t = taps_per_branch
+    # Polyphase commutator, PLANAR and movement-minimal.  The textbook
+    # form (complex view, column reversal, (2, M, N) -> (2, N, M)
+    # transpose feeding a depthwise grouped conv + length-N jnp.fft.ifft)
+    # measured 9.7 ms of data movement alone for ~60 MB on v5e
+    # (tools/tpu_prof_wideband.py: half the whole wideband iteration).
+    # Here the commutator is one front-pad + reshape - S2[c, m, q] =
+    # x[mN + q - (N-1)], i.e. column q holds branch p = N-1-q - and the
+    # branch reversal and the IDFT's branch indexing are folded into the
+    # *static* tap/twiddle constants, so no flip, no transpose, and no
+    # complex round-trip touch the data until one final (2, M, N) ->
+    # (N, 2, M) output transpose.
+    xe = jnp.pad(iq2[:, : m * n_chan], ((0, 0), (n_chan - 1, 0)))
+    s2 = xe[:, : m * n_chan].reshape(2, m, n_chan)          # (2, M, N)
+    # Branch filters h_p[r] = h[p + rN] as T fused tap-shift
+    # multiply-adds along M (the grouped conv misses the MXU); row q of
+    # hpq is branch N-1-q to match the unreversed commutator columns.
+    h_np = pfb_taps(n_chan, taps_per_branch)
+    hpq = np.ascontiguousarray(
+        h_np.reshape(taps_per_branch, n_chan).T[::-1, :])   # (N, T)
+    sp = jnp.pad(s2, ((0, 0), (t - 1, 0), (0, 0)))
+    u = jnp.zeros((2, m, n_chan), jnp.float32)
+    for r in range(t):
+        # Correlation tap r multiplies input sample m - r: with the
+        # front pad of T-1 rows, that is sp[:, T-1-r : T-1-r+M, :].
+        u = u + jnp.asarray(hpq[:, r]) * jax.lax.slice(
+            sp, (0, t - 1 - r, 0), (2, t - 1 - r + m, n_chan))
+    # y[k] = sum_p u_p e^{+j 2 pi k p / N} (= ifft * N): one N x N IDFT
+    # matmul on the minor branch axis, twiddles pre-permuted for the
+    # q = N-1-p column order.
+    k_idx = np.arange(n_chan)
+    w = np.exp(2j * np.pi * np.outer(k_idx, k_idx) / n_chan)
+    wq = np.ascontiguousarray(w[:, ::-1].T)                 # (q, k)
+    wr = jnp.asarray(wq.real.astype(np.float32))
+    wi = jnp.asarray(wq.imag.astype(np.float32))
+    ur, ui = u[0], u[1]                                     # (M, N)
+    yr = jnp.matmul(ur, wr) - jnp.matmul(ui, wi)            # (M, K)
+    yi = jnp.matmul(ur, wi) + jnp.matmul(ui, wr)
+    return jnp.transpose(jnp.stack([yr, yi]), (2, 0, 1))    # (n_chan, 2, M)
 
 
 def channelize(iq, n_chan: int, taps_per_branch: int = 12) -> np.ndarray:

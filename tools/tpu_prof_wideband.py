@@ -1,0 +1,142 @@
+"""Wideband-8 stage isolation on TPU: the bench config runs at ~313 Msps
+(23 ms per 7.3 M-sample iter) where the parts - one grouped-conv PFB,
+8 x 915 k-sample decode chains vmapped under a 1-device shard_map -
+should sum to ~7 ms at flagship per-sample rates.  Attribute the rest.
+
+Cumulative prefixes with the difference-quotient harness:
+* pfb    - channelize_planar only;
+* events - + per-channel FIR + gate (the shard body up to gate_detect);
+* decode - + role-specialized decode (full shard body);
+* full   - + vmapped sort + replay (the shipping decoder).
+
+Run: timeout 5400 python tools/tpu_prof_wideband.py
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    import bench_configs as bc
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.dsp.channelizer import channelize_planar
+    from gen2_rfid_tpu.dsp.filters import boxcar_taps
+    from gen2_rfid_tpu.dsp.gate import gate_detect
+    from gen2_rfid_tpu.runtime.inventory import decode_events
+    from gen2_rfid_tpu.shard.decode_sharded import (_sort_and_replay,
+                                                    _with_cap,
+                                                    make_sharded_decoder)
+    from gen2_rfid_tpu.shard.mesh import make_mesh
+
+    iq2_np, body_full, expected = bc.case_wideband8()
+    iq2 = jnp.asarray(iq2_np)
+    n_adc = iq2.shape[1]
+    n_chan = 8
+    cfg = ReaderConfig(max_events=256)
+    m = n_adc // n_chan
+    m_use = m - m % cfg.decim
+    n_taps = int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)
+    taps = jnp.asarray(boxcar_taps(n_taps))
+    cap_cfg = _with_cap(cfg, 256)
+    mesh = make_mesh(n_time=1, n_chan=1, devices=jax.devices()[:1])
+    dec_fn = make_sharded_decoder(cfg, mesh, events_per_shard=256)
+    print(f"adc samples/iter: {n_adc}", file=sys.stderr)
+
+    from gen2_rfid_tpu.dsp.filters import matched_filter_decimate
+
+    def prefix(x2, stage: str):
+        if stage == "commutator":
+            # Data movement only: pad + (M, N) reshape + column reversal +
+            # planar stack + transpose to (2, N, M) - the shared prefix of
+            # both PFB formulations.
+            x = jax.lax.complex(x2[0], x2[1])
+            n = x.shape[0]
+            mm = n // n_chan
+            xs = x[: mm * n_chan]
+            xe = jnp.pad(xs, (n_chan - 1, 0))[: mm * n_chan + n_chan - 1]
+            s = xe[: mm * n_chan].reshape(mm, n_chan)[:, ::-1]
+            s2 = jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
+            sp = jnp.transpose(s2, (0, 2, 1))
+            return jnp.sum(sp)
+        ch = channelize_planar(x2, n_chan)[:, :, :m_use]   # (8, 2, M)
+        if stage == "pfb":
+            return jnp.sum(ch)
+
+        def chain(c2):
+            y = matched_filter_decimate(
+                jax.lax.complex(c2[0], c2[1]), taps, cfg.decim)
+            events = gate_detect(y, cap_cfg)
+            return y, events
+
+        if stage == "events":
+            def ev_only(c2):
+                y, events = chain(c2)
+                return (jnp.sum(events.index).astype(jnp.float32)
+                        + jnp.sum(jnp.real(y[:8])))
+            return jnp.sum(jax.vmap(ev_only)(ch))
+
+        if stage == "decode":
+            def dec_one(c2):
+                y, events = chain(c2)
+                dec = decode_events(y, events, cfg, specialize=True,
+                                    overflow_fallback=False)
+                return (jnp.sum(dec.epc_pass.astype(jnp.int32))
+                        .astype(jnp.float32)
+                        + jnp.sum(dec.rn16_bits).astype(jnp.float32))
+            return jnp.sum(jax.vmap(dec_one)(ch))
+
+        stats, _ = dec_fn(ch)
+        return stats.n_epc_correct.sum().astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("stage", "k"))
+    def repeat(x2, stage: str, k: int):
+        def it(i, carry):
+            acc, x = carry
+            acc = acc + prefix(x, stage).astype(jnp.float32)
+            x = x + acc * jnp.float32(1e-30)
+            return acc, x
+        acc, _ = jax.lax.fori_loop(0, k, it, (jnp.float32(0), x2))
+        return acc.reshape(1)
+
+    def timed(stage, k):
+        t0 = time.perf_counter()
+        np.asarray(repeat(iq2, stage, k))
+        return time.perf_counter() - t0
+
+    prev = 0.0
+    stages = os.environ.get("WB_STAGES", "commutator,pfb").split(",")
+    for s in stages:
+        t_comp0 = time.perf_counter()
+        timed(s, 1)
+        timed(s, 5)
+        compile_s = time.perf_counter() - t_comp0
+        t1 = min(timed(s, 1) for _ in range(2))
+        t2 = min(timed(s, 5) for _ in range(2))
+        per = max((t2 - t1) / 4, 1e-9)
+        ms = per * 1e3
+        print(json.dumps({"stage": s, "ms": round(ms, 2),
+                          "delta_ms": round(ms - prev, 2),
+                          "Msps": round(n_adc / per / 1e6, 1),
+                          "compile_s": round(compile_s, 1)}), flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
