@@ -98,8 +98,14 @@ def channelize_planar(
     wr = jnp.asarray(wq.real.astype(np.float32))
     wi = jnp.asarray(wq.imag.astype(np.float32))
     ur, ui = u[0], u[1]                                     # (M, N)
-    yr = jnp.matmul(ur, wr) - jnp.matmul(ui, wi)            # (M, K)
-    yi = jnp.matmul(ur, wi) + jnp.matmul(ui, wr)
+    # Full-precision IDFT contraction: default f32 matmul uses bf16 MXU
+    # multiplies on TPU (the CLAUDE.md conv trap), which would mix ~2^-8
+    # relative error across branches — about -48 dB of cross-channel
+    # leakage against the documented >40 dB isolation.  The N x N twiddle
+    # matmul is tiny, so HIGHEST costs nothing measurable.
+    hi = jax.lax.Precision.HIGHEST
+    yr = jnp.matmul(ur, wr, precision=hi) - jnp.matmul(ui, wi, precision=hi)
+    yi = jnp.matmul(ur, wi, precision=hi) + jnp.matmul(ui, wr, precision=hi)
     return jnp.transpose(jnp.stack([yr, yi]), (2, 0, 1))    # (n_chan, 2, M)
 
 

@@ -104,8 +104,14 @@ def _aligned_diff_samples(frame, index, sel_span):
     fr2 = jnp.stack([jnp.real(frame), jnp.imag(frame)])
     frows = jnp.pad(fr2, ((0, 0), (0, pad))).reshape(2, n_rows, GRANULE)
     raw = jnp.clip(index, 0, w - span)
+    # rem must come from the clamped start (as miller_detect does): when
+    # index > w - span the whole slice rebases to w - span so every sampled
+    # position stays inside the real frame — deriving rem from the raw
+    # index would keep positions past the frame end reading the zero pad,
+    # a silent behavior change vs the reference truncation arithmetic that
+    # mode="compat" pins (round-4 ADVICE item).
     row0 = raw // GRANULE
-    rem = jnp.clip(index - row0 * GRANULE, 0, GRANULE - 1)
+    rem = raw - row0 * GRANULE
     rows = row0 + jnp.arange(span // GRANULE, dtype=jnp.int32)
     sl = frows[:, rows].reshape(2, span)
     hi = SEL_PRECISION

@@ -187,15 +187,16 @@ def _miller_segment_selection(cfg: ReaderConfig, n_bits: int, seg_bits: int,
     eps = seg_eps_grid(cfg.miller_grid_frac)
     n_eps = eps.shape[0]
     # Sub-chip *sample-lattice* steps: at least as fine as the original
-    # 0.125-chip lattice at every supported chip rate (0.5 samples for
-    # fast chips, 1 sample once d >= 8, i.e. <= 0.125 chip), and -
-    # because the step divides 1 sample - closed under the integer
-    # alignment remainder, so the candidate template set relative to the
-    # signal is identical for every event regardless of its slice's
-    # granule phase (the pre-alignment design had that uniformity
-    # trivially; a non-closed lattice loses marginal frames to per-event
-    # fractional-phase luck).
-    step = 1.0 if d >= 8 else 0.5
+    # 0.125-chip lattice at every supported chip rate (1 sample once
+    # d >= 8, 0.5 samples for 4 <= d < 8, 0.25 samples below - e.g.
+    # Miller-8 at decim=1 has d=3.125, where 0.5-sample steps would be a
+    # coarser 0.16 chip; round-4 ADVICE item), and - because every step
+    # divides 1 sample - closed under the integer alignment remainder, so
+    # the candidate template set relative to the signal is identical for
+    # every event regardless of its slice's granule phase (the
+    # pre-alignment design had that uniformity trivially; a non-closed
+    # lattice loses marginal frames to per-event fractional-phase luck).
+    step = 1.0 if d >= 8 else (0.5 if d >= 4 else 0.25)
     n_pts = int(np.ceil((2 * off_chips * d + GRANULE) / step)) + 1
     offsets = -off_chips * d + step * np.arange(n_pts)           # float64
     n_off = offsets.shape[0]

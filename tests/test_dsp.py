@@ -145,3 +145,30 @@ def test_matched_filter_blocked_bitexact():
     got_f = np.asarray(
         matched_filter_decimate(jnp.asarray(x), taps, 5, block_out=10 ** 9))
     np.testing.assert_array_equal(got_b, got_f)
+
+
+def test_aligned_diff_frame_end_rebase():
+    """Frame-end edge: when the sync index exceeds w - span the whole slice
+    rebases to w - span (all real samples) — the reference truncation
+    arithmetic mode="compat" pins.  rem must derive from the *clamped*
+    start; deriving it from the raw index keeps positions past the frame
+    end reading zero padding (round-4 ADVICE regression)."""
+    rng = np.random.default_rng(9)
+    w = CFG.epc_window
+    frame = (rng.normal(size=w) + 1j * rng.normal(size=w)).astype(np.complex64)
+    sel = fm0._rn16_selection_matrix(CFG)
+    span = sel[1]
+    base = np.asarray(fm0._aligned_diff_samples(
+        jnp.asarray(frame), jnp.int32(w - span), sel))
+    for extra in (1, 3, 5, span // 2):
+        got = np.asarray(fm0._aligned_diff_samples(
+            jnp.asarray(frame), jnp.int32(w - span + extra), sel))
+        np.testing.assert_array_equal(got, base)
+    # Interior indices still sample the exact reference positions.
+    idx = 37
+    got = np.asarray(fm0._aligned_diff_samples(
+        jnp.asarray(frame), jnp.int32(idx), sel))
+    half = CFG.n_samples_tag_bit / 2.0
+    offs = np.round(np.arange(CFG.rn16_half_bits) * half).astype(int)
+    want = frame[idx + offs[0::2]] - frame[idx + offs[1::2]]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

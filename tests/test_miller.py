@@ -123,3 +123,24 @@ def test_miller_blf_offset_with_cfo_tracking():
             n_rounds=3, seed=1)
         stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
         assert int(stats.n_epc_correct) == 3, off
+
+
+def test_miller8_low_chip_rate_offset_lattice():
+    """M=8 at decim=1 has d = 3.125 samples/chip, where 0.5-sample offset
+    steps would be a coarser-than-0.125-chip lattice (0.16 chip); the
+    d < 4 rule drops to 0.25-sample steps (round-4 ADVICE item).  Pins the
+    low-d envelope: exact decode at BLF offsets through the grid span."""
+    import gen2_rfid_tpu.dsp.miller as miller
+
+    cfg = ReaderConfig(miller_m=8, adc_rate=2e6, decim=1, max_events=64)
+    assert cfg.n_samples_chip < 4
+    tables, eps, offsets = miller._miller_segment_selection(
+        cfg, 16, miller.default_seg_bits(8), 1.5)
+    step = float(offsets[1] - offsets[0])
+    assert step <= 0.125 * cfg.n_samples_chip + 1e-9
+    for off in (0.0, -0.02, 0.02):
+        tr = synthesize_inventory(
+            cfg, [Tag.with_id(27, seed=7, blf_offset=off)], n_rounds=2,
+            seed=3)
+        stats, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+        assert int(stats.n_epc_correct) == 2, off
