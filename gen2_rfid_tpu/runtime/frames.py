@@ -43,6 +43,30 @@ def gather_aligned_windows(y: jnp.ndarray, starts: jnp.ndarray, width: int):
     return out.reshape(starts.shape[0], w_rows * g)[:, : width + g]
 
 
+def gather_aligned_windows_multi(
+    y_c: jnp.ndarray, starts: jnp.ndarray, chans: jnp.ndarray, width: int
+):
+    """Channel-aware aligned window gather: event e reads
+    ``gather_aligned_windows(y_c[chans[e]], starts[e], width)`` — same
+    per-channel row clamp, bit-identical values — but as ONE flat row
+    gather over the (C * n_rows, GRANULE) view.  A per-channel vmap of the
+    single-channel gather adds a batch dimension to the gather operand
+    lattice, which v5e lowers ~2x slower (docs/PERF.md round-5 wideband
+    isolation); folding the channel into the row index keeps the flagship's
+    2-D gather shape at any channel count."""
+    g = GRANULE
+    c, n = y_c.shape
+    n_rows = -(-n // g)
+    yp = jnp.pad(y_c, ((0, 0), (0, n_rows * g - n))).reshape(c * n_rows, g)
+    w_rows = width // g + 2
+    r0 = jnp.maximum(starts, 0) // g
+    rows = jnp.minimum(
+        r0[:, None] + jnp.arange(w_rows, dtype=jnp.int32)[None, :], n_rows - 1
+    ) + chans[:, None] * n_rows
+    out = yp[rows]                                   # (E, w_rows, g)
+    return out.reshape(starts.shape[0], w_rows * g)[:, : width + g]
+
+
 def extract_windows(
     y: jnp.ndarray, events: GateEvents, cfg: ReaderConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -507,6 +507,120 @@ def _decode_events_specialized(
     )
 
 
+def decode_events_multi(
+    y_c: jnp.ndarray, events_c, cfg: ReaderConfig,
+) -> DecodedEvents:
+    """Role-specialized decode of C channels' event tables as ONE flat batch.
+
+    Arithmetic-identical to ``jax.vmap(decode_events)(y_c, events_c)`` with
+    ``specialize=True, overflow_fallback=False`` — same per-channel role
+    compaction, same clamped per-channel window gathers, same scatter-back —
+    but every window gather, selection matmul, and one-hot scatter runs at
+    the flagship's flat (C*cap) batch shape.  Under a channel vmap the
+    batched row gathers / scatters acquire a batch dimension in the operand
+    lattice, which v5e lowers ~2x slower (docs/PERF.md round-5 wideband
+    isolation); the channel index instead folds into the row arithmetic
+    (gather_aligned_windows_multi) and the pad-slot layout (each channel
+    owns a private drop slot at row c*(cap+1)+cap).
+
+    Leaves come back shaped (C, cap, ...).  Used by the sharded decoder's
+    per-device body (shard/decode_sharded.py); compat mode keeps the
+    per-channel paranoid vmap (reference-parity path, not a perf path).
+    """
+    c, cap = events_c.index.shape
+    n = y_c.shape[1]
+    i32 = jnp.int32
+    capp = cap + 1
+    cap_q = min(cap, cap // 2 + 1 + ROLE_SLACK)
+    cap_a = cap_q
+
+    cmd = classify_commands(events_c.n_pulses.reshape(-1), cfg).reshape(c, cap)
+    role_q, role_a = command_roles(cmd, events_c.valid)
+
+    def compact(mask, sub_cap):
+        pos = jnp.cumsum(mask.astype(i32), axis=1) - 1
+        slot = jnp.where(mask, jnp.minimum(pos, sub_cap), i32(sub_cap))
+        rows = jnp.full((c, sub_cap), cap, i32)
+        rows = rows.at[jnp.arange(c, dtype=i32)[:, None], slot].set(
+            jnp.broadcast_to(jnp.arange(cap, dtype=i32), (c, cap)),
+            mode="drop")
+        return rows  # (c, sub_cap) row index into each channel's table
+
+    chan_base = jnp.arange(c, dtype=i32)[:, None] * capp
+    fq = (chan_base + compact(role_q, cap_q)).reshape(-1)   # (c*cap_q,)
+    fa = (chan_base + compact(role_a, cap_a)).reshape(-1)   # (c*cap_a,)
+    idx_pad = jnp.concatenate(
+        [events_c.index, jnp.full((c, 1), n, i32)], axis=1).reshape(-1)
+    dc_pad = jnp.concatenate(
+        [events_c.dc, jnp.zeros((c, 1), events_c.dc.dtype)], axis=1
+    ).reshape(-1)
+
+    from .frames import gather_aligned_windows_multi
+
+    def gather_windows(rows, width):
+        start = jnp.minimum(idx_pad[rows], n - 1)
+        fr = gather_aligned_windows_multi(
+            y_c, start, rows // capp, width) - dc_pad[rows][:, None]
+        m2 = (jnp.real(fr) ** 2 + jnp.imag(fr) ** 2).astype(jnp.float32)
+        return fr, m2
+
+    q_frames, q_magn2 = gather_windows(fq, cfg.rn16_window)
+    a_frames, a_magn2 = gather_windows(fa, cfg.epc_window)
+
+    q_bits, q_h, q_margin = _decode_rn16_frames(q_frames, cfg)
+    a_bits, a_thalf, a_h, a_rel = _decode_epc_frames(a_frames, a_magn2, cfg)
+    a_pass, a_tid, a_bits = _validate_epc_soft(a_bits, a_rel, cfg)
+    q_energy = jnp.mean(q_magn2, axis=1)
+    nv_pad = jnp.concatenate(
+        [events_c.noise_var, jnp.ones((c, 1), jnp.float32)], axis=1
+    ).reshape(-1)
+    q_h2 = jnp.real(q_h) ** 2 + jnp.imag(q_h) ** 2
+    q_state = classify_slots(q_energy, q_margin, nv_pad[fq], q_h2)
+
+    # Scatter per-role results back to the flat padded layout, then carve
+    # off each channel's drop slot.
+    def scatter(rows, vals, init):
+        return init.at[rows].set(vals, mode="drop")
+
+    def unpad(flat):
+        return flat.reshape((c, capp) + flat.shape[1:])[:, :cap]
+
+    rn16_bits = unpad(scatter(fq, q_bits, jnp.zeros((c * capp, 16), i32)))
+    epc_bits = unpad(scatter(
+        fa, a_bits, jnp.zeros((c * capp, a_bits.shape[1]), i32)))
+    epc_pass = unpad(scatter(fa, a_pass, jnp.zeros((c * capp,), bool)))
+    tag_id = unpad(scatter(fa, a_tid, jnp.zeros((c * capp,), i32)))
+    t_half = unpad(scatter(fa, a_thalf, jnp.zeros((c * capp,), jnp.float32)))
+    h_full = jnp.zeros((c * capp,), q_h.dtype)
+    h_full = h_full.at[fq].set(q_h, mode="drop")
+    h_full = unpad(h_full.at[fa].set(a_h, mode="drop"))
+
+    slot_state = unpad(scatter(fq, q_state, jnp.full((c * capp,), -1, i32)))
+    rn16_energy = unpad(scatter(
+        fq, q_energy, jnp.zeros((c * capp,), jnp.float32)))
+    rn16_margin = unpad(scatter(
+        fq, q_margin, jnp.zeros((c * capp,), jnp.float32)))
+
+    rn16_fits = events_c.valid & (events_c.index + cfg.rn16_window <= n)
+    epc_fits = events_c.valid & (events_c.index + cfg.epc_window <= n)
+    return DecodedEvents(
+        index=events_c.index,
+        valid=events_c.valid,
+        rn16_fits=rn16_fits,
+        epc_fits=epc_fits,
+        rn16_bits=rn16_bits,
+        epc_bits=epc_bits,
+        epc_pass=epc_pass,
+        tag_id=tag_id,
+        t_half=t_half,
+        h_est=jnp.stack([jnp.real(h_full), jnp.imag(h_full)], axis=-1),
+        slot_state=slot_state,
+        rn16_energy=rn16_energy,
+        rn16_margin=rn16_margin,
+        cmd_type=cmd,
+    )
+
+
 def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     """Event-level Gen2 round FSM replay -> InventoryStats (sequential).
 

@@ -32,7 +32,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import ReaderConfig
 from ..dsp.filters import boxcar_taps
 from ..dsp.gate import gate_detect
-from ..runtime.inventory import DecodedEvents, decode_events, replay_inventory
+from ..runtime.inventory import (DecodedEvents, decode_events,
+                                 decode_events_multi, replay_inventory)
 from ..runtime.stats import InventoryStats
 from .mesh import CHAN_AXIS, TIME_AXIS
 
@@ -98,8 +99,9 @@ def _shard_body(
     hr_x = hr_y * cfg.decim
     cap_cfg = _with_cap(cfg, events_cap)
 
-    def per_channel(x2: jnp.ndarray) -> DecodedEvents:
-        n_loc = x2.shape[1]
+    n_y = x_block.shape[2] // cfg.decim
+
+    def front(x2: jnp.ndarray):
         # Halo exchange over ICI.  Missing links deliver zeros, which at the
         # capture edges matches the global zero-history convention.
         left = jax.lax.ppermute(
@@ -112,23 +114,30 @@ def _shard_body(
         x_ext = jax.lax.complex(x2_ext[0], x2_ext[1])
         y_ext = _fir_valid(x_ext, taps, cfg.decim)
         # y_ext[k] is global post-decim index me * n_y - hl_y + k.
-        n_y = n_loc // cfg.decim
         events = gate_detect(y_ext, cap_cfg)
         owned = events.valid & (events.index >= hl_y) & (events.index < hl_y + n_y)
-        events = events._replace(valid=owned)
-        # Command-classified roles are local facts, so shards specialize
-        # without knowing global parity (command_roles); no cond fallback
-        # under vmap (a batched cond would execute both branches).
-        dec = decode_events(y_ext, events, cfg,
-                            specialize=cfg.mode != "compat",
-                            overflow_fallback=False)
-        g0 = me.astype(jnp.int32) * n_y - hl_y
-        return dec._replace(
-            index=jnp.where(owned, dec.index + g0, jnp.int32(1 << 30)),
-            valid=owned,
-        )
+        return y_ext, events._replace(valid=owned)
 
-    return jax.vmap(per_channel)(x_block)
+    y_c, events_c = jax.vmap(front)(x_block)
+    # Command-classified roles are local facts, so shards specialize
+    # without knowing global parity (command_roles); no cond fallback
+    # here (a batched cond would execute both branches).  The specialized
+    # decode flattens the channel axis into the event batch
+    # (decode_events_multi): a channel-vmapped decode measured ~2x slower
+    # on v5e from batched gathers/scatters.  Compat mode keeps the
+    # per-channel paranoid vmap (reference-parity path).
+    if cfg.mode != "compat":
+        dec = decode_events_multi(y_c, events_c, cfg)
+    else:
+        dec = jax.vmap(
+            lambda y, ev: decode_events(
+                y, ev, cfg, specialize=False, overflow_fallback=False)
+        )(y_c, events_c)
+    g0 = me.astype(jnp.int32) * n_y - hl_y
+    return dec._replace(
+        index=jnp.where(events_c.valid, dec.index + g0, jnp.int32(1 << 30)),
+        valid=events_c.valid,
+    )
 
 
 def _event_out_specs() -> DecodedEvents:

@@ -102,6 +102,72 @@ def main():
                         + jnp.sum(dec.rn16_bits).astype(jnp.float32))
             return jnp.sum(jax.vmap(dec_one)(ch))
 
+        # ---- round-5 channel-flattened decode (decode_events_multi) and
+        # its substages: isolate where the vmapped decode lost ~2x.
+        y_c, events_c = jax.vmap(chain)(ch)
+        if stage.startswith("flat"):
+            from gen2_rfid_tpu.runtime.frames import (
+                gather_aligned_windows_multi)
+            from gen2_rfid_tpu.runtime.inventory import (
+                ROLE_SLACK, _decode_epc_frames, _decode_rn16_frames,
+                classify_commands, command_roles, decode_events_multi)
+
+            c, cap = events_c.index.shape
+            n = y_c.shape[1]
+            i32 = jnp.int32
+            capp = cap + 1
+            cap_q = min(cap, cap // 2 + 1 + ROLE_SLACK)
+            cmd = classify_commands(
+                events_c.n_pulses.reshape(-1), cfg).reshape(c, cap)
+            role_q, role_a = command_roles(cmd, events_c.valid)
+
+            def compact(mask, sub_cap):
+                pos = jnp.cumsum(mask.astype(i32), axis=1) - 1
+                slot = jnp.where(mask, jnp.minimum(pos, sub_cap), i32(sub_cap))
+                rows = jnp.full((c, sub_cap), cap, i32)
+                return rows.at[
+                    jnp.arange(c, dtype=i32)[:, None], slot].set(
+                    jnp.broadcast_to(jnp.arange(cap, dtype=i32), (c, cap)),
+                    mode="drop")
+
+            chan_base = jnp.arange(c, dtype=i32)[:, None] * capp
+            fq = (chan_base + compact(role_q, cap_q)).reshape(-1)
+            fa = (chan_base + compact(role_a, cap_q)).reshape(-1)
+            idx_pad = jnp.concatenate(
+                [events_c.index, jnp.full((c, 1), n, i32)], axis=1
+            ).reshape(-1)
+            dc_pad = jnp.concatenate(
+                [events_c.dc, jnp.zeros((c, 1), events_c.dc.dtype)], axis=1
+            ).reshape(-1)
+
+            def gw(rows, width):
+                start = jnp.minimum(idx_pad[rows], n - 1)
+                fr = gather_aligned_windows_multi(
+                    y_c, start, rows // capp, width) - dc_pad[rows][:, None]
+                m2 = (jnp.real(fr) ** 2
+                      + jnp.imag(fr) ** 2).astype(jnp.float32)
+                return fr, m2
+
+            if stage == "flat_gw":
+                qf, qm = gw(fq, cfg.rn16_window)
+                af, am = gw(fa, cfg.epc_window)
+                return (jnp.sum(jnp.real(qf)) + jnp.sum(jnp.real(af))
+                        + jnp.sum(qm[:, 0]) + jnp.sum(am[:, 0]))
+            if stage == "flat_rn16":
+                qf, qm = gw(fq, cfg.rn16_window)
+                bits, h, marg = _decode_rn16_frames(qf, cfg)
+                return (jnp.sum(bits).astype(jnp.float32)
+                        + jnp.sum(marg) + jnp.sum(jnp.real(h)))
+            if stage == "flat_epc":
+                af, am = gw(fa, cfg.epc_window)
+                bits, th, h, _ = _decode_epc_frames(af, am, cfg)
+                return (jnp.sum(bits).astype(jnp.float32) + jnp.sum(th)
+                        + jnp.sum(jnp.real(h)))
+            # stage == "flat": the full multi decode
+            dec = decode_events_multi(y_c, events_c, cfg)
+            return (jnp.sum(dec.epc_pass.astype(jnp.int32)).astype(jnp.float32)
+                    + jnp.sum(dec.rn16_bits).astype(jnp.float32))
+
         stats, _ = dec_fn(ch)
         return stats.n_epc_correct.sum().astype(jnp.float32)
 
