@@ -715,6 +715,60 @@ def replay_inventory_scan(dec: DecodedEvents, cfg: ReaderConfig) -> InventorySta
     )
 
 
+def _replay_fast_ok(dec: DecodedEvents, cfg: ReaderConfig) -> jnp.ndarray:
+    """Vectorized precondition check for the closed-form replay (see
+    replay_inventory): scalar bool, cheap O(E) reductions only."""
+    i32 = jnp.int32
+    valid = dec.valid
+    role_q, role_epc = command_roles(dec.cmd_type, valid)
+    all_known = jnp.all(jnp.logical_not(valid) | role_q | role_epc)
+    fit_v = jnp.where(
+        valid, jnp.where(role_epc, dec.epc_fits, dec.rn16_fits), True
+    )
+    unfit_seen = jnp.cumsum(jnp.logical_not(fit_v).astype(i32)) > 0
+    proc = valid & fit_v & jnp.logical_not(unfit_seen)
+    refit_after_unfit = jnp.any(valid & fit_v & unfit_seen)
+    window = jnp.where(role_epc, i32(cfg.epc_window), i32(cfg.rn16_window))
+    nxt = jnp.concatenate(
+        [dec.index[1:], jnp.full((1,), jnp.iinfo(jnp.int32).max // 2, i32)])
+    gap_ok = jnp.logical_not(proc) | (nxt >= dec.index + window)
+    n_q = jnp.sum((proc & role_q).astype(i32))
+    passed = proc & role_epc & dec.epc_pass
+    reads = jnp.zeros((N_TAG_BINS,), i32).at[
+        jnp.where(passed, dec.tag_id, N_TAG_BINS)
+    ].add(1, mode="drop")
+    n_uni = jnp.sum((reads > 0).astype(i32))
+    return (
+        all_known
+        & jnp.logical_not(refit_after_unfit)
+        & jnp.all(gap_ok)
+        & (n_q <= cfg.max_num_queries)
+        & (n_uni <= cfg.max_unique_tags)
+    )
+
+
+def replay_inventory_batch(dec_c: DecodedEvents, cfg: ReaderConfig
+                           ) -> InventoryStats:
+    """Per-channel replay with the fast/scan cond hoisted ABOVE the vmap.
+
+    ``jax.vmap(replay_inventory)`` turns the internal ``lax.cond`` into a
+    batched select that executes BOTH branches - so the O(E) sequential
+    scan fallback would run on every call even for well-formed tables
+    (E = n_time * cap steps: the replicated-serial term that binds pod
+    scaling, tools/scaling_model.py).  Here the precondition is evaluated
+    per channel and one scalar cond picks vmap(fast) for the whole batch;
+    the scan runs only when some channel actually has a malformed table.
+    Bit-identical results to vmap(replay_inventory) either way.
+    """
+    ok = jax.vmap(lambda d: _replay_fast_ok(d, cfg))(dec_c)
+    return jax.lax.cond(
+        jnp.all(ok),
+        lambda _: jax.vmap(lambda d: _replay_fast_stats(d, cfg))(dec_c),
+        lambda _: jax.vmap(lambda d: replay_inventory(d, cfg))(dec_c),
+        None,
+    )
+
+
 def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     """Round FSM replay: vectorized fast path + exact-scan fallback.
 
@@ -732,90 +786,80 @@ def replay_inventory(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
     * termination limits not reached.
 
     Those preconditions are checked vectorially; if any fails, lax.cond
-    falls back to the exact sequential scan.
+    falls back to the exact sequential scan.  (Batched callers use
+    replay_inventory_batch, which hoists the cond above the vmap.)
     """
+    return jax.lax.cond(
+        _replay_fast_ok(dec, cfg),
+        lambda _: _replay_fast_stats(dec, cfg),
+        lambda _: replay_inventory_scan(dec, cfg),
+        None,
+    )
+
+
+def _replay_fast_stats(dec: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """Closed-form replay for well-formed tables (preconditions checked by
+    _replay_fast_ok): O(E) parallel reductions, no sequential scan."""
     e = dec.index.shape[0]
     i32 = jnp.int32
     max_slot = cfg.max_slot_number
 
     valid = dec.valid
     role_q, role_epc = command_roles(dec.cmd_type, valid)
-    all_known = jnp.all(jnp.logical_not(valid) | role_q | role_epc)
     fit_v = jnp.where(
         valid, jnp.where(role_epc, dec.epc_fits, dec.rn16_fits), True
     )
-    # processed = valid events in the largest all-fit prefix; the fast path
-    # is only valid when no fit event follows an unfit one (i.e. unfit
-    # events form a trailing run - trace truncation).
+    # processed = valid events in the largest all-fit prefix (unfit events
+    # form a trailing run under the fast-path preconditions).
     unfit_seen = jnp.cumsum(jnp.logical_not(fit_v).astype(i32)) > 0
     proc = valid & fit_v & jnp.logical_not(unfit_seen)
-    refit_after_unfit = jnp.any(valid & fit_v & unfit_seen)
-
-    window = jnp.where(role_epc, i32(cfg.epc_window), i32(cfg.rn16_window))
-    nxt = jnp.concatenate([dec.index[1:], jnp.full((1,), jnp.iinfo(jnp.int32).max // 2, i32)])
-    gap_ok = jnp.logical_not(proc) | (nxt >= dec.index + window)
 
     n_q = jnp.sum((proc & role_q).astype(i32))
     passed = proc & role_epc & dec.epc_pass
     reads = jnp.zeros((N_TAG_BINS,), i32).at[
         jnp.where(passed, dec.tag_id, N_TAG_BINS)
     ].add(1, mode="drop")
-    n_uni = jnp.sum((reads > 0).astype(i32))
     a = jnp.sum((proc & role_epc).astype(i32))        # EPC events processed
 
-    ok_fast = (
-        all_known
-        & jnp.logical_not(refit_after_unfit)
-        & jnp.all(gap_ok)
-        & (n_q <= cfg.max_num_queries)
-        & (n_uni <= cfg.max_unique_tags)
+    n_rounds = a // max_slot
+    slot = 1 + (a % max_slot)
+    rnd = 1 + n_rounds
+    n_ok = jnp.sum(passed.astype(i32))
+    # Per-round unique history: unique count after each M-th EPC event.
+    new_flag = passed & (
+        jnp.cumsum(
+            jax.nn.one_hot(
+                jnp.where(passed, dec.tag_id, N_TAG_BINS),
+                N_TAG_BINS + 1, dtype=i32,
+            ), axis=0,
+        )[jnp.arange(e), jnp.minimum(dec.tag_id, N_TAG_BINS)] == 1
     )
-
-    def fast(_):
-        n_rounds = a // max_slot
-        slot = 1 + (a % max_slot)
-        rnd = 1 + n_rounds
-        n_ok = jnp.sum(passed.astype(i32))
-        # Per-round unique history: unique count after each M-th EPC event.
-        new_flag = passed & (
-            jnp.cumsum(
-                jax.nn.one_hot(
-                    jnp.where(passed, dec.tag_id, N_TAG_BINS),
-                    N_TAG_BINS + 1, dtype=i32,
-                ), axis=0,
-            )[jnp.arange(e), jnp.minimum(dec.tag_id, N_TAG_BINS)] == 1
-        )
-        uni_run = jnp.cumsum(new_flag.astype(i32))
-        epc_rank = jnp.cumsum((proc & role_epc).astype(i32))  # 1-based
-        wrap = (proc & role_epc) & (epc_rank % max_slot == 0)
-        round_idx = epc_rank // max_slot - 1
-        uni_hist = jnp.zeros((e,), i32).at[
-            jnp.where(wrap, round_idx, e)
-        ].add(uni_run, mode="drop")
-        qs = proc & role_q
-        cmd_counts = jnp.zeros((6,), i32).at[
-            jnp.where(proc, jnp.clip(dec.cmd_type, 0, 5), 6)
-        ].add(1, mode="drop")
-        return InventoryStats(
-            n_queries=n_q,
-            cur_inventory_round=rnd,
-            cur_slot=slot,
-            n_epc_correct=n_ok,
-            tag_reads=reads,
-            unique_tags_round=uni_hist,
-            n_rounds_closed=n_rounds,
-            n_events=jnp.sum(valid.astype(i32)),
-            terminated=jnp.array(False),
-            n_slot_empty=jnp.sum((qs & (dec.slot_state == 0)).astype(i32)),
-            n_slot_single=jnp.sum((qs & (dec.slot_state == 1)).astype(i32)),
-            n_slot_collision=jnp.sum((qs & (dec.slot_state == 2)).astype(i32)),
-            cmd_counts=cmd_counts,
-        )
-
-    def slow(_):
-        return replay_inventory_scan(dec, cfg)
-
-    return jax.lax.cond(ok_fast, fast, slow, None)
+    uni_run = jnp.cumsum(new_flag.astype(i32))
+    epc_rank = jnp.cumsum((proc & role_epc).astype(i32))  # 1-based
+    wrap = (proc & role_epc) & (epc_rank % max_slot == 0)
+    round_idx = epc_rank // max_slot - 1
+    uni_hist = jnp.zeros((e,), i32).at[
+        jnp.where(wrap, round_idx, e)
+    ].add(uni_run, mode="drop")
+    qs = proc & role_q
+    cmd_counts = jnp.zeros((6,), i32).at[
+        jnp.where(proc, jnp.clip(dec.cmd_type, 0, 5), 6)
+    ].add(1, mode="drop")
+    return InventoryStats(
+        n_queries=n_q,
+        cur_inventory_round=rnd,
+        cur_slot=slot,
+        n_epc_correct=n_ok,
+        tag_reads=reads,
+        unique_tags_round=uni_hist,
+        n_rounds_closed=n_rounds,
+        n_events=jnp.sum(valid.astype(i32)),
+        terminated=jnp.array(False),
+        n_slot_empty=jnp.sum((qs & (dec.slot_state == 0)).astype(i32)),
+        n_slot_single=jnp.sum((qs & (dec.slot_state == 1)).astype(i32)),
+        n_slot_collision=jnp.sum((qs & (dec.slot_state == 2)).astype(i32)),
+        cmd_counts=cmd_counts,
+    )
 
 
 def decode_block(

@@ -33,7 +33,8 @@ from ..config import ReaderConfig
 from ..dsp.filters import boxcar_taps
 from ..dsp.gate import gate_detect
 from ..runtime.inventory import (DecodedEvents, decode_events,
-                                 decode_events_multi, replay_inventory)
+                                 decode_events_multi, replay_inventory,
+                                 replay_inventory_batch)
 from ..runtime.stats import InventoryStats
 from .mesh import CHAN_AXIS, TIME_AXIS
 
@@ -150,12 +151,16 @@ def _event_out_specs() -> DecodedEvents:
     )
 
 
-def _sort_and_replay(dec_c: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
-    """One channel's concatenated shard tables -> global replay."""
+def _sort_events(dec_c: DecodedEvents, cfg: ReaderConfig) -> DecodedEvents:
+    """One channel's concatenated shard tables, index-sorted + capped."""
     order = jnp.argsort(dec_c.index)
     flat = jax.tree.map(lambda a: a[order], dec_c)
-    flat = jax.tree.map(lambda a: a[: cfg.max_events], flat)
-    return replay_inventory(flat, cfg)
+    return jax.tree.map(lambda a: a[: cfg.max_events], flat)
+
+
+def _sort_and_replay(dec_c: DecodedEvents, cfg: ReaderConfig) -> InventoryStats:
+    """One channel's concatenated shard tables -> global replay."""
+    return replay_inventory(_sort_events(dec_c, cfg), cfg)
 
 
 def decode_capture_sharded(
@@ -208,7 +213,14 @@ def make_sharded_decoder(
 
     def run(iq_in):
         dec = sharded(iq_in)  # leaves (C, n_time*cap, ...)
-        stats = jax.vmap(lambda d: _sort_and_replay(d, cfg))(dec)
+        # Sort per channel, then replay with the fast/scan cond hoisted
+        # above the channel vmap (replay_inventory_batch): a vmapped cond
+        # executes both branches, which would put the O(n_time*cap)
+        # sequential scan on every iteration's critical path - the
+        # replicated-serial term of the pod-scaling model
+        # (tools/scaling_model.py).
+        flat = jax.vmap(lambda d: _sort_events(d, cfg))(dec)
+        stats = replay_inventory_batch(flat, cfg)
         return stats, dec
 
     return run

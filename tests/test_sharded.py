@@ -243,3 +243,27 @@ def test_fuzz_sharded_invariance(seed):
     idx_s = np.sort(np.asarray(dec.index[0])[np.asarray(dec.valid[0])])
     idx_1 = np.sort(np.asarray(dec_1.index)[np.asarray(dec_1.valid)])
     np.testing.assert_array_equal(idx_s, idx_1)
+
+
+def test_replay_batch_matches_vmap(trace):
+    """replay_inventory_batch (cond hoisted above the channel vmap) must be
+    bit-identical to vmap(replay_inventory) for well-formed tables AND for
+    a batch containing a malformed channel (unsorted indices force the
+    sequential-scan fallback)."""
+    from gen2_rfid_tpu.runtime.inventory import (replay_inventory,
+                                                 replay_inventory_batch)
+
+    cfg = ReaderConfig(max_events=64)
+    _, dec = decode_capture(jnp.asarray(trace.iq), cfg)
+    good = jax.tree.map(lambda a: jnp.stack([a, a]), dec)
+    # Malformed channel: reverse the event order (breaks the sorted/gap
+    # preconditions) in channel 1.
+    rev = jax.tree.map(lambda a: a[::-1], dec)
+    mixed = jax.tree.map(lambda a, b: jnp.stack([a, b]), dec, rev)
+    for batch in (good, mixed):
+        got = jax.jit(lambda d: replay_inventory_batch(d, cfg))(batch)
+        want = jax.jit(jax.vmap(lambda d: replay_inventory(d, cfg)))(batch)
+        for name in got._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)), err_msg=name)

@@ -75,6 +75,38 @@ def main():
             s2 = jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
             sp = jnp.transpose(s2, (0, 2, 1))
             return jnp.sum(sp)
+        if stage == "pfbconv":
+            # Experimental dense-conv PFB: fold prototype taps AND the 8x8
+            # IDFT into ONE (T, N, 2N) dense conv over the commutator
+            # matrix - the whole channelizer as a single MXU pass + the
+            # same final transpose.  Kernel K[r, q, k||k+N] =
+            # (W[k, N-1-q] * h[N-1-q + (T-1-r)N]).re/.im  (r reversed for
+            # lax correlation semantics with left pad T-1).
+            t = 12
+            n = x2.shape[1]
+            mm = n // n_chan
+            h_np = pfb_taps(n_chan, t)
+            k_idx = np.arange(n_chan)
+            w = np.exp(2j * np.pi * np.outer(k_idx, k_idx) / n_chan)
+            kern = np.zeros((t, n_chan, 2 * n_chan), np.float32)
+            for r in range(t):
+                for q in range(n_chan):
+                    p = n_chan - 1 - q
+                    c = w[:, p] * h_np[p + (t - 1 - r) * n_chan]
+                    kern[r, q, :n_chan] = c.real
+                    kern[r, q, n_chan:] = c.imag
+            xe = jnp.pad(x2[:, : mm * n_chan], ((0, 0), (n_chan - 1, 0)))
+            s2 = xe[:, : mm * n_chan].reshape(2, mm, n_chan)
+            out = jax.lax.conv_general_dilated(
+                s2, jnp.asarray(kern), window_strides=(1,),
+                padding=[(t - 1, 0)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                precision=jax.lax.Precision.HIGHEST)     # (2, M, 2N)
+            yr = out[0, :, :n_chan] - out[1, :, n_chan:]
+            yi = out[0, :, n_chan:] + out[1, :, :n_chan]
+            chv = jnp.transpose(jnp.stack([yr, yi]), (2, 0, 1))
+            return jnp.sum(chv)
+
         ch = channelize_planar(x2, n_chan)[:, :, :m_use]   # (8, 2, M)
         if stage == "pfb":
             return jnp.sum(ch)
