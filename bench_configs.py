@@ -8,8 +8,12 @@ point of the listed scenario):
   5 tags (collisions + empty slots exercise role tables and replay).
 * ``miller4``      — config 5 (encoding axis): Miller-4 subcarrier decode
   at the reference BLF/rates (decim 1: the Miller op mix).
+* ``miller2`` / ``miller8_trext`` — config 5 encoding axis completed:
+  M=2 and M=8+TRext-pilot points (round-4 VERDICT item 6).
 * ``blf640``       — config 5 (BLF axis): FM0 at BLF 640 kHz, 8 Msps ADC,
   decim 2 (the high-rate geometry).
+* ``blf160``       — config 5 BLF axis mid point (160 kHz, DR=64/3
+  ``for_link`` geometry).
 * ``wideband8``    — config 4: 8-channel polyphase channelizer + decode
   of a 16 Msps wideband capture in one jitted program (2 occupied
   channels), on a degenerate 1-device mesh.
@@ -95,6 +99,40 @@ def case_blf640():
                             seed=2, reps=13)
 
 
+def case_miller2():
+    """Config-5 encoding axis, M=2 point (round-4 VERDICT item 6)."""
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig(miller_m=2, decim=2, max_events=1024)
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=20,
+                            seed=2, reps=20)
+
+
+def case_miller8_trext():
+    """Config-5 encoding axis, M=8 + TRext pilot (the longest reply
+    format; 16-bit subcarrier spin-up exercises the pilot-aware sync)."""
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig(miller_m=8, trext=1, adc_rate=8e6, decim=2,
+                       max_events=640)
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=20,
+                            seed=2, reps=6)
+
+
+def case_blf160():
+    """Config-5 BLF axis, mid point (160 kHz, DR=64/3 per the spec's
+    coupling at that BLF; decim 1 keeps >=6 samples per FM0 half-bit)."""
+    from gen2_rfid_tpu.config import ReaderConfig
+    from gen2_rfid_tpu.sim.tag import Tag
+
+    cfg = ReaderConfig.for_link(blf_hz=160e3, tari_us=24.0, dr=1,
+                                adc_rate=2e6, decim=1, max_events=1024)
+    return make_decode_case(cfg, [Tag.with_id(27, seed=7)], n_rounds=20,
+                            seed=2, reps=20)
+
+
 def case_longcap():
     from gen2_rfid_tpu.config import ReaderConfig
     from gen2_rfid_tpu.sim.tag import Tag
@@ -163,7 +201,10 @@ def case_wideband8():
 CASES = {
     "multitag_q4": case_multitag_q4,
     "miller4": case_miller4,
+    "miller2": case_miller2,
+    "miller8_trext": case_miller8_trext,
     "blf640": case_blf640,
+    "blf160": case_blf160,
     "wideband8": case_wideband8,
     "longcap": case_longcap,
 }

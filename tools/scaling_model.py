@@ -59,9 +59,16 @@ ICI_GBPS = 1600.0         # v5e aggregate interchip interconnect, per chip
 ICI_BYTES_S = ICI_GBPS / 8 * 1e9
 DCN_BYTES_S = 25e9        # conservative per-host data-center network
 DCN_WORST = 3e9           # stress case
-T_SERIAL_S = 0.45e-3      # sort + replay at a 2048-slot table (measured,
-                          # tools/tpu_prof_wideband.py round 4); scales
-                          # ~linearly with total table slots
+# Replicated sort + fast-path replay term.  Round 4 measured 0.45 ms at a
+# 2048-slot table - but that number included the O(E) sequential replay
+# scan, which a vmapped lax.cond always executed (both branches).  Round 5
+# hoisted the cond above the vmap (replay_inventory_batch), so the
+# replicated term is now argsort + O(E) parallel reductions only;
+# re-measured on hardware via tools/tpu_prof_wideband.py stage deltas
+# (full - flat).  Modeled as a fixed dispatch-side constant plus a small
+# per-slot slope.
+T_SERIAL_S = 0.1e-3
+SERIAL_SLOPE_S = 2e-8     # per table slot (argsort + cumsums, vectorized)
 SERIAL_TABLE_SLOTS = 2048
 T_DISPATCH_S = 0.2e-3     # per-program dispatch allowance (not measurable
                           # behind the async tunnel; conservative)
@@ -98,7 +105,7 @@ def efficiency_curve(cfg, s_total, total_cap, bw_bytes_s, n_list):
     """eff(N) rows for one capture size under one interconnect."""
     rate = R_CHIP_MSPS * 1e6
     rows = []
-    t_serial = T_SERIAL_S * (total_cap / SERIAL_TABLE_SLOTS)
+    t_serial = T_SERIAL_S + SERIAL_SLOPE_S * total_cap
     for n in n_list:
         s_shard = s_total / n
         ovh, halo_b = halo_overhead(cfg, s_shard)
@@ -119,8 +126,16 @@ def efficiency_curve(cfg, s_total, total_cap, bw_bytes_s, n_list):
 
 
 def hlo_flops_validation():
-    """Compile the real shard_map program at n_time in {1,2,4,8} (CPU mesh)
-    and compare per-device FLOPs against the closed-form halo model."""
+    """Compile the real shard_map program at n_time in {1,2,4,8} (CPU mesh),
+    read per-device FLOPs from cost_analysis for (a) the shard body alone
+    and (b) the full program (+ replicated sort/replay), and fit each to
+    flops(N) = a * (1 + ovh(N)) / N + c.
+
+    The fit decomposes the program into its sharding-scaled part (a) and
+    its replicated part (c); the body's c must be small (role-cap slack
+    only), and c_full - c_body is the replicated sort/replay FLOP cost the
+    efficiency model's serial term accounts for.  Residuals validate the
+    closed-form halo arithmetic."""
     import jax
     import jax.numpy as jnp
 
@@ -130,24 +145,59 @@ def hlo_flops_validation():
 
     cfg = ReaderConfig(max_events=256)
     s_total = 1_966_080  # ADC samples; divides 8 * decim
-    out = []
-    for n in (1, 2, 4, 8):
-        mesh = make_mesh(n_time=n, n_chan=1)
-        fn = make_sharded_decoder(cfg, mesh, events_per_shard=256 // n + 16)
-        x = jnp.zeros((1, 2, s_total), jnp.float32)
+    ns = (1, 2, 4, 8)
+
+    def flops_of(fn, x):
         compiled = jax.jit(fn).lower(x).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", float("nan")))
+        return float(ca.get("flops", float("nan")))
+
+    rows = []
+    for n in ns:
+        mesh = make_mesh(n_time=n, n_chan=1)
+        fn = make_sharded_decoder(cfg, mesh, events_per_shard=256 // n + 16)
+
+        # body-only: the shard_map stage without the replicated replay
+        import functools
+
+        from gen2_rfid_tpu.dsp.filters import boxcar_taps
+        from gen2_rfid_tpu.shard.decode_sharded import (_event_out_specs,
+                                                        _shard_body)
+        from jax.sharding import PartitionSpec as P
+        from gen2_rfid_tpu.shard.mesh import CHAN_AXIS, TIME_AXIS
+
+        taps = jnp.asarray(boxcar_taps(
+            int(cfg.tag_bit_us / 2 * cfg.adc_rate / 1e6 / cfg.miller_m)))
+        body = jax.shard_map(
+            functools.partial(_shard_body, cfg=cfg, taps=taps,
+                              events_cap=256 // n + 16),
+            mesh=mesh, in_specs=P(CHAN_AXIS, None, TIME_AXIS),
+            out_specs=_event_out_specs())
+        x = jnp.zeros((1, 2, s_total), jnp.float32)
         ovh, _ = halo_overhead(cfg, s_total / n)
-        out.append(dict(n_time=n, flops=flops,
-                        predicted_ratio=round((1 / n) * (1 + ovh), 4)))
-    f1 = out[0]["flops"]
-    for r in out:
-        r["measured_ratio"] = round(r["flops"] / f1, 4)
-        r["model_err_pct"] = round(
-            100 * (r["measured_ratio"] / r["predicted_ratio"] - 1), 2)
-    return out
+        rows.append(dict(n_time=n, flops_full=flops_of(fn, x),
+                         flops_body=flops_of(body, x),
+                         scale=(1 + ovh) / n))
+
+    def fit(key):
+        # least squares on flops = a*scale + c
+        s = np.array([r["scale"] for r in rows])
+        f = np.array([r[key] for r in rows])
+        a, c = np.linalg.lstsq(np.stack([s, np.ones_like(s)], 1), f,
+                               rcond=None)[0]
+        resid = float(np.abs(a * s + c - f).max() / f[0])
+        return float(a), float(c), resid
+
+    a_b, c_b, r_b = fit("flops_body")
+    a_f, c_f, r_f = fit("flops_full")
+    return dict(
+        rows=rows,
+        body_fit=dict(a=a_b, c=c_b, max_resid_frac=round(r_b, 5),
+                      replicated_frac=round(c_b / (a_b + c_b), 4)),
+        full_fit=dict(a=a_f, c=c_f, max_resid_frac=round(r_f, 5),
+                      replicated_frac=round(c_f / (a_f + c_f), 4)),
+    )
 
 
 def main():
@@ -186,10 +236,9 @@ def main():
         effs = " ".join(f"N={r['n']}:{r['eff']:.2f}" for r in rows)
         print(f"{name}: {effs}")
     if result["hlo_validation"]:
-        for r in result["hlo_validation"]:
-            print(f"hlo n_time={r['n_time']}: measured {r['measured_ratio']}"
-                  f" predicted {r['predicted_ratio']}"
-                  f" err {r['model_err_pct']}%")
+        hv = result["hlo_validation"]
+        print("hlo body fit:", hv["body_fit"])
+        print("hlo full fit:", hv["full_fit"])
     print(f"wrote {args.out}")
 
 

@@ -36,7 +36,7 @@ def main():
 
     import bench_configs as bc
     from gen2_rfid_tpu.config import ReaderConfig
-    from gen2_rfid_tpu.dsp.channelizer import channelize_planar
+    from gen2_rfid_tpu.dsp.channelizer import channelize_planar, pfb_taps
     from gen2_rfid_tpu.dsp.filters import boxcar_taps
     from gen2_rfid_tpu.dsp.gate import gate_detect
     from gen2_rfid_tpu.runtime.inventory import decode_events
