@@ -5,7 +5,7 @@ PY ?= python
 CPU_ENV = env -u PYTHONPATH JAX_PLATFORMS=cpu \
           XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: all native test bench bench-configs bench-scaling dryrun \
+.PHONY: all native test test-quick bench bench-configs bench-scaling dryrun \
         distributed install clean
 
 all: native
@@ -19,6 +19,11 @@ gen2_rfid_tpu/native/libgen2_stream.so: gen2_rfid_tpu/native/gen2_stream.cc
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# Quick tier: deselects tests marked slow (>=12 s; see tests/conftest.py
+# SLOW_TESTS).  ~<10 min on the 2-core host vs ~40 min full.
+test-quick:
+	$(PY) -m pytest tests/ -q -m "not slow"
 
 bench:
 	$(PY) bench.py

@@ -32,6 +32,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Output rows (decimated samples m) per selection-matmul block in the
+# branch-filter stage; 128 puts whole (8, 128) v5e tiles on both matmul
+# axes (columns = 128 m-rows x 8 branches = 1024 lanes).
+_TAP_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _tap_selection(n_chan: int, taps_per_branch: int):
+    """(ext, out) branch-filter selection matrix for one output block.
+
+    Column i*N+q of the matmul computes u_q[m0+i] = sum_r h_q[r] *
+    s2[m0+i-r, q] from the block's extended commutator slab (T-1 history
+    rows + B rows, flattened (m', q) -> m'*N + q).  One dense MXU matmul
+    replaces the 12 tap-shift multiply-adds on (M, N) arrays whose
+    N-element minor dimension ran at 1/16 lane utilization - the whole
+    12 ms PFB cost on v5e (docs/PERF.md round-5 isolation: pfb_taps
+    11.96 of pfb 12.19 ms; the flat-shift and dense-conv and Pallas-free
+    alternatives all measured worse).
+    """
+    t = taps_per_branch
+    h_np = pfb_taps(n_chan, t)
+    # Row q of hpq is branch N-1-q (the unreversed-commutator column
+    # order, see channelize_planar).
+    hpq = np.ascontiguousarray(h_np.reshape(t, n_chan).T[::-1, :])  # (N, T)
+    b = _TAP_BLOCK
+    ext_rows = b + t - 1
+    sel = np.zeros((ext_rows * n_chan, b * n_chan), dtype=np.float32)
+    for i in range(b):
+        for q in range(n_chan):
+            for r in range(t):
+                sel[(i - r + t - 1) * n_chan + q, i * n_chan + q] = hpq[q, r]
+    return sel
+
 
 def pfb_taps(n_chan: int, taps_per_branch: int = 12) -> np.ndarray:
     """Hamming-windowed-sinc prototype lowpass for an N-channel PFB.
@@ -75,20 +108,36 @@ def channelize_planar(
     # complex round-trip touch the data until one final (2, M, N) ->
     # (N, 2, M) output transpose.
     xe = jnp.pad(iq2[:, : m * n_chan], ((0, 0), (n_chan - 1, 0)))
-    s2 = xe[:, : m * n_chan].reshape(2, m, n_chan)          # (2, M, N)
-    # Branch filters h_p[r] = h[p + rN] as T fused tap-shift
-    # multiply-adds along M (the grouped conv misses the MXU); row q of
-    # hpq is branch N-1-q to match the unreversed commutator columns.
-    h_np = pfb_taps(n_chan, taps_per_branch)
-    hpq = np.ascontiguousarray(
-        h_np.reshape(taps_per_branch, n_chan).T[::-1, :])   # (N, T)
-    sp = jnp.pad(s2, ((0, 0), (t - 1, 0), (0, 0)))
-    u = jnp.zeros((2, m, n_chan), jnp.float32)
-    for r in range(t):
-        # Correlation tap r multiplies input sample m - r: with the
-        # front pad of T-1 rows, that is sp[:, T-1-r : T-1-r+M, :].
-        u = u + jnp.asarray(hpq[:, r]) * jax.lax.slice(
-            sp, (0, t - 1 - r, 0), (2, t - 1 - r + m, n_chan))
+    # Branch filters h_p[r] = h[p + rN] (row q of the selection matrix is
+    # branch N-1-q, matching the unreversed commutator columns) as ONE
+    # blocked overlap-save selection matmul: the previous 12 tap-shift
+    # multiply-adds on (2, M, N) arrays ran at 1/16 lane utilization
+    # (N-element minor dim) and were the entire 12 ms PFB cost on v5e
+    # (docs/PERF.md round-5 isolation).  Blocks of _TAP_BLOCK decimated
+    # rows extend left by T-1 rows of history (zero for the first block -
+    # the same zero-history convention), so block b's slab is
+    # flat[b*B*N - (T-1)*N : (b+1)*B*N], and the dense (extN, B*N) matmul
+    # rides the MXU.
+    b = _TAP_BLOCK
+    nb = -(-m // b)
+    flat = jnp.pad(xe[:, : m * n_chan],
+                   ((0, 0), ((t - 1) * n_chan, (nb * b - m) * n_chan)))
+    # Split the slab matmul at the history boundary so the main part is a
+    # pure reshape of `flat` (no (B+T-1)-wide ext concatenation - that
+    # materialized an extra 63 MB copy): ext @ sel = tails @ sel_top +
+    # blocks @ sel_bot with tails = the first T-1 rows of each block's
+    # flat range (zero history for block 0 via the front pad).
+    blocks = flat[:, (t - 1) * n_chan:].reshape(2, nb, b * n_chan)
+    tails = flat[:, : nb * b * n_chan].reshape(
+        2, nb, b * n_chan)[:, :, : (t - 1) * n_chan]
+    sel = _tap_selection(n_chan, taps_per_branch)
+    hi = jax.lax.Precision.HIGHEST
+    cut = (t - 1) * n_chan
+    u = (jnp.einsum("cbj,jo->cbo", tails, jnp.asarray(sel[:cut]),
+                    precision=hi)
+         + jnp.einsum("cbj,jo->cbo", blocks, jnp.asarray(sel[cut:]),
+                      precision=hi))
+    u = u.reshape(2, nb * b, n_chan)[:, :m]          # (2, M, N)
     # y[k] = sum_p u_p e^{+j 2 pi k p / N} (= ifft * N): one N x N IDFT
     # matmul on the minor branch axis, twiddles pre-permuted for the
     # q = N-1-p column order.

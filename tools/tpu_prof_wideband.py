@@ -107,6 +107,91 @@ def main():
             chv = jnp.transpose(jnp.stack([yr, yi]), (2, 0, 1))
             return jnp.sum(chv)
 
+        if stage in ("pfb_flat", "pfb_flat_nt"):
+            # Flat channel-interleaved PFB: the (…, 8) minor-dim arrays of
+            # channelize_planar run at 1/16 v5e lane utilization; here
+            # every op is a shifted multiply with a period-8 tiled
+            # coefficient vector on (2, M*8) flat arrays (full lanes), and
+            # the (M,8)->(8,M) layout change happens once at the end
+            # ("pfb_flat") or not at all ("pfb_flat_nt") - CPU-validated
+            # equal to channelize_planar.
+            t = 12
+            ln = x2.shape[1]
+            mm = ln // n_chan
+            h_np = pfb_taps(n_chan, t)
+            hpq = np.ascontiguousarray(h_np.reshape(t, n_chan).T[::-1, :])
+            k_idx = np.arange(n_chan)
+            w = np.exp(2j * np.pi * np.outer(k_idx, k_idx) / n_chan)
+            wq = np.ascontiguousarray(w[:, ::-1].T)
+            s2f = jnp.pad(x2[:, : mm * n_chan],
+                          ((0, 0), (n_chan - 1, 0)))[:, : mm * n_chan]
+            sp = jnp.pad(s2f, ((0, 0), ((t - 1) * n_chan, 0)))
+            u = jnp.zeros((2, mm * n_chan), jnp.float32)
+            for r in range(t):
+                # tile IN-graph: a host-side np.tile would bake a 29 MB
+                # constant per tap into the HLO (the remote compile
+                # endpoint rejects the >700 MB program body).
+                coeff = jnp.tile(jnp.asarray(hpq[:, r]), mm)
+                u = u + coeff * jax.lax.slice(
+                    sp, (0, (t - 1 - r) * n_chan),
+                    (2, (t - 1 - r) * n_chan + mm * n_chan))
+            up = jnp.pad(u, ((0, 0), (n_chan - 1, n_chan - 1)))
+            yr = jnp.zeros((mm * n_chan,), jnp.float32)
+            yi = jnp.zeros((mm * n_chan,), jnp.float32)
+            for d in range(-(n_chan - 1), n_chan):
+                cr = np.zeros(n_chan, np.float32)
+                ci = np.zeros(n_chan, np.float32)
+                for k in range(n_chan):
+                    q = k - d
+                    if 0 <= q < n_chan:
+                        cr[k] = wq[q, k].real
+                        ci[k] = wq[q, k].imag
+                crt = jnp.tile(jnp.asarray(cr), mm)
+                cit = jnp.tile(jnp.asarray(ci), mm)
+                us = jax.lax.slice(up, (0, (n_chan - 1) - d),
+                                   (2, (n_chan - 1) - d + mm * n_chan))
+                yr = yr + crt * us[0] - cit * us[1]
+                yi = yi + cit * us[0] + crt * us[1]
+            if stage == "pfb_flat_nt":
+                return jnp.sum(yr) + jnp.sum(yi)
+            chf = jnp.transpose(
+                jnp.stack([yr.reshape(mm, n_chan), yi.reshape(mm, n_chan)]),
+                (2, 0, 1))
+            return jnp.sum(chf)
+
+        if stage in ("pfb_taps", "pfb_deflt", "pfb_high", "pfb_highest"):
+            # channelize_planar body with (a) taps only and (b) the IDFT
+            # matmuls at each precision tier - isolates whether the
+            # round-5 Precision.HIGHEST fix (bf16x6 passes on a tiny
+            # contraction, i.e. bandwidth-bound) inflated the PFB.
+            t = 12
+            n = x2.shape[1]
+            mm = n // n_chan
+            h_np = pfb_taps(n_chan, t)
+            hpq = np.ascontiguousarray(h_np.reshape(t, n_chan).T[::-1, :])
+            xe = jnp.pad(x2[:, : mm * n_chan], ((0, 0), (n_chan - 1, 0)))
+            s2 = xe[:, : mm * n_chan].reshape(2, mm, n_chan)
+            sp = jnp.pad(s2, ((0, 0), (t - 1, 0), (0, 0)))
+            u = jnp.zeros((2, mm, n_chan), jnp.float32)
+            for r in range(t):
+                u = u + jnp.asarray(hpq[:, r]) * jax.lax.slice(
+                    sp, (0, t - 1 - r, 0), (2, t - 1 - r + mm, n_chan))
+            if stage == "pfb_taps":
+                return jnp.sum(u)
+            k_idx = np.arange(n_chan)
+            w = np.exp(2j * np.pi * np.outer(k_idx, k_idx) / n_chan)
+            wqz = np.ascontiguousarray(w[:, ::-1].T)
+            wr = jnp.asarray(wqz.real.astype(np.float32))
+            wi = jnp.asarray(wqz.imag.astype(np.float32))
+            prec = {"pfb_deflt": None, "pfb_high": jax.lax.Precision.HIGH,
+                    "pfb_highest": jax.lax.Precision.HIGHEST}[stage]
+            ur, ui = u[0], u[1]
+            yr = (jnp.matmul(ur, wr, precision=prec)
+                  - jnp.matmul(ui, wi, precision=prec))
+            yi = (jnp.matmul(ur, wi, precision=prec)
+                  + jnp.matmul(ui, wr, precision=prec))
+            return jnp.sum(yr) + jnp.sum(yi)
+
         ch = channelize_planar(x2, n_chan)[:, :, :m_use]   # (8, 2, M)
         if stage == "pfb":
             return jnp.sum(ch)
@@ -195,6 +280,46 @@ def main():
                 bits, th, h, _ = _decode_epc_frames(af, am, cfg)
                 return (jnp.sum(bits).astype(jnp.float32) + jnp.sum(th)
                         + jnp.sum(jnp.real(h)))
+            if stage == "flat_val":
+                from gen2_rfid_tpu.runtime.inventory import _validate_epc_soft
+                af, am = gw(fa, cfg.epc_window)
+                bits, th, h, rel = _decode_epc_frames(af, am, cfg)
+                a_pass, a_tid, a_bits = _validate_epc_soft(bits, rel, cfg)
+                return (jnp.sum(a_pass.astype(jnp.int32)).astype(jnp.float32)
+                        + jnp.sum(a_tid).astype(jnp.float32))
+            if stage == "flat_cls":
+                from gen2_rfid_tpu.runtime.inventory import classify_slots
+                qf, qm = gw(fq, cfg.rn16_window)
+                bits, h, marg = _decode_rn16_frames(qf, cfg)
+                q_energy = jnp.mean(qm, axis=1)
+                nv_pad = jnp.concatenate(
+                    [events_c.noise_var, jnp.ones((c, 1), jnp.float32)],
+                    axis=1).reshape(-1)
+                h2 = jnp.real(h) ** 2 + jnp.imag(h) ** 2
+                st = classify_slots(q_energy, marg, nv_pad[fq], h2)
+                return (jnp.sum(st).astype(jnp.float32)
+                        + jnp.sum(bits).astype(jnp.float32))
+            if stage == "flat_scat":
+                # decode both roles + all scatter-backs, skipping only
+                # classify_slots and _validate_epc_soft.
+                from gen2_rfid_tpu.runtime.inventory import _validate_epc_soft
+                qf, qm = gw(fq, cfg.rn16_window)
+                af, am = gw(fa, cfg.epc_window)
+                q_bits, q_h, q_marg = _decode_rn16_frames(qf, cfg)
+                a_bits, a_th, a_h, _ = _decode_epc_frames(af, am, cfg)
+                def unpad(flat):
+                    return flat.reshape((c, capp) + flat.shape[1:])[:, :cap]
+                rn16 = unpad(jnp.zeros((c * capp, 16), i32).at[fq].set(
+                    q_bits, mode="drop"))
+                epcb = unpad(jnp.zeros(
+                    (c * capp, a_bits.shape[1]), i32).at[fa].set(
+                    a_bits, mode="drop"))
+                hf = jnp.zeros((c * capp,), q_h.dtype)
+                hf = hf.at[fq].set(q_h, mode="drop")
+                hf = unpad(hf.at[fa].set(a_h, mode="drop"))
+                return (jnp.sum(rn16).astype(jnp.float32)
+                        + jnp.sum(epcb).astype(jnp.float32)
+                        + jnp.sum(jnp.real(hf)))
             # stage == "flat": the full multi decode
             dec = decode_events_multi(y_c, events_c, cfg)
             return (jnp.sum(dec.epc_pass.astype(jnp.int32)).astype(jnp.float32)
