@@ -26,9 +26,16 @@ ranked events, masks are arange comparisons, candidates are one XOR, and
 validation reuses the batched GF(2) CRC matmuls
 (``runtime/inventory.py::check_epc_crc_pc``) over the (E·C, n) candidate
 table.  With K=8 that is 36 candidates/frame; a random candidate passes
-CRC-16 with p = 2^-16, so the false-accept rate is ~5.5e-4 per *failed*
-frame — and the ML (min-cost) pick prefers genuinely marginal decisions,
-pinned by tests/test_softfix.py.
+plain CRC-16 with p = 2^-16, so the analytic false-accept rate is
+~5.5e-4 per *failed* frame.  MEASURED (round-5 200k-random-frame
+campaign, tools/softfix_false_accept.py): compat (fixed-96 CRC)
+5.18e-4 (95% upper 6.3e-4 — the analytic model is exact); native
+(PC-aware) **3.99e-5** — 14x stricter, because check_epc_crc_pc also
+requires the candidate's own PC length field to name a valid in-window
+length before its CRC hypothesis counts.  Pinned by
+tests/test_softfix.py::test_false_accept_rate_bounded; the ML
+(min-cost) pick prefers genuinely marginal decisions, pinned by the
+recovery tests.
 """
 
 from __future__ import annotations

@@ -132,3 +132,34 @@ def test_softfix_gains_waterfall_and_never_lies():
     reads = np.asarray(stats.tag_reads)
     seen = np.nonzero(reads)[0]
     assert list(seen) == [27], seen
+
+
+def test_false_accept_rate_bounded():
+    """Empirical false-accept bound (round-4 VERDICT item 8): on
+    uniformly random decoded bits + random reliabilities (the noise-only
+    / wrong-tag input model), softfix recovery must accept at most at
+    the analytic 36/2^16 ~ 5.5e-4 scale.  The 200k-frame campaign
+    (tools/softfix_false_accept.py) measured compat 5.37e-4 (analytic
+    match: plain CRC-16 collisions) and native STRICTER (PC-aware
+    validation also demands a self-consistent PC length field).  This
+    pins a deterministic 8192-frame draw: compat <= 2.5e-3 (4.5x
+    analytic headroom), native <= compat.
+    """
+    from gen2_rfid_tpu.runtime.inventory import _validate_epc
+
+    rng = np.random.default_rng(0)
+    rates = {}
+    for mode in ("native", "compat"):
+        cfg = ReaderConfig(mode=mode, epc_softfix=8)
+        n = cfg.epc_bits - 1
+        bits = rng.integers(0, 2, size=(8192, n)).astype(np.int32)
+        rel = rng.random((8192, n)).astype(np.float32)
+
+        def validate(b, cfg=cfg):
+            return _validate_epc(b, cfg)
+
+        _, fixed = recover_epc_batch(
+            jnp.asarray(bits), jnp.asarray(rel), cfg, validate)
+        rates[mode] = int(np.asarray(fixed).sum()) / 8192
+    assert rates["compat"] <= 2.5e-3, rates
+    assert rates["native"] <= rates["compat"], rates
