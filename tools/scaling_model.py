@@ -54,21 +54,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --- hardware constants (public v5e datasheet / measured) -----------------
-R_CHIP_MSPS = 1400.0      # flagship hardware band 1382-1569 (BENCH_r04)
+R_CHIP_MSPS = 1428.0      # flagship measured this round (band 1419-1453;
+                          # r4 driver run: 1495, band 1382-1569)
 ICI_GBPS = 1600.0         # v5e aggregate interchip interconnect, per chip
 ICI_BYTES_S = ICI_GBPS / 8 * 1e9
 DCN_BYTES_S = 25e9        # conservative per-host data-center network
 DCN_WORST = 3e9           # stress case
-# Replicated sort + fast-path replay term.  Round 4 measured 0.45 ms at a
-# 2048-slot table - but that number included the O(E) sequential replay
-# scan, which a vmapped lax.cond always executed (both branches).  Round 5
-# hoisted the cond above the vmap (replay_inventory_batch), so the
-# replicated term is now argsort + O(E) parallel reductions only;
-# re-measured on hardware via tools/tpu_prof_wideband.py stage deltas
-# (full - flat).  Modeled as a fixed dispatch-side constant plus a small
-# per-slot slope.
-T_SERIAL_S = 0.1e-3
-SERIAL_SLOPE_S = 2e-8     # per table slot (argsort + cumsums, vectorized)
+# Replicated sort + fast-path replay term.  Round 4's 0.45 ms at a
+# 2048-slot table included the O(E) sequential replay scan, which a
+# vmapped lax.cond always executed (both branches); round 5 hoisted the
+# cond above the vmap (replay_inventory_batch).  MEASURED on hardware
+# (tools/tpu_replay_bench.py, argsort + fast replay, K-chained
+# difference quotient): 0.083 ms @ 2048 slots, 0.506 @ 8192,
+# 1.625 @ 24576 -> ~68 ns/slot, ~zero intercept.
+T_SERIAL_S = 0.05e-3
+SERIAL_SLOPE_S = 6.8e-8   # per table slot (hardware-measured)
 SERIAL_TABLE_SLOTS = 2048
 T_DISPATCH_S = 0.2e-3     # per-program dispatch allowance (not measurable
                           # behind the async tunnel; conservative)
