@@ -34,13 +34,15 @@ def slot_blocks(cfg):
     """(rn16_block2, epc_block2) planar float32 ADC-rate slot blocks."""
     import jax.numpy as jnp
 
-    from gen2_rfid_tpu.runtime.inventory import decode_capture
+    from gen2_rfid_tpu.runtime.inventory import (decode_capture_planar,
+                                                 to_planar)
     from gen2_rfid_tpu.sim.tag import Tag
     from gen2_rfid_tpu.sim.trace import synthesize_inventory
 
     tr = synthesize_inventory(cfg, [Tag.with_id(27, seed=7)], n_rounds=2,
                               seed=1)
-    _, dec = decode_capture(jnp.asarray(tr.iq), cfg)
+    # Planar entry: complex64 never crosses the tunnel's jit boundary.
+    _, dec = decode_capture_planar(jnp.asarray(to_planar(tr.iq)), cfg)
     idx = np.asarray(dec.index)
     valid = np.asarray(dec.valid)
     roles = np.asarray(dec.cmd_type)

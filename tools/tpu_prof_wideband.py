@@ -3,13 +3,27 @@
 8 x 915 k-sample decode chains vmapped under a 1-device shard_map -
 should sum to ~7 ms at flagship per-sample rates.  Attribute the rest.
 
-Cumulative prefixes with the difference-quotient harness:
-* pfb    - channelize_planar only;
-* events - + per-channel FIR + gate (the shard body up to gate_detect);
-* decode - + role-specialized decode (full shard body);
-* full   - + vmapped sort + replay (the shipping decoder).
+Stages (select via WB_STAGES=a,b,...; difference-quotient harness):
+* commutator  - data movement only (the round-4 textbook-PFB prefix);
+* pfb         - channelize_planar (round-5: selection-matmul taps);
+* pfb_taps/pfb_deflt/pfb_high/pfb_highest - old tap-shift loop alone /
+  + IDFT at each precision tier (isolated the 12 ms tap cost);
+* pfbconv / pfb_flat / pfb_flat_nt - measured-LOSING alternatives kept
+  for the record (dense conv 27.5 ms; flat shifted-multiplies 67.5 ms);
+* events      - pfb + per-channel FIR + gate;
+* decode      - + round-4 channel-VMAPPED specialized decode (the
+  anomaly: +12.2 ms);
+* flat_gw/flat_rn16/flat_epc/flat_val/flat_cls/flat_scat - round-5
+  channel-FLATTENED decode substages (gathers / RN16 / EPC / validate /
+  classify / scatter-back);
+* flat        - full decode_events_multi (NOTE: this profiling-only
+  reduction reproducibly crashed the remote TPU worker 4/4 while every
+  substage and the shipping program run clean - an axon/XLA fusion
+  fault, see docs/PERF.md);
+* full        - the SHIPPING sharded decoder (flat decode + hoisted
+  replay cond).
 
-Run: timeout 5400 python tools/tpu_prof_wideband.py
+Run: WB_STAGES=pfb,events,full timeout 5400 python tools/tpu_prof_wideband.py
 """
 
 import functools
