@@ -206,6 +206,34 @@ def main():
                   + jnp.matmul(ui, wr, precision=prec))
             return jnp.sum(yr) + jnp.sum(yi)
 
+        if stage in ("pfb2_reshape", "pfb2_tap"):
+            # Round-5 selection-matmul PFB substages: commutator pad +
+            # slab construction alone, then + the tap matmuls.
+            from gen2_rfid_tpu.dsp.channelizer import (_TAP_BLOCK,
+                                                       _tap_selection)
+            t = 12
+            n = x2.shape[1]
+            mm = n // n_chan
+            xe = jnp.pad(x2[:, : mm * n_chan], ((0, 0), (n_chan - 1, 0)))
+            bb = _TAP_BLOCK
+            nb = -(-mm // bb)
+            flat = jnp.pad(xe[:, : mm * n_chan],
+                           ((0, 0), ((t - 1) * n_chan,
+                                     (nb * bb - mm) * n_chan)))
+            blocks = flat[:, (t - 1) * n_chan:].reshape(2, nb, bb * n_chan)
+            tails = flat[:, : nb * bb * n_chan].reshape(
+                2, nb, bb * n_chan)[:, :, : (t - 1) * n_chan]
+            if stage == "pfb2_reshape":
+                return jnp.sum(blocks) + jnp.sum(tails)
+            sel = _tap_selection(n_chan, 12)
+            hi = jax.lax.Precision.HIGHEST
+            cut = (t - 1) * n_chan
+            u = (jnp.einsum("cbj,jo->cbo", tails, jnp.asarray(sel[:cut]),
+                            precision=hi)
+                 + jnp.einsum("cbj,jo->cbo", blocks,
+                              jnp.asarray(sel[cut:]), precision=hi))
+            return jnp.sum(u)
+
         ch = channelize_planar(x2, n_chan)[:, :, :m_use]   # (8, 2, M)
         if stage == "pfb":
             return jnp.sum(ch)
