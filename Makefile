@@ -6,7 +6,7 @@ CPU_ENV = env -u PYTHONPATH JAX_PLATFORMS=cpu \
           XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 .PHONY: all native test test-quick bench bench-configs bench-scaling dryrun \
-        distributed install clean
+        distributed scaling-model false-accept install clean
 
 all: native
 
@@ -33,6 +33,14 @@ bench-configs:
 
 bench-scaling:
 	$(CPU_ENV) $(PY) bench_scaling.py
+
+# Evidence artifacts: pod-scaling efficiency model (SCALING_r05.json +
+# docs/SCALING.md tables) and the softfix false-accept campaign.
+scaling-model:
+	$(CPU_ENV) $(PY) tools/scaling_model.py
+
+false-accept:
+	$(CPU_ENV) $(PY) tools/softfix_false_accept.py
 
 # Multi-process distributed validation: N real jax.distributed worker
 # processes on localhost (gloo CPU collectives) must reproduce the

@@ -101,6 +101,20 @@ def main():
         if stage == "rn16":
             return jnp.sum(q_bits).astype(jnp.float32) + jnp.sum(q_margin)
 
+        if stage.startswith("epc_seg"):
+            # Latency-vs-throughput probe: same EPC cascade at different
+            # segment counts (seg_bits override; decode robustness NOT
+            # asserted here - timing only).  If halving the sequential
+            # chain ~halves the time, the cascade is latency-bound and a
+            # two-step-ahead prediction rework would pay; if not, it is
+            # throughput-bound and the idea dies here.
+            sb = int(stage.split("epc_seg")[1])
+            det = jax.vmap(lambda f, i, h, e: miller.miller_detect(
+                f, i, h, cfg, cfg.epc_data_bits, seg_bits=sb, eps0=e)[0],
+                in_axes=(0, 0, 0, 0))
+            ab = det(a_frames, a_idx, a_h, a_eps)
+            return jnp.sum(ab).astype(jnp.float32)
+
         a_bits, a_thalf, a_rel = miller.miller_epc_soft_eps_batch(
             a_frames, a_idx, a_h, a_eps, cfg)
         if stage == "epc":
@@ -128,7 +142,8 @@ def main():
         np.asarray(out)
         return time.perf_counter() - t0
 
-    stages = ["gather", "sync", "rn16", "epc", "crc"]
+    stages = os.environ.get(
+        "MD_STAGES", "gather,sync,rn16,epc,crc").split(",")
     k1, k2 = 1, 5
     prev = 0.0
     for s in stages:
