@@ -131,3 +131,56 @@ def test_wideband_sharded_mesh_decode():
     assert np.asarray(stats.tag_reads)[1, 27] == tr_a.expected_epc_pass
     assert np.asarray(stats.tag_reads)[6, 99] == tr_b.expected_epc_pass
     assert n_ok[[0, 2, 3, 4, 5, 7]].sum() == 0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_wideband_random_placement(seed):
+    """Wideband fuzz (round-5: the PFB got a new selection-matmul core):
+    random channel count, random occupied channels, random tags with
+    small in-envelope impairments - per-channel stats from the one-shot
+    channelize+sharded-decode program must equal each placed stream's
+    own slot oracle, and unoccupied channels must stay silent."""
+    from gen2_rfid_tpu.dsp.channelizer import decode_wideband_sharded
+    from gen2_rfid_tpu.shard.mesh import make_mesh
+
+    rng = np.random.default_rng(7000 + seed)
+    n_chan = int(rng.choice([4, 8]))
+    n_occ = int(rng.integers(1, 3))
+    occupied = rng.choice(n_chan, size=n_occ, replace=False)
+    synth_cfg = ReaderConfig(adc_rate=2e6 * n_chan)
+    traces = {}
+    for k in occupied:
+        tag = Tag.with_id(int(rng.integers(1, 255)),
+                          seed=int(rng.integers(1 << 16)),
+                          backscatter=float(rng.uniform(0.06, 0.1))
+                          * np.exp(2j * np.pi * rng.uniform()),
+                          blf_offset=float(rng.uniform(-5e-3, 5e-3)),
+                          cfo_hz=float(rng.uniform(-20, 20)))
+        traces[int(k)] = synthesize_inventory(
+            synth_cfg, [tag], n_rounds=2, seed=int(rng.integers(1 << 16)))
+    n = max(tr.iq.size for tr in traces.values())
+    n += (-n) % (n_chan * 2 * ReaderConfig().decim * 8)
+    t = np.arange(n)
+    wide = np.zeros(n, np.complex64)
+    for k, tr in traces.items():
+        pad = np.zeros(n, np.complex64)
+        pad[: tr.iq.size] = tr.iq
+        wide += pad * np.exp(2j * np.pi * k * t / n_chan).astype(np.complex64)
+    wide += (rng.normal(0, 0.002, n)
+             + 1j * rng.normal(0, 0.002, n)).astype(np.complex64)
+    cfg = ReaderConfig(max_events=64)
+    mesh = make_mesh(n_time=2, n_chan=2)
+    stats, _ = decode_wideband_sharded(wide, n_chan, cfg, mesh)
+    n_ok = np.asarray(stats.n_epc_correct)
+    reads = np.asarray(stats.tag_reads)
+    for k in range(n_chan):
+        if k in traces:
+            tr = traces[k]
+            assert n_ok[k] == tr.expected_epc_pass, (seed, k)
+            (tid, cnt), = tr.expected_tag_reads.items()
+            assert reads[k, tid] == cnt, (seed, k)
+        else:
+            assert n_ok[k] == 0, (seed, k)
