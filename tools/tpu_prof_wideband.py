@@ -206,6 +206,51 @@ def main():
                   + jnp.matmul(ui, wr, precision=prec))
             return jnp.sum(yr) + jnp.sum(yi)
 
+        if stage == "pfb3":
+            # IDFT as a block-diagonal (1024, 2048) matmul applied to the
+            # tap stage's NATIVE (nb, 1024) block layout - 127/128 of the
+            # matrix is zeros (free on the MXU) but the contraction stays
+            # at full lane width, vs the 5.1 ms the (M, 8)@(8, 8) layout
+            # costs.  Output columns [yr | yi] per plane, combined
+            # elementwise; ends with the same (2, M, 8)->sum as "pfb".
+            from gen2_rfid_tpu.dsp.channelizer import (_TAP_BLOCK,
+                                                       _tap_selection)
+            t = 12
+            n = x2.shape[1]
+            mm = n // n_chan
+            xe = jnp.pad(x2[:, : mm * n_chan], ((0, 0), (n_chan - 1, 0)))
+            bb = _TAP_BLOCK
+            nb = -(-mm // bb)
+            flat = jnp.pad(xe[:, : mm * n_chan],
+                           ((0, 0), ((t - 1) * n_chan,
+                                     (nb * bb - mm) * n_chan)))
+            blocks = flat[:, (t - 1) * n_chan:].reshape(2, nb, bb * n_chan)
+            tails = flat[:, : nb * bb * n_chan].reshape(
+                2, nb, bb * n_chan)[:, :, : (t - 1) * n_chan]
+            sel = _tap_selection(n_chan, 12)
+            hi = jax.lax.Precision.HIGHEST
+            cut = (t - 1) * n_chan
+            u = (jnp.einsum("cbj,jo->cbo", tails, jnp.asarray(sel[:cut]),
+                            precision=hi)
+                 + jnp.einsum("cbj,jo->cbo", blocks,
+                              jnp.asarray(sel[cut:]), precision=hi))
+            k_idx = np.arange(n_chan)
+            w = np.exp(2j * np.pi * np.outer(k_idx, k_idx) / n_chan)
+            wqz = np.ascontiguousarray(w[:, ::-1].T)       # (q, k)
+            wbd = np.zeros((bb * n_chan, 2 * bb * n_chan), np.float32)
+            for i in range(bb):
+                r0, c0 = i * n_chan, i * n_chan
+                wbd[r0:r0 + n_chan, c0:c0 + n_chan] = wqz.real
+                wbd[r0:r0 + n_chan,
+                    bb * n_chan + c0:bb * n_chan + c0 + n_chan] = wqz.imag
+            uy = jnp.einsum("cbo,ok->cbk", u, jnp.asarray(wbd),
+                            precision=hi)              # (2, nb, 2048)
+            h = bb * n_chan
+            yr = (uy[0, :, :h] - uy[1, :, h:]).reshape(nb * bb, n_chan)[:mm]
+            yi = (uy[1, :, :h] + uy[0, :, h:]).reshape(nb * bb, n_chan)[:mm]
+            chb = jnp.transpose(jnp.stack([yr, yi]), (2, 0, 1))
+            return jnp.sum(chb)
+
         if stage in ("pfb2_reshape", "pfb2_tap"):
             # Round-5 selection-matmul PFB substages: commutator pad +
             # slab construction alone, then + the tap matmuls.
