@@ -77,7 +77,33 @@ def main():
                 xp, (0, j), (2, j + n_out * d), (1, d))
         return acc[0], acc[1]
 
-    FIRS = {"conv": fir_conv, "poly": fir_poly, "strided": fir_strided}
+    def fir_selmm(x2):
+        # Round-5: blocked overlap-save SELECTION MATMUL (the PFB-winning
+        # pattern): slabs of B outputs x a dense (h + B*d, B) tap matrix
+        # on the MXU; the conv path measured movement-bound (~60 GB/s
+        # effective).
+        t = taps_np.shape[0]
+        n = x2.shape[1]
+        n_out = n // d
+        bsz = 512
+        nb = -(-n_out // bsz)
+        h = t - 1
+        flat = jnp.pad(x2, ((0, 0), (h, nb * bsz * d - n)))
+        blocks = flat[:, h:].reshape(2, nb, bsz * d)
+        tails = flat[:, : nb * bsz * d].reshape(2, nb, bsz * d)[:, :, :h]
+        sel = np.zeros((h + bsz * d, bsz), np.float32)
+        for i in range(bsz):
+            sel[i * d: i * d + t, i] = taps_np
+        hi = jax.lax.Precision.HIGHEST
+        y = (jnp.einsum("cbj,jo->cbo", tails, jnp.asarray(sel[:h]),
+                        precision=hi)
+             + jnp.einsum("cbj,jo->cbo", blocks, jnp.asarray(sel[h:]),
+                          precision=hi))
+        y = y.reshape(2, nb * bsz)[:, :n_out]
+        return y[0], y[1]
+
+    FIRS = {"conv": fir_conv, "poly": fir_poly, "strided": fir_strided,
+            "selmm": fir_selmm}
 
     def make_fn(which: str, front_only: bool):
         fir = FIRS[which]
@@ -109,7 +135,8 @@ def main():
         return time.perf_counter() - t0
 
     k1, k2 = 1, 9
-    for which in ("conv", "poly", "strided"):
+    for which in os.environ.get("FIR_VARIANTS",
+                                 "conv,poly,strided").split(","):
         for front_only in (True,):
             t_comp0 = time.perf_counter()
             timed(which, front_only, k1)
