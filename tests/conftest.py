@@ -113,6 +113,7 @@ SLOW_TESTS = {
     "test_sharded.py::test_time_sharded_matches_single_device",
     "test_snr.py::test_cfo_tracked_waterfall_vs_theory",
     "test_softfix.py::test_softfix_gains_waterfall_and_never_lies",
+    "test_stream_cli.py::test_fuzz_stream_random_scenario",
     "test_stream_cli.py::test_merge_stats_multi_capture",
     "test_stream_cli.py::test_stream_checkpoint_resume",
     "test_tx_mod.py::test_modulation_end_to_end",

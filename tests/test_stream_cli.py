@@ -127,3 +127,41 @@ def test_cli_live_inventory(capsys):
     assert "Correctly decoded EPC : 3" in text
     assert "Tag ID : 1b" in text
     assert "Slot latency" in text
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_stream_random_scenario(tmp_path, seed):
+    """Streaming fuzz (round 5): random in-spec link scenario
+    (test_fuzz._scenario) x random chunk size x random feed split, with a
+    mid-stream checkpoint/resume - chunked streaming must equal the batch
+    decode exactly (stats + tag reads), at every drawn geometry."""
+    from tests.test_fuzz import _scenario
+    from gen2_rfid_tpu.sim.trace import synthesize_inventory
+
+    cfg, tags, rng = _scenario(300 + seed)
+    tr = synthesize_inventory(cfg, tags, n_rounds=3,
+                              seed=int(rng.integers(1 << 16)))
+    stats_b, _ = decode_capture(jnp.asarray(tr.iq), cfg)
+
+    chunk = int(rng.choice([100_000, 200_000, 350_000]))
+    chunk -= chunk % cfg.decim
+    n_pieces = int(rng.integers(2, 8))
+    pieces = np.array_split(tr.iq, n_pieces)
+
+    a = StreamDecoder(cfg, chunk_adc=chunk, events_per_chunk=64)
+    a.reset()
+    cut = int(rng.integers(1, n_pieces))
+    for p in pieces[:cut]:
+        a.feed(p)
+    ckpt = str(tmp_path / f"s{seed}.npz")
+    a.save_checkpoint(ckpt)
+    b = StreamDecoder(cfg, chunk_adc=chunk, events_per_chunk=64)
+    b.load_checkpoint(ckpt)
+    for p in pieces[cut:]:
+        b.feed(p)
+    stats_s, total = b.finish()
+    assert total == tr.iq.size
+    assert int(stats_s.n_queries) == int(stats_b.n_queries), seed
+    assert int(stats_s.n_epc_correct) == int(stats_b.n_epc_correct), seed
+    np.testing.assert_array_equal(stats_s.tag_reads,
+                                  np.asarray(stats_b.tag_reads))
