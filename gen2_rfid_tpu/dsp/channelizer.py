@@ -17,11 +17,13 @@ share one grouped strided convolution plus one small FFT:
     u_p[m] = sum_r h[p + rN] x[(m - r)N - p]                      decimated stream)
 
 so the per-sample mixers disappear (the decimated mixer phase
-e^{-j 2 pi k mN / N} = 1), the branch filters run as T fused tap-shift
-multiply-adds over the (N, M) polyphase matrix (a depthwise grouped conv
-misses the MXU and measured 10 ms/iter - tools/tpu_prof_wideband.py), and
-the N-point IDFT over branches is one N x N matmul.  Channel k sits at
-center frequency k * (rate/N), FFT order (k >= N/2 are negative offsets).
+e^{-j 2 pi k mN / N} = 1), the branch filters run as ONE blocked
+overlap-save selection matmul on the MXU (round 5; the tap-shift loop's
+(M, N) arrays ran at 1/16 v5e lane utilization and a depthwise grouped
+conv misses the MXU entirely - five formulations measured in
+docs/PERF.md, tools/tpu_prof_wideband.py), and the N-point IDFT over
+branches is one N x N matmul.  Channel k sits at center frequency
+k * (rate/N), FFT order (k >= N/2 are negative offsets).
 """
 
 from __future__ import annotations
