@@ -128,8 +128,17 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         base = item.nodeid.split("[")[0]
         short = "::".join(base.split("/")[-1].split("::")[:2])
         if short in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            matched.add(short)
+    # Stale entries (renamed/removed tests) would silently land in the
+    # quick tier; surface them whenever the whole suite was collected.
+    if len(items) > 300:
+        for stale in sorted(SLOW_TESTS - matched):
+            import warnings
+
+            warnings.warn(f"SLOW_TESTS entry matches no test: {stale}")
