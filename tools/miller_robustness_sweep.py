@@ -10,10 +10,12 @@ lived in throwaway scripts.  This checks it in: the full matrix
     interferer in {off, -20 dBc CW at the FM0 link frequency}
     CFO in {0, 300 Hz with channel tracking}
 
-decoded exactly-or-not per cell, CPU-runnable.  The composes that are
-DOCUMENTED to sit outside the envelope (4% + interferer + CFO together
-is past it, tests pin 3% for the compose) are expected failures, so the
-score contextualizes rather than gates; the pinned envelopes live in
+decoded exactly-or-not per cell, CPU-runnable.  Expected failures: the
+M=2 + interferer cells, because the Miller-2 subcarrier (M*BLF/2 =
+40 kHz) coincides exactly with the interferer tone - the template
+integrates it coherently (physics; dense-reader profiles use M=4/8 for
+this reason; isolation in docs/PERF.md round-5).  The score
+contextualizes rather than gates; the pinned envelopes live in
 tests/test_miller.py and tests/test_dense_reader.py.
 
 Run: env -u PYTHONPATH JAX_PLATFORMS=cpu python tools/miller_robustness_sweep.py
