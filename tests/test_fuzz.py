@@ -90,7 +90,7 @@ def _scenario(seed: int):
     return cfg, tags, rng
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_random_link_roundtrip(seed):
     cfg, tags, rng = _scenario(seed)
     tr = synthesize_inventory(cfg, tags, n_rounds=3,
