@@ -37,6 +37,8 @@ def _cfg_from_args(args) -> "ReaderConfig":
         over["freq_hz"] = args.freq_mhz * 1e6
     if getattr(args, "softfix", None):
         over["epc_softfix"] = args.softfix
+    if getattr(args, "cancel_cw", None):
+        over["cancel_cw"] = args.cancel_cw
     return ReaderConfig(**over)
 
 
@@ -507,6 +509,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--blf", type=float, help="backscatter link freq, kHz")
     d.add_argument("--miller", type=int, choices=[1, 2, 4, 8])
     d.add_argument("--max-events", type=int)
+    d.add_argument("--cancel-cw", type=int, metavar="N", default=0,
+                   help="estimate and subtract up to N strong CW "
+                        "interferer tones from the whole capture before "
+                        "decoding (dsp/interference.py)")
     d.add_argument("--softfix", type=int, metavar="K", default=0,
                    help="CRC-guided soft recovery of failed EPC frames over "
                         "the K least-reliable decisions (8 is a good value)")

@@ -141,6 +141,17 @@ class ReaderConfig:
     # the full PC-aware CRC validation.  0 disables; 8 is a good default
     # (36 candidates/frame, ~5.5e-4 false-accept per failed frame).
     epc_softfix: int = 0
+    # Capture-level CW interferer cancellation (dsp/interference.py):
+    # estimate up to this many strong off-DC tones from the whole capture
+    # (FFT peak -> half-capture projection-phase frequency refinement ->
+    # LS amp/phase) and subtract them before the front end.  Time
+    # coherence separates a neighboring reader's carrier from backscatter
+    # even when the tone sits exactly ON the Miller subcarrier (where
+    # per-frame template integration cannot - the round-5 sweep's M=2
+    # cells).  A 15 dB spectral-excess guard makes it a no-op on clean
+    # captures, so the golden tuple is unchanged with the flag on.
+    # 0 disables (default).
+    cancel_cw: int = 0
     # "compat" pins reference truncation/rounding exactly; "native" may use
     # cleaner arithmetic where results provably agree on in-spec signals.
     mode: str = "native"

@@ -897,6 +897,12 @@ def decode_capture_planar(
     (unsupported by the TPU runtime here); (re, im) planes are combined with
     lax.complex as the first traced op.
     """
+    if cfg.cancel_cw:
+        # Capture-level CW interferer cancellation (dsp/interference.py):
+        # guard-gated global tone subtraction ahead of the front end.
+        from ..dsp.interference import cancel_cw_planar
+
+        iq2 = cancel_cw_planar(iq2, cfg.cancel_cw)
     if cfg.pallas_front and not exact_gate:
         # Fused Pallas front-end: FIR + |.| + both moving sums in one HBM
         # pass (kernels/gate_front.py; exact f32 - unlike XLA's conv, which
