@@ -97,6 +97,8 @@ SLOW_TESTS = {
     "test_errors.py::test_locked_write_reports_memory_locked",
     "test_fixture.py::test_fixture_file_decodes_to_pinned_stats",
     "test_impairments.py::test_blf_tolerance_limited_by_grid_range",
+    "test_interference.py::test_cancel_composes_with_cfo_tracking",
+    "test_interference.py::test_two_tone_cancellation",
     "test_impairments.py::test_channel_tracking_live_closed_loop_cfo",
     "test_lbt.py::test_listen_is_protocol_silent",
     "test_link_adapt.py::test_channel_honors_commanded_m",
